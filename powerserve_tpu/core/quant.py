@@ -1,0 +1,316 @@
+"""GGUF-family block quantization: numpy reference codecs + TPU repacking.
+
+Formats implemented from the public ggml block layouts (reference
+libs/ggml/src/ggml-common.h:158-311 documents the structs; dequant
+semantics per libs/ggml/src/ggml-quants.c dequantize_row_{q4_0,q8_0,q4_K}):
+
+- Q4_0: 32-elem block = fp16 scale d + 16 bytes of nibbles; byte j packs
+  element j (low nibble) and element j+16 (high nibble); x = d * (q - 8).
+- Q8_0: 32-elem block = fp16 scale d + 32 int8; x = d * q.
+- Q4_K: 256-elem superblock = fp16 d, fp16 dmin, 12 bytes of 6-bit
+  sub-scales/mins (8 of each), 128 bytes of nibbles. Within each
+  64-elem chunk c (4 chunks), byte j of its 32 bytes packs element
+  64c+j (low) and 64c+32+j (high); sub-block s = 2c (+1 for highs):
+  x = d*sc[s]*q - dmin*mn[s].
+
+The TPU-side representation produced by `repack_*` keeps weights
+quantized in HBM and lays the contraction dim K on sublanes and the
+output dim N on lanes (see ops/qmatmul.py):
+
+  QuantizedTensor:
+    q      int8  [K, N]      (zero-point already subtracted for Q4_0)
+    scales f32   [K//32, N]  per-32-block scale
+    bias   f32   [K//32, N] or None   per-32-block additive minimum
+                              (Q4_K; dequant = q*scale - bias_term where
+                               bias applies per *element count*, so
+                               x[k,n] = q[k,n]*scales[k//32,n] - bias[k//32,n])
+
+plus an optional nibble-packed form (pack_nib4) used by the fused Pallas
+kernel: uint8 [K//2, N] where row i packs k=i (low nibble) and k=i+K/2
+(high nibble), so in-kernel unpack is concat((q&15),(q>>4)) along
+sublanes — no interleave needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .gguf import GGMLType, GGML_TYPE_LAYOUT
+
+QK = 32  # Q4_0 / Q8_0 block size
+QK_K = 256  # K-quant superblock size
+
+
+# ---------------------------------------------------------------------------
+# numpy reference codecs (golden for kernel tests)
+# ---------------------------------------------------------------------------
+
+def quantize_q4_0(x: np.ndarray) -> np.ndarray:
+    """float [..., K] -> Q4_0 payload bytes (K % 32 == 0)."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK)
+    nb = x.shape[0]
+    # scale from signed absmax (value with largest |x| keeps its sign)
+    idx = np.argmax(np.abs(x), axis=1)
+    amax = x[np.arange(nb), idx]
+    d = amax / -8.0
+    inv_d = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    q = np.clip(np.round(x * inv_d[:, None]) + 8.0, 0.0, 15.0).astype(np.uint8)
+    lo, hi = q[:, :16], q[:, 16:]
+    qs = (lo | (hi << 4)).astype(np.uint8)
+    out = np.empty((nb, 18), dtype=np.uint8)
+    out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8).reshape(nb, 2)
+    out[:, 2:] = qs
+    return out.reshape(-1)
+
+
+def dequantize_q4_0(payload: np.ndarray) -> np.ndarray:
+    blocks = payload.reshape(-1, 18)
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32)  # [nb,1]
+    qs = blocks[:, 2:]
+    lo = (qs & 0x0F).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    q = np.concatenate([lo, hi], axis=1).astype(np.float32)  # [nb,32]
+    return (q * d).reshape(-1)
+
+
+def quantize_q8_0(x: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK)
+    nb = x.shape[0]
+    amax = np.max(np.abs(x), axis=1)
+    d = amax / 127.0
+    inv_d = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    q = np.clip(np.round(x * inv_d[:, None]), -127, 127).astype(np.int8)
+    out = np.empty((nb, 34), dtype=np.uint8)
+    out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8).reshape(nb, 2)
+    out[:, 2:] = q.view(np.uint8)
+    return out.reshape(-1)
+
+
+def dequantize_q8_0(payload: np.ndarray) -> np.ndarray:
+    blocks = payload.reshape(-1, 34)
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32)
+    q = blocks[:, 2:].view(np.int8).astype(np.float32)
+    return (q * d).reshape(-1)
+
+
+def _pack_k_scales(sc6: np.ndarray, mn6: np.ndarray) -> np.ndarray:
+    """Pack 8 six-bit scales + 8 six-bit mins into 12 bytes per superblock.
+
+    Layout (inverse of get_scale_min_k4, ggml-quants.c:1912):
+      j<4:  byte[j]   low6 = sc[j];   byte[j+4] low6 = mn[j]
+            byte[j]   hi2  = sc[j+4] bits 4-5; byte[j+4] hi2 = mn[j+4] bits 4-5
+      j>=4: byte[j+4] low4 = sc[j] bits 0-3; hi4 = mn[j] bits 0-3
+    """
+    nb = sc6.shape[0]
+    out = np.zeros((nb, 12), dtype=np.uint8)
+    for j in range(4):
+        out[:, j] = (sc6[:, j] & 63) | ((sc6[:, j + 4] >> 4) << 6)
+        out[:, j + 4] = (mn6[:, j] & 63) | ((mn6[:, j + 4] >> 4) << 6)
+        out[:, j + 8] = (sc6[:, j + 4] & 0xF) | ((mn6[:, j + 4] & 0xF) << 4)
+    return out
+
+
+def _unpack_k_scales(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """12 bytes -> (8 scales, 8 mins), 6-bit each. [nb,12] -> 2x [nb,8]."""
+    q = scales.astype(np.uint16)
+    sc = np.empty(q.shape[:-1] + (8,), dtype=np.uint8)
+    mn = np.empty_like(sc)
+    for j in range(4):
+        sc[..., j] = q[..., j] & 63
+        mn[..., j] = q[..., j + 4] & 63
+        sc[..., j + 4] = (q[..., j + 8] & 0xF) | ((q[..., j] >> 6) << 4)
+        mn[..., j + 4] = (q[..., j + 8] >> 4) | ((q[..., j + 4] >> 6) << 4)
+    return sc, mn
+
+
+def quantize_q4_k(x: np.ndarray) -> np.ndarray:
+    """float [..., K] -> Q4_K payload (K % 256 == 0). Simple min/max fit
+    (not ggml's iterative search — dequant layout is what matters)."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    sub = x.reshape(nb, 8, 32)
+    smin = np.minimum(sub.min(axis=2), 0.0)  # mins stored non-negative: m = -min
+    smax = sub.max(axis=2)
+    scale = (smax - smin) / 15.0  # per-sub-block float scale
+    neg_min = -smin
+    d = scale.max(axis=1) / 63.0  # superblock scale of scales
+    dmin = neg_min.max(axis=1) / 63.0
+    inv_d = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    inv_dmin = np.where(dmin > 0, 1.0 / np.where(dmin == 0, 1.0, dmin), 0.0)
+    sc6 = np.clip(np.round(scale * inv_d[:, None]), 0, 63).astype(np.uint8)
+    mn6 = np.clip(np.round(neg_min * inv_dmin[:, None]), 0, 63).astype(np.uint8)
+    d16 = d.astype(np.float16)
+    dmin16 = dmin.astype(np.float16)
+    # quantize with the *decoded* scales so roundtrip is tight
+    eff_scale = d16.astype(np.float32)[:, None] * sc6
+    eff_min = dmin16.astype(np.float32)[:, None] * mn6
+    inv_s = np.where(eff_scale > 0, 1.0 / np.where(eff_scale == 0, 1.0, eff_scale), 0.0)
+    q = np.clip(np.round((sub + eff_min[:, :, None]) * inv_s[:, :, None]), 0, 15)
+    q = q.astype(np.uint8)  # [nb, 8, 32]
+    # pack nibbles: per 64-elem chunk c, byte j = elem(64c+j) | elem(64c+32+j)<<4
+    chunks = q.reshape(nb, 4, 64)
+    qs = (chunks[:, :, :32] | (chunks[:, :, 32:] << 4)).reshape(nb, 128)
+    out = np.empty((nb, 144), dtype=np.uint8)
+    out[:, 0:2] = d16[:, None].view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = dmin16[:, None].view(np.uint8).reshape(nb, 2)
+    out[:, 4:16] = _pack_k_scales(sc6, mn6)
+    out[:, 16:] = qs
+    return out.reshape(-1)
+
+
+def dequantize_q4_k(payload: np.ndarray) -> np.ndarray:
+    blocks = payload.reshape(-1, 144)
+    nb = blocks.shape[0]
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)  # [nb,1]
+    dmin = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc6, mn6 = _unpack_k_scales(blocks[:, 4:16])
+    qs = blocks[:, 16:].reshape(nb, 4, 32)
+    lo = (qs & 0x0F).astype(np.float32)
+    hi = (qs >> 4).astype(np.float32)
+    q = np.concatenate([lo[:, :, None, :], hi[:, :, None, :]], axis=2)  # [nb,4,2,32]
+    q = q.reshape(nb, 8, 32)
+    scale = d * sc6.astype(np.float32)  # [nb,8]
+    minv = dmin * mn6.astype(np.float32)
+    x = q * scale[:, :, None] - minv[:, :, None]
+    return x.reshape(-1)
+
+
+def dequantize(payload: np.ndarray, ggml_type: int) -> np.ndarray:
+    """Dispatch dequant of a raw uint8 payload to float32 (flat)."""
+    t = GGMLType(ggml_type)
+    if t == GGMLType.F32:
+        return payload.copy().view(np.float32)
+    if t == GGMLType.F16:
+        return payload.copy().view(np.float16).astype(np.float32)
+    if t == GGMLType.BF16:
+        u = payload.copy().view(np.uint16).astype(np.uint32) << 16
+        return u.view(np.float32)
+    if t == GGMLType.Q4_0:
+        return dequantize_q4_0(payload)
+    if t == GGMLType.Q8_0:
+        return dequantize_q8_0(payload)
+    if t == GGMLType.Q4_K:
+        return dequantize_q4_k(payload)
+    if t == GGMLType.I32:
+        return payload.copy().view(np.int32).astype(np.float32)
+    raise NotImplementedError(f"dequantize for ggml type {t}")
+
+
+def quantize(x: np.ndarray, ggml_type: int) -> np.ndarray:
+    t = GGMLType(ggml_type)
+    if t == GGMLType.F32:
+        return np.ascontiguousarray(x, dtype=np.float32).view(np.uint8).reshape(-1)
+    if t == GGMLType.F16:
+        return np.ascontiguousarray(x, dtype=np.float16).view(np.uint8).reshape(-1)
+    if t == GGMLType.Q4_0:
+        return quantize_q4_0(x)
+    if t == GGMLType.Q8_0:
+        return quantize_q8_0(x)
+    if t == GGMLType.Q4_K:
+        return quantize_q4_k(x)
+    raise NotImplementedError(f"quantize for ggml type {t}")
+
+
+# ---------------------------------------------------------------------------
+# TPU repacking
+# ---------------------------------------------------------------------------
+
+@dataclass
+class QuantizedTensor:
+    """TPU-layout weight: y = x @ dequant(q) with K on rows, N on cols.
+
+    dequant(q)[k, n] = q[k, n] * scales[k // 32, n] - (bias[k // 32, n] if bias)
+    q holds signed values with zero-point pre-subtracted (Q4_0: q-8;
+    Q4_K: unsigned 0..15 with the min folded into bias).
+    """
+
+    q: np.ndarray  # int8 [K, N]
+    scales: np.ndarray  # float32 [K//32, N]
+    bias: np.ndarray | None  # float32 [K//32, N] or None
+    ggml_type: int
+
+    @property
+    def k(self) -> int:
+        return self.q.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.q.shape[1]
+
+    def dequant(self) -> np.ndarray:
+        w = self.q.astype(np.float32) * np.repeat(self.scales, QK, axis=0)
+        if self.bias is not None:
+            w = w - np.repeat(self.bias, QK, axis=0)
+        return w
+
+
+def repack_gguf_tensor(payload: np.ndarray, ggml_type: int,
+                       shape: tuple[int, int]) -> QuantizedTensor:
+    """GGUF weight payload (numpy-order shape [N_out, K_in], quant blocks
+    along K within each output row) -> transposed TPU layout [K, N_out]."""
+    n_out, k_in = shape
+    t = GGMLType(ggml_type)
+    if t == GGMLType.Q4_0:
+        blocks = payload.reshape(n_out, k_in // QK, 18)
+        d = blocks[:, :, :2].copy().view(np.float16).astype(np.float32)[..., 0]
+        qs = blocks[:, :, 2:]
+        lo = (qs & 0x0F).astype(np.int8) - 8
+        hi = (qs >> 4).astype(np.int8) - 8
+        q = np.concatenate([lo, hi], axis=2)  # [N, KB, 32]
+        q = q.reshape(n_out, k_in).T.copy()  # [K, N]
+        scales = d.T.copy()  # [K//32, N]
+        return QuantizedTensor(q, scales, None, ggml_type)
+    if t == GGMLType.Q8_0:
+        blocks = payload.reshape(n_out, k_in // QK, 34)
+        d = blocks[:, :, :2].copy().view(np.float16).astype(np.float32)[..., 0]
+        q = blocks[:, :, 2:].view(np.int8).reshape(n_out, k_in).T.copy()
+        return QuantizedTensor(q, d.T.copy(), None, ggml_type)
+    if t == GGMLType.Q4_K:
+        blocks = payload.reshape(n_out, k_in // QK_K, 144)
+        nsb = k_in // QK_K
+        d = blocks[:, :, 0:2].copy().view(np.float16).astype(np.float32)[..., 0]
+        dmin = blocks[:, :, 2:4].copy().view(np.float16).astype(np.float32)[..., 0]
+        sc6, mn6 = _unpack_k_scales(blocks[:, :, 4:16])  # [N, nsb, 8]
+        qs = blocks[:, :, 16:].reshape(n_out, nsb, 4, 32)
+        lo = (qs & 0x0F).astype(np.int8)
+        hi = (qs >> 4).astype(np.int8)
+        q = np.stack([lo, hi], axis=3).reshape(n_out, k_in)  # [N, K]
+        scales = (d[:, :, None] * sc6).reshape(n_out, k_in // QK)  # per-32 scale
+        bias = (dmin[:, :, None] * mn6).reshape(n_out, k_in // QK)
+        return QuantizedTensor(q.T.copy(), scales.T.copy(), bias.T.copy(), ggml_type)
+    if t in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+        w = dequantize(payload, t).reshape(n_out, k_in)
+        # quantize-on-load to Q8_0 blocks so everything shares one kernel path
+        amax = np.abs(w.reshape(n_out, k_in // QK, QK)).max(axis=2)
+        d = (amax / 127.0).astype(np.float32)
+        inv = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+        q = np.clip(np.round(w.reshape(n_out, k_in // QK, QK) * inv[:, :, None]),
+                    -127, 127).astype(np.int8).reshape(n_out, k_in)
+        return QuantizedTensor(q.T.copy(), d.T.copy(), None, GGMLType.Q8_0)
+    raise NotImplementedError(f"repack for ggml type {t}")
+
+
+def pack_nib4(q: np.ndarray) -> np.ndarray:
+    """int8 [K, N] with values in [-8, 7] (Q4_0) or [0, 15] (Q4_K) ->
+    uint8 [K//2, N]: row i packs k=i (low nibble) and k=i+K/2 (high),
+    so unpack = concat((p & 15), (p >> 4)) along axis 0, in k order."""
+    k = q.shape[0]
+    u = (q.astype(np.int16) & 0xF).astype(np.uint8)
+    return (u[: k // 2] | (u[k // 2 :] << 4)).astype(np.uint8)
+
+
+def unpack_nib4_signed(p: np.ndarray) -> np.ndarray:
+    """Inverse of pack_nib4 for Q4_0-style signed nibbles (stored as q-8
+    biased? no — stored two's-complement 4-bit). Returns int8 [K, N]."""
+    lo = (p & 0xF).astype(np.int8)
+    hi = (p >> 4).astype(np.int8)
+    q = np.concatenate([lo, hi], axis=0)
+    return np.where(q >= 8, q - 16, q).astype(np.int8)
+
+
+def unpack_nib4_unsigned(p: np.ndarray) -> np.ndarray:
+    lo = (p & 0xF).astype(np.int8)
+    hi = (p >> 4).astype(np.int8)
+    return np.concatenate([lo, hi], axis=0)

@@ -1,0 +1,133 @@
+"""Core gguf + quant codec tests: roundtrip accuracy, layout parity,
+repacked-layout equivalence with the flat dequant reference."""
+
+import numpy as np
+import pytest
+
+from powerserve_tpu.core import gguf as G
+from powerserve_tpu.core import quant as Q
+
+
+@pytest.mark.parametrize("fmt,block,tol", [
+    (G.GGMLType.Q4_0, 32, 0.08),
+    (G.GGMLType.Q8_0, 32, 0.006),
+    (G.GGMLType.Q4_K, 256, 0.05),
+])
+def test_quant_roundtrip(fmt, block, tol):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4 * block).astype(np.float32)
+    payload = Q.quantize(x, fmt)
+    assert payload.nbytes == G.tensor_nbytes(fmt, x.size)
+    y = Q.dequantize(payload, fmt)
+    scale = np.abs(x).max()
+    assert np.max(np.abs(x - y)) < tol * scale, f"{fmt}: roundtrip error too big"
+
+
+def test_q4_0_block_layout():
+    """Byte j of a block packs elem j (low nibble) and elem j+16 (high)."""
+    x = np.arange(32, dtype=np.float32) - 16  # known values
+    payload = Q.quantize_q4_0(x)
+    d = payload[:2].copy().view(np.float16).astype(np.float32)[0]
+    qs = payload[2:]
+    # manual decode per the ggml spec
+    lo = (qs & 0xF).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    manual = np.concatenate([lo, hi]).astype(np.float32) * d
+    np.testing.assert_allclose(manual, Q.dequantize_q4_0(payload))
+
+
+def test_q4k_scale_packing_roundtrip():
+    rng = np.random.default_rng(1)
+    sc = rng.integers(0, 64, (5, 8)).astype(np.uint8)
+    mn = rng.integers(0, 64, (5, 8)).astype(np.uint8)
+    packed = Q._pack_k_scales(sc, mn)
+    sc2, mn2 = Q._unpack_k_scales(packed)
+    np.testing.assert_array_equal(sc, sc2)
+    np.testing.assert_array_equal(mn, mn2)
+
+
+@pytest.mark.parametrize("fmt", [G.GGMLType.Q4_0, G.GGMLType.Q8_0, G.GGMLType.Q4_K])
+def test_repack_matches_dequant(fmt):
+    """Repacked [K, N] layout must decode to the same floats as flat dequant."""
+    rng = np.random.default_rng(2)
+    n_out, k_in = 6, 512
+    w = rng.standard_normal((n_out, k_in)).astype(np.float32)
+    payload = Q.quantize(w, fmt)
+    ref = Q.dequantize(payload, fmt).reshape(n_out, k_in)
+    qt = Q.repack_gguf_tensor(payload, fmt, (n_out, k_in))
+    np.testing.assert_allclose(qt.dequant(), ref.T, rtol=1e-5, atol=1e-5)
+
+
+def test_repack_f16_quantizes_to_q8():
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((4, 64)).astype(np.float32)
+    payload = Q.quantize(w, G.GGMLType.F16)
+    qt = Q.repack_gguf_tensor(payload, G.GGMLType.F16, (4, 64))
+    assert qt.ggml_type == G.GGMLType.Q8_0
+    np.testing.assert_allclose(qt.dequant(), w.T, rtol=0.02, atol=0.02)
+
+
+@pytest.mark.parametrize("signed", [True, False])
+def test_nib4_pack_roundtrip(signed):
+    rng = np.random.default_rng(4)
+    if signed:
+        q = rng.integers(-8, 8, (64, 16)).astype(np.int8)
+        out = Q.unpack_nib4_signed(Q.pack_nib4(q))
+    else:
+        q = rng.integers(0, 16, (64, 16)).astype(np.int8)
+        out = Q.unpack_nib4_unsigned(Q.pack_nib4(q))
+    np.testing.assert_array_equal(q, out)
+
+
+def test_gguf_write_read_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    w = G.GGUFWriter()
+    w.metadata["general.architecture"] = "llama"
+    w.metadata["llama.block_count"] = 2
+    w.metadata["tokenizer.ggml.tokens"] = ["<s>", "</s>", "hello"]
+    w.metadata["tokenizer.ggml.scores"] = [0.0, -1.0, -2.0]
+    w.metadata["llama.rope.freq_base"] = 10000.0
+    a = rng.standard_normal((8, 64)).astype(np.float32)
+    b = rng.standard_normal((4, 256)).astype(np.float32)
+    w.add_float_tensor("a.weight", a)
+    w.add_tensor("b.weight", (256, 4), G.GGMLType.Q4_K, Q.quantize(b, G.GGMLType.Q4_K))
+    path = tmp_path / "test.gguf"
+    w.write(path)
+
+    with G.GGUFReader(path) as r:
+        assert r.metadata["general.architecture"] == "llama"
+        assert r.metadata["llama.block_count"] == 2
+        assert list(r.metadata["tokenizer.ggml.tokens"]) == ["<s>", "</s>", "hello"]
+        assert abs(r.metadata["llama.rope.freq_base"] - 10000.0) < 1e-6
+        np.testing.assert_allclose(r.tensor_float("a.weight"), a)
+        assert r.tensors["b.weight"].shape == (4, 256)
+        got = r.tensor_float("b.weight")
+        assert np.max(np.abs(got - b)) < 0.08 * np.abs(b).max()
+
+
+def test_workspace_config(tmp_path):
+    import json
+
+    from powerserve_tpu.core import HyperParams, ModelConfig, WorkspaceConfig
+
+    ws = tmp_path
+    (ws / "main_model").mkdir()
+    (ws / "workspace.json").write_text(json.dumps({
+        "model_main": "main_model", "model_draft": "",
+        "hparams_config": "hparams.json",
+    }))
+    (ws / "hparams.json").write_text(json.dumps({
+        "batch_size": 64, "max_slots": 4,
+        "sampler": {"temperature": 0.5, "top_k": 20},
+    }))
+    mc = ModelConfig()
+    mc.llm.dim = 128
+    mc.save(ws / "main_model" / "model.json")
+
+    cfg = WorkspaceConfig.load(ws)
+    assert cfg.draft_model_dir is None
+    assert cfg.hyper_params.batch_size == 64
+    assert cfg.hyper_params.sampler.temperature == 0.5
+    mc2 = ModelConfig.load(ws / "main_model" / "model.json")
+    assert mc2.llm.dim == 128
+    assert mc2.arch == "llama"
