@@ -1,0 +1,3 @@
+from .cache import KVCache
+
+__all__ = ["KVCache"]

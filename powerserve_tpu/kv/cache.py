@@ -1,0 +1,268 @@
+"""INT8 KV cache with mask/rollback/copy semantics for tree speculation.
+
+TPU-native re-design of the reference's backend-agnostic masked ring KV
+cache (reference src/core/kv_cache.hpp:97-278): the reference mutates
+per-layer ring buffers imperatively; here the cache is a jax pytree of
+statically-shaped arrays and every mutation is a functional scatter
+update usable inside jit with buffer donation.
+
+Semantics preserved from the reference interface:
+  - append(k, v, positions)      == save_tokens + advance_tokens
+  - rollback(n)                  == rollback_tokens (kv_cache.hpp:256) —
+                                    the primitive enabling tree drafts
+  - set_mask(index, value)       == mask/unmask_tokens (switch_parent)
+  - copy(dst_index, src_index)   == copy_tokens (verify's compaction)
+  - truncate(n)                  == truncate_tokens (reset to a prefix,
+                                    e.g. a persistent system-prompt KV)
+
+Layout: [n_layers, n_slots, max_seq, n_kv_heads, head_dim] with the
+sequence dim third so per-token scatter/gather updates index a leading
+batch of (layer, slot) and attention kernels see [T, H, D] per slot.
+K/V quantize per (token, head) to int8 with an f32 scale, halving HBM
+traffic vs the reference's fp16 NPU KV (causal_models.hpp:121-131).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "v", "k_scale", "v_scale", "mask", "pos"],
+    meta_fields=["quantized"],
+)
+@dataclass
+class KVCache:
+    """Per-model KV state (all arrays batched over layers and slots)."""
+
+    k: jax.Array  # [L, S, T, H, D] int8 (quantized) or bf16
+    v: jax.Array  # [L, S, T, H, D]
+    k_scale: jax.Array  # [L, S, T, H] f32 ([1,1,1,1] dummy when not quantized)
+    v_scale: jax.Array
+    mask: jax.Array  # [S, T] bool — position visible to attention
+    pos: jax.Array  # [S] int32 — number of stored tokens (next write index)
+    quantized: bool
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def create(cls, n_layers: int, n_slots: int, max_seq: int,
+               n_kv_heads: int, head_dim: int,
+               dtype: str = "int8") -> "KVCache":
+        quantized = dtype == "int8"
+        shape = (n_layers, n_slots, max_seq, n_kv_heads, head_dim)
+        if quantized:
+            k = jnp.zeros(shape, jnp.int8)
+            v = jnp.zeros(shape, jnp.int8)
+            ks = jnp.zeros(shape[:-1], jnp.float32)
+            vs = jnp.zeros(shape[:-1], jnp.float32)
+            return cls(k, v, ks, vs, jnp.zeros((n_slots, max_seq), jnp.bool_),
+                       jnp.zeros(n_slots, jnp.int32), True)
+        k = jnp.zeros(shape, jnp.bfloat16)
+        # dummy keeps a leading n_layers axis so lax.scan over layers works
+        dummy = jnp.zeros((n_layers, 1, 1, 1), jnp.float32)
+        return cls(k, jnp.zeros_like(k), dummy, dummy,
+                   jnp.zeros((n_slots, max_seq), jnp.bool_),
+                   jnp.zeros(n_slots, jnp.int32), False)
+
+    # -- shape helpers ------------------------------------------------------
+
+    @property
+    def n_layers(self) -> int:
+        return self.k.shape[0]
+
+    @property
+    def n_slots(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+    # -- quantization -------------------------------------------------------
+
+    @staticmethod
+    def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """[..., H, D] float -> (int8 values, f32 per-[..., H] scale)."""
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        scale = absmax / 127.0
+        inv = jnp.where(scale > 0, 1.0 / jnp.where(scale == 0, 1.0, scale), 0.0)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv[..., None]),
+                     -127, 127).astype(jnp.int8)
+        return q, scale
+
+    def gather_layer(self, layer: jax.Array | int) -> tuple[jax.Array, jax.Array]:
+        """Dequantized (k, v) for one layer: [S, T, H, D] bf16."""
+        k, v = self.k[layer], self.v[layer]
+        if self.quantized:
+            k = (k.astype(jnp.float32) * self.k_scale[layer][..., None])
+            v = (v.astype(jnp.float32) * self.v_scale[layer][..., None])
+        return k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+
+    # -- mutation (functional; donate self for in-place) --------------------
+
+    def append(self, layer: jax.Array | int, k_new: jax.Array,
+               v_new: jax.Array, positions: jax.Array) -> "KVCache":
+        """Write new tokens' K/V for one layer at explicit positions.
+
+        k_new/v_new: [S, T_new, H, D] float; positions: [S, T_new] int32.
+        Positions >= max_seq are dropped (mirrors the reference's capacity
+        assert, kv_cache.hpp:233-236, but jit-safely). Does NOT advance
+        pos/mask — call `advance` once after all layers are written.
+        """
+        T = self.max_seq
+        safe_pos = jnp.clip(positions, 0, T - 1)
+        oob = (positions < 0) | (positions >= T)
+
+        # vectorized scatter along axis=1 (seq) per slot via vmap
+        def per_slot(cache_s, new_s, pos_s, oob_s):
+            # cache_s [T, H, D] or [T, H]; new_s [Tn, ...]
+            cur = cache_s[pos_s]  # gather current for oob lanes
+            upd = jnp.where(
+                oob_s.reshape((-1,) + (1,) * (new_s.ndim - 1)), cur, new_s)
+            return cache_s.at[pos_s].set(upd)
+
+        if self.quantized:
+            kq, ks = self.quantize_kv(k_new)
+            vq, vs = self.quantize_kv(v_new)
+            k_l = jax.vmap(per_slot)(self.k[layer], kq, safe_pos, oob)
+            v_l = jax.vmap(per_slot)(self.v[layer], vq, safe_pos, oob)
+            ks_l = jax.vmap(per_slot)(self.k_scale[layer], ks, safe_pos, oob)
+            vs_l = jax.vmap(per_slot)(self.v_scale[layer], vs, safe_pos, oob)
+            return replace(
+                self,
+                k=self.k.at[layer].set(k_l),
+                v=self.v.at[layer].set(v_l),
+                k_scale=self.k_scale.at[layer].set(ks_l),
+                v_scale=self.v_scale.at[layer].set(vs_l),
+            )
+        kq = k_new.astype(self.k.dtype)
+        vq = v_new.astype(self.v.dtype)
+        k_l = jax.vmap(per_slot)(self.k[layer], kq, safe_pos, oob)
+        v_l = jax.vmap(per_slot)(self.v[layer], vq, safe_pos, oob)
+        return replace(self, k=self.k.at[layer].set(k_l),
+                       v=self.v.at[layer].set(v_l))
+
+    def advance(self, positions: jax.Array, active: jax.Array | None = None,
+                visible: jax.Array | None = None) -> "KVCache":
+        """Mark written positions visible and bump pos.
+
+        positions: [S, T_new]; active: [S] bool (rows that actually ran);
+        visible: [S, T_new] bool (False keeps a written token masked —
+        used by tree drafts whose siblings must stay invisible).
+        """
+        S, T_new = positions.shape
+        if active is None:
+            active = jnp.ones(S, jnp.bool_)
+        if visible is None:
+            visible = jnp.ones((S, T_new), jnp.bool_)
+        safe_pos = jnp.clip(positions, 0, self.max_seq - 1)
+        in_range = (positions >= 0) & (positions < self.max_seq)
+        write = active[:, None] & in_range  # positions whose mask we touch
+        val = visible & write
+
+        def per_slot(mask_s, pos_s, val_s, write_s):
+            old = mask_s[pos_s]
+            return mask_s.at[pos_s].set(jnp.where(write_s, val_s, old))
+
+        mask = jax.vmap(per_slot)(self.mask, safe_pos, val, write)
+        new_pos = self.pos + jnp.where(active, T_new, 0).astype(jnp.int32)
+        return replace(self, mask=mask, pos=new_pos)
+
+    def rollback(self, n: jax.Array | int,
+                 active: jax.Array | None = None) -> "KVCache":
+        """Drop the last n tokens per active slot (kv_cache.hpp:256)."""
+        S, T = self.mask.shape
+        if active is None:
+            active = jnp.ones(S, jnp.bool_)
+        n = jnp.broadcast_to(jnp.asarray(n, jnp.int32), (S,))
+        n = jnp.where(active, n, 0)
+        new_pos = jnp.maximum(self.pos - n, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
+        mask = self.mask & (col < new_pos[:, None])
+        return replace(self, mask=mask, pos=new_pos)
+
+    def truncate(self, n: jax.Array | int,
+                 active: jax.Array | None = None) -> "KVCache":
+        """Keep only the first n tokens (truncate_tokens)."""
+        S, T = self.mask.shape
+        if active is None:
+            active = jnp.ones(S, jnp.bool_)
+        n = jnp.broadcast_to(jnp.asarray(n, jnp.int32), (S,))
+        new_pos = jnp.where(active, n, self.pos)
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
+        mask = jnp.where(active[:, None], self.mask & (col < new_pos[:, None]),
+                         self.mask)
+        return replace(self, mask=mask, pos=new_pos.astype(jnp.int32))
+
+    def set_mask(self, slot: jax.Array | int, index: jax.Array,
+                 value: jax.Array | bool) -> "KVCache":
+        """mask/unmask single positions (tree switch_parent)."""
+        mask = self.mask.at[slot, index].set(value)
+        return replace(self, mask=mask)
+
+    def copy_token(self, slot: jax.Array | int, dst: jax.Array,
+                   src: jax.Array) -> "KVCache":
+        """Copy a cached entry src -> dst within a slot, all layers
+        (verify's compaction: token_tree.cpp:190-210 copy + advance)."""
+        k = self.k.at[:, slot, dst].set(self.k[:, slot, src])
+        v = self.v.at[:, slot, dst].set(self.v[:, slot, src])
+        out = replace(self, k=k, v=v)
+        if self.quantized:
+            out = replace(
+                out,
+                k_scale=self.k_scale.at[:, slot, dst].set(self.k_scale[:, slot, src]),
+                v_scale=self.v_scale.at[:, slot, dst].set(self.v_scale[:, slot, src]),
+            )
+        return out
+
+    def gather_tokens(self, slot_indices: jax.Array,
+                      src_positions: jax.Array, dst_start: jax.Array) -> "KVCache":
+        """Batched compaction: move cached entries src_positions[i] to
+        dst_start + i for each listed slot — tree-verify acceptance as a
+        single gather+scatter instead of a per-node loop."""
+        # src_positions: [S, n]; dst positions are dst_start[:, None] + arange(n)
+        S, n = src_positions.shape
+        dst = dst_start[:, None] + jnp.arange(n)[None, :]
+        safe_src = jnp.clip(src_positions, 0, self.max_seq - 1)
+        safe_dst = jnp.clip(dst, 0, self.max_seq - 1)
+
+        def per_layer_slot(arr_ls, src_s, dst_s):
+            # arr_ls: [T, ...]
+            vals = arr_ls[src_s]
+            return arr_ls.at[dst_s].set(vals)
+
+        def per_layer(arr_l):
+            return jax.vmap(per_layer_slot)(arr_l, safe_src, safe_dst)
+
+        out = replace(self,
+                      k=jax.vmap(per_layer)(self.k),
+                      v=jax.vmap(per_layer)(self.v))
+        if self.quantized:
+            out = replace(
+                out,
+                k_scale=jax.vmap(per_layer)(self.k_scale),
+                v_scale=jax.vmap(per_layer)(self.v_scale),
+            )
+        return out
+
+    def reset_slot(self, slot: int | jax.Array) -> "KVCache":
+        """Clear one slot (new request in continuous batching)."""
+        return replace(
+            self,
+            mask=self.mask.at[slot].set(False),
+            pos=self.pos.at[slot].set(0),
+        )
+
+
+def cache_l_gather(cache_l: jax.Array, pos: jax.Array) -> jax.Array:
+    """[S, T, ...] gathered at [S, Tn] -> [S, Tn, ...]."""
+    return jax.vmap(lambda c, p: c[p])(cache_l, pos)

@@ -1,0 +1,191 @@
+"""Llama-family transformer as a pure jitted function (covers llama,
+qwen2 = llama + QKV bias, and distilled variants — reference
+src/model/llama/llama_model.cpp:52-118 and qwen2_model.cpp:75 share the
+same skeleton; here it is one function with an optional-bias pytree).
+
+Layers are stacked on a leading axis and iterated with lax.scan so the
+compiled program size is O(1) in depth (the reference rebuilds and
+interprets a node graph per step; here tracing + XLA replace its
+Graph/Executor pair entirely)."""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import LLMConfig, ModelConfig
+from ..core.quant import QK
+from ..kv.cache import KVCache
+from ..ops.attention import build_visibility, gqa_attention
+from ..ops.elementwise import apply_rope, rms_norm, rope_cos_sin, silu_hadamard
+from ..ops.qmatmul import QLinear, qmatmul
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["q", "scales", "bias"],
+    meta_fields=[],
+)
+@dataclass
+class QEmbedding:
+    """Quantized embedding table: rows gathered then dequantized
+    (reference get_embedding with inline Q4/Q8 row dequant,
+    ggml_wrapper.cpp:181-211)."""
+
+    q: jax.Array  # int8 [V, D]
+    scales: jax.Array  # f32 [V, D // 32]
+    bias: jax.Array | None  # f32 [V, D // 32] (Q4_K) or None
+
+    def lookup(self, tokens: jax.Array) -> jax.Array:
+        rows = self.q[tokens].astype(jnp.float32)
+        sc = jnp.repeat(self.scales[tokens], QK, axis=-1)
+        x = rows * sc
+        if self.bias is not None:
+            x = x - jnp.repeat(self.bias[tokens], QK, axis=-1)
+        return x
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["attn_norm", "ffn_norm", "wq", "wk", "wv", "wo",
+                 "bq", "bk", "bv", "w_gate", "w_up", "w_down"],
+    meta_fields=[],
+)
+@dataclass
+class LayerWeights:
+    attn_norm: jax.Array  # [dim] f32
+    ffn_norm: jax.Array
+    wq: QLinear
+    wk: QLinear
+    wv: QLinear
+    wo: QLinear
+    bq: jax.Array | None  # [n_heads * head_dim] (qwen2_weight.hpp:12-24)
+    bk: jax.Array | None
+    bv: jax.Array | None
+    w_gate: QLinear
+    w_up: QLinear
+    w_down: QLinear
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["embed", "layers", "out_norm", "lm_head"],
+    meta_fields=[],
+)
+@dataclass
+class LlamaParams:
+    embed: QEmbedding
+    layers: LayerWeights  # leaves stacked on leading L axis
+    out_norm: jax.Array  # [dim]
+    lm_head: QLinear  # [dim, vocab]
+
+
+def _linear(x: jax.Array, w: QLinear, b: jax.Array | None,
+            backend: str) -> jax.Array:
+    y = qmatmul(x, w, backend=backend)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
+            tokens: jax.Array, positions: jax.Array, *,
+            active: jax.Array | None = None,
+            intra_mask: jax.Array | None = None,
+            visible: jax.Array | None = None,
+            backend: str = "auto",
+            logits_mode: str = "last") -> tuple[jax.Array, KVCache]:
+    """One forward pass over a batch of slots.
+
+    tokens/positions: [S, Tq] int32. active: [S] bool — rows that run.
+    intra_mask: [Tq, Tq] bool or None (causal) — tree verification mask.
+    visible: [S, Tq] bool or None — False keeps a written token masked
+             after advance (draft-tree siblings).
+    logits_mode: "last" -> [S, vocab] for the final position;
+                 "all" -> [S, Tq, vocab] (perplexity / verification);
+                 "none" -> zeros [S, 0] (prefill chunks before the last).
+    Returns (logits f32, updated KVCache with pos/mask advanced).
+    """
+    S, Tq = tokens.shape
+    llm = cfg
+    H, Hkv, D = llm.n_heads, llm.n_kv_heads, llm.head_size
+
+    x = params.embed.lookup(tokens).astype(jnp.bfloat16)  # [S, Tq, dim]
+    cos, sin = rope_cos_sin(positions, llm.rope, D)  # [S, Tq, D/2]
+    vis = build_visibility(kv.mask, positions, intra_mask)  # [S, Tq, T]
+    scale = 1.0 / float(np.sqrt(D))
+    rope_type = llm.rope.rope_type
+
+    quantized = kv.quantized
+
+    def layer_step(carry, inputs):
+        x = carry
+        lw, k_l, v_l, ks_l, vs_l = inputs
+        h = rms_norm(x, lw.attn_norm, llm.norm_eps).astype(jnp.bfloat16)
+        hf = h.reshape(S * Tq, -1)
+        q = _linear(hf, lw.wq, lw.bq, backend).reshape(S, Tq, H, D)
+        knew = _linear(hf, lw.wk, lw.bk, backend).reshape(S, Tq, Hkv, D)
+        vnew = _linear(hf, lw.wv, lw.bv, backend).reshape(S, Tq, Hkv, D)
+        q = apply_rope(q, cos, sin, rope_type)
+        knew = apply_rope(knew, cos, sin, rope_type)
+
+        # scatter new K/V into this layer's cache rows
+        safe_pos = jnp.clip(positions, 0, kv.max_seq - 1)
+
+        def scat(cache_s, new_s, pos_s):
+            return cache_s.at[pos_s].set(new_s.astype(cache_s.dtype))
+
+        if quantized:
+            kq, ks = KVCache.quantize_kv(knew)
+            vq, vsc = KVCache.quantize_kv(vnew)
+            k_l = jax.vmap(scat)(k_l, kq, safe_pos)
+            v_l = jax.vmap(scat)(v_l, vq, safe_pos)
+            ks_l = jax.vmap(scat)(ks_l, ks, safe_pos)
+            vs_l = jax.vmap(scat)(vs_l, vsc, safe_pos)
+            kf = k_l.astype(jnp.float32) * ks_l[..., None]
+            vf = v_l.astype(jnp.float32) * vs_l[..., None]
+        else:
+            k_l = jax.vmap(scat)(k_l, knew, safe_pos)
+            v_l = jax.vmap(scat)(v_l, vnew, safe_pos)
+            kf, vf = k_l, v_l
+
+        attn = gqa_attention(q, kf, vf, vis, scale)  # [S, Tq, H*D]
+        attn_out = qmatmul(attn.reshape(S * Tq, -1).astype(jnp.bfloat16),
+                           lw.wo, backend=backend)
+        x = x + attn_out.reshape(S, Tq, -1).astype(x.dtype)
+
+        h2 = rms_norm(x, lw.ffn_norm, llm.norm_eps).astype(jnp.bfloat16)
+        h2f = h2.reshape(S * Tq, -1)
+        gate = qmatmul(h2f, lw.w_gate, backend=backend)
+        up = qmatmul(h2f, lw.w_up, backend=backend)
+        act = silu_hadamard(gate, up).astype(jnp.bfloat16)
+        down = qmatmul(act, lw.w_down, backend=backend)
+        x = x + down.reshape(S, Tq, -1).astype(x.dtype)
+        return x, (k_l, v_l, ks_l, vs_l)
+
+    x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+        layer_step, x,
+        (params.layers, kv.k, kv.v, kv.k_scale, kv.v_scale),
+    )
+
+    import dataclasses as _dc
+
+    kv = _dc.replace(kv, k=k_new, v=v_new,
+                     k_scale=ks_new if quantized else kv.k_scale,
+                     v_scale=vs_new if quantized else kv.v_scale)
+    kv = kv.advance(positions, active=active, visible=visible)
+
+    xf = rms_norm(x, params.out_norm, llm.norm_eps).astype(jnp.bfloat16)
+    if logits_mode == "none":
+        return jnp.zeros((S, 0), jnp.float32), kv
+    if logits_mode == "last":
+        xf = xf[:, -1, :]
+        logits = qmatmul(xf, params.lm_head, backend=backend)
+        return logits.astype(jnp.float32), kv
+    logits = qmatmul(xf.reshape(S * Tq, -1), params.lm_head, backend=backend)
+    return logits.reshape(S, Tq, -1).astype(jnp.float32), kv

@@ -1,0 +1,223 @@
+"""Model loading: GGUF workspaces -> device param pytrees.
+
+Replaces the reference's model_loader.cpp:24-41 arch dispatch +
+llama_weight.hpp mmap'd-gguf-tensor wiring. Tensor naming follows the
+GGUF/llama.cpp convention the reference consumes (token_embd.weight,
+blk.{i}.attn_q.weight, ...; reference llama_weight.hpp:23-53).
+
+RoPE layout note: llama.cpp's HF->GGUF converter permutes Wq/Wk so that
+adjacent-pair rotation (ggml mode NORM) matches HF's half-rotation; qwen2
+weights are not permuted and use NEOX. We preserve that convention:
+arch "llama" => rope_type NORM, arch "qwen2" => NEOX, and HF-direct
+loading (tests) => NEOX.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import LLMConfig, ModelConfig, RopeConfig
+from ..core.gguf import GGMLType, GGUFReader
+from ..core.quant import QK, QuantizedTensor, quantize, repack_gguf_tensor
+from ..ops.elementwise import ROPE_TYPE_NEOX, ROPE_TYPE_NORM
+from ..ops.qmatmul import QLinear
+from .llama import LayerWeights, LlamaParams, QEmbedding
+
+import jax
+
+
+def stack_layers(layers: list[LayerWeights]) -> LayerWeights:
+    """Stack per-layer pytrees on a new leading axis (for lax.scan)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+
+
+def config_from_gguf_metadata(md: dict[str, Any]) -> ModelConfig:
+    """Mirror of the reference's gguf_config_to_json (tools/
+    gguf_config_to_json/main.cpp): GGUF metadata -> ModelConfig."""
+    arch = md.get("general.architecture", "llama")
+
+    def key(suffix: str, default=None):
+        return md.get(f"{arch}.{suffix}", default)
+
+    dim = int(key("embedding_length", 2048))
+    n_heads = int(key("attention.head_count", 32))
+    n_kv = int(key("attention.head_count_kv", n_heads))
+    head_size = dim // n_heads
+    rope_dims = int(key("rope.dimension_count", head_size))
+    vocab = md.get("tokenizer.ggml.tokens")
+    vocab_size = int(key("vocab_size", len(vocab) if vocab is not None else 32000))
+    rope = RopeConfig(
+        n_dims=rope_dims,
+        n_ctx_orig=int(key("context_length", 2048)),
+        freq_base=float(key("rope.freq_base", 10000.0)),
+        freq_scale=1.0 / float(key("rope.scale_linear", 1.0) or 1.0),
+        rope_type=ROPE_TYPE_NEOX if arch in ("qwen2", "qwen3", "internvl")
+        else ROPE_TYPE_NORM,
+    )
+    llm = LLMConfig(
+        dim=dim,
+        hidden_dim=int(key("feed_forward_length", 4 * dim)),
+        n_layers=int(key("block_count", 16)),
+        n_heads=n_heads,
+        n_kv_heads=n_kv,
+        head_size=head_size,
+        seq_len=int(key("context_length", 2048)),
+        vocab_size=vocab_size,
+        kv_dim=n_kv * head_size,
+        rope=rope,
+        norm_eps=float(key("attention.layer_norm_rms_epsilon", 1e-5)),
+    )
+    return ModelConfig(arch=arch, llm=llm)
+
+
+def _qlinear_from_gguf(reader: GGUFReader, name: str,
+                       pack: bool = True) -> QLinear:
+    info = reader.tensors[name]
+    qt = repack_gguf_tensor(reader.tensor_raw(name), info.ggml_type,
+                            info.shape)
+    return QLinear.from_quantized(qt, pack=pack)
+
+
+def _embedding_from_gguf(reader: GGUFReader, name: str) -> QEmbedding:
+    info = reader.tensors[name]
+    qt = repack_gguf_tensor(reader.tensor_raw(name), info.ggml_type,
+                            info.shape)
+    # repack gives [K=dim, N=vocab]; embedding wants row-major [V, D]
+    return QEmbedding(
+        q=jnp.asarray(qt.q.T.copy()),
+        scales=jnp.asarray(qt.scales.T.copy()),
+        bias=None if qt.bias is None else jnp.asarray(qt.bias.T.copy()),
+    )
+
+
+def _lm_head_from_embedding(emb: QEmbedding) -> QLinear:
+    """Tied embeddings: reuse the embedding table as output projection
+    (reference lm_head matmul with token_embd when output.weight absent)."""
+    q = jnp.swapaxes(emb.q, 0, 1)  # [D, V]
+    scales = jnp.swapaxes(emb.scales, 0, 1)  # [D//32, V]
+    bias = None if emb.bias is None else jnp.swapaxes(emb.bias, 0, 1)
+    return QLinear(q=q, scales=scales, bias=bias, packed=False,
+                   unsigned=False, in_features=q.shape[0],
+                   out_features=q.shape[1])
+
+
+def _norm_from_gguf(reader: GGUFReader, name: str) -> jnp.ndarray:
+    return jnp.asarray(reader.tensor_float(name).astype(np.float32))
+
+
+def _maybe_bias(reader: GGUFReader, name: str) -> jnp.ndarray | None:
+    if name in reader.tensors:
+        return jnp.asarray(reader.tensor_float(name).astype(np.float32))
+    return None
+
+
+def load_gguf_model(path: str | os.PathLike,
+                    pack: bool = True) -> tuple[ModelConfig, LlamaParams]:
+    """Load weights.gguf (or a model dir containing it)."""
+    p = Path(path)
+    if p.is_dir():
+        p = p / "weights.gguf"
+    reader = GGUFReader(p)
+    cfg = config_from_gguf_metadata(reader.metadata)
+    L = cfg.llm.n_layers
+
+    embed = _embedding_from_gguf(reader, "token_embd.weight")
+    layers = []
+    for i in range(L):
+        pre = f"blk.{i}."
+        layers.append(LayerWeights(
+            attn_norm=_norm_from_gguf(reader, pre + "attn_norm.weight"),
+            ffn_norm=_norm_from_gguf(reader, pre + "ffn_norm.weight"),
+            wq=_qlinear_from_gguf(reader, pre + "attn_q.weight", pack),
+            wk=_qlinear_from_gguf(reader, pre + "attn_k.weight", pack),
+            wv=_qlinear_from_gguf(reader, pre + "attn_v.weight", pack),
+            wo=_qlinear_from_gguf(reader, pre + "attn_output.weight", pack),
+            bq=_maybe_bias(reader, pre + "attn_q.bias"),
+            bk=_maybe_bias(reader, pre + "attn_k.bias"),
+            bv=_maybe_bias(reader, pre + "attn_v.bias"),
+            w_gate=_qlinear_from_gguf(reader, pre + "ffn_gate.weight", pack),
+            w_up=_qlinear_from_gguf(reader, pre + "ffn_up.weight", pack),
+            w_down=_qlinear_from_gguf(reader, pre + "ffn_down.weight", pack),
+        ))
+    out_norm = _norm_from_gguf(reader, "output_norm.weight")
+    if "output.weight" in reader.tensors:
+        lm_head = _qlinear_from_gguf(reader, "output.weight", pack)
+        cfg.llm.tie_embeddings = False
+    else:
+        lm_head = _lm_head_from_embedding(embed)
+        cfg.llm.tie_embeddings = True
+    params = LlamaParams(embed=embed, layers=stack_layers(layers),
+                         out_norm=out_norm, lm_head=lm_head)
+    reader.close()
+    return cfg, params
+
+
+# ---------------------------------------------------------------------------
+# HF / numpy direct loading (tests + converters)
+# ---------------------------------------------------------------------------
+
+def _qlinear_from_float(w_out_in: np.ndarray, fmt: int,
+                        pack: bool = True) -> QLinear:
+    """w: [out, in] float (HF layout) -> QLinear with K=in, N=out."""
+    payload = quantize(w_out_in, fmt)
+    qt = repack_gguf_tensor(payload, fmt, w_out_in.shape)
+    return QLinear.from_quantized(qt, pack=pack)
+
+
+def _embedding_from_float(w: np.ndarray, fmt: int) -> QEmbedding:
+    payload = quantize(w, fmt)  # blocks along dim within each row
+    qt = repack_gguf_tensor(payload, fmt, w.shape)  # [D, V]
+    return QEmbedding(
+        q=jnp.asarray(qt.q.T.copy()),
+        scales=jnp.asarray(qt.scales.T.copy()),
+        bias=None if qt.bias is None else jnp.asarray(qt.bias.T.copy()),
+    )
+
+
+def params_from_hf_state_dict(sd: dict[str, np.ndarray], cfg: ModelConfig,
+                              fmt: int = GGMLType.Q8_0,
+                              pack: bool = True) -> LlamaParams:
+    """Build params from a HuggingFace Llama/Qwen2 state dict (numpy
+    arrays, HF names). Used by tests (golden logits vs transformers) and
+    the HF->workspace converter. HF layout => NEOX rope."""
+    cfg.llm.rope.rope_type = ROPE_TYPE_NEOX
+    L = cfg.llm.n_layers
+
+    def get(name):
+        return np.asarray(sd[name], dtype=np.float32)
+
+    embed = _embedding_from_float(get("model.embed_tokens.weight"), fmt)
+    layers = []
+    for i in range(L):
+        pre = f"model.layers.{i}."
+
+        def b(name):
+            full = pre + name
+            return jnp.asarray(get(full)) if full in sd else None
+
+        layers.append(LayerWeights(
+            attn_norm=jnp.asarray(get(pre + "input_layernorm.weight")),
+            ffn_norm=jnp.asarray(get(pre + "post_attention_layernorm.weight")),
+            wq=_qlinear_from_float(get(pre + "self_attn.q_proj.weight"), fmt, pack),
+            wk=_qlinear_from_float(get(pre + "self_attn.k_proj.weight"), fmt, pack),
+            wv=_qlinear_from_float(get(pre + "self_attn.v_proj.weight"), fmt, pack),
+            wo=_qlinear_from_float(get(pre + "self_attn.o_proj.weight"), fmt, pack),
+            bq=b("self_attn.q_proj.bias"),
+            bk=b("self_attn.k_proj.bias"),
+            bv=b("self_attn.v_proj.bias"),
+            w_gate=_qlinear_from_float(get(pre + "mlp.gate_proj.weight"), fmt, pack),
+            w_up=_qlinear_from_float(get(pre + "mlp.up_proj.weight"), fmt, pack),
+            w_down=_qlinear_from_float(get(pre + "mlp.down_proj.weight"), fmt, pack),
+        ))
+    out_norm = jnp.asarray(get("model.norm.weight"))
+    if "lm_head.weight" in sd:
+        lm_head = _qlinear_from_float(get("lm_head.weight"), fmt, pack)
+    else:
+        lm_head = _lm_head_from_embedding(embed)
+    return LlamaParams(embed=embed, layers=stack_layers(layers),
+                       out_norm=out_norm, lm_head=lm_head)

@@ -1,0 +1,68 @@
+"""Masked GQA attention over the INT8 KV cache.
+
+Replaces the reference's CPU attention subgraph (norm_attention.cpp:26-162:
+per-head K.Q -> softmax_ext(mask, 1/sqrt(d)) -> V.scores) and the NPU
+attn_bias semantics (fp16 bias rows encoding causal AND tree masks,
+causal_models.cpp:215). Here the mask is boolean and computed from the
+cache's visibility mask plus an intra-batch matrix, so the same code path
+serves causal decode, chunked prefill, and token-tree verification.
+
+XLA path (einsum; fused well by XLA for decode shapes). A Pallas
+flash-decode kernel can be slotted behind the same signature later.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def build_visibility(cache_mask: jax.Array, positions: jax.Array,
+                     intra_mask: jax.Array | None) -> jax.Array:
+    """Combine cache visibility with the new batch's intra-mask.
+
+    cache_mask: [S, T] bool — previously appended tokens.
+    positions:  [S, Tq] int32 — where the new batch's tokens were written.
+    intra_mask: [Tq, Tq] bool — intra[q, j]: may query q see new token j?
+                None = causal (j <= q). Tree verification passes the
+                ancestor matrix (reference token_tree.cpp:82-95).
+    Returns [S, Tq, T] bool.
+    """
+    S, T = cache_mask.shape
+    Tq = positions.shape[1]
+    if intra_mask is None:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tq), 0)
+        ji = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tq), 1)
+        intra_mask = ji <= qi
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (S, Tq, T), 2)
+    eq = t_iota == positions[:, :, None]  # [S, j, T]
+    # visible_new[s, q, t] = OR_j intra[q, j] & eq[s, j, t]
+    vis_new = jnp.einsum("qj,sjt->sqt", intra_mask.astype(jnp.float32),
+                         eq.astype(jnp.float32)) > 0.5
+    # a cache position that belongs to the new batch is governed ONLY by
+    # the intra mask (its cache_mask bit is not yet advanced)
+    return cache_mask[:, None, :] | vis_new
+
+
+def gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                  visibility: jax.Array, scale: float) -> jax.Array:
+    """q: [S, Tq, H, D]; k/v: [S, T, Hkv, D]; visibility: [S, Tq, T].
+
+    Returns [S, Tq, H * D] float32.
+    """
+    S, Tq, H, D = q.shape
+    Hkv = k.shape[2]
+    G = H // Hkv
+    qg = q.reshape(S, Tq, Hkv, G, D).astype(jnp.bfloat16)
+    scores = jnp.einsum("sqhgd,skhd->shgqk", qg, k.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    scores = scores * scale
+    vis = visibility[:, None, None, :, :]
+    scores = jnp.where(vis, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("shgqk,skhd->sqhgd", probs.astype(jnp.bfloat16),
+                     v.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(S, Tq, H * D)
