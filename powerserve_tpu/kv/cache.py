@@ -119,24 +119,21 @@ class KVCache:
         pos/mask — call `advance` once after all layers are written.
         """
         T = self.max_seq
-        safe_pos = jnp.clip(positions, 0, T - 1)
-        oob = (positions < 0) | (positions >= T)
+        # out-of-range positions are redirected past the end and dropped
+        # by the scatter (mode='drop') — jit-safe capacity handling
+        idx = jnp.where((positions >= 0) & (positions < T), positions, T)
 
-        # vectorized scatter along axis=1 (seq) per slot via vmap
-        def per_slot(cache_s, new_s, pos_s, oob_s):
-            # cache_s [T, H, D] or [T, H]; new_s [Tn, ...]
-            cur = cache_s[pos_s]  # gather current for oob lanes
-            upd = jnp.where(
-                oob_s.reshape((-1,) + (1,) * (new_s.ndim - 1)), cur, new_s)
-            return cache_s.at[pos_s].set(upd)
+        def per_slot(cache_s, new_s, idx_s):
+            return cache_s.at[idx_s].set(new_s.astype(cache_s.dtype),
+                                         mode="drop")
 
         if self.quantized:
             kq, ks = self.quantize_kv(k_new)
             vq, vs = self.quantize_kv(v_new)
-            k_l = jax.vmap(per_slot)(self.k[layer], kq, safe_pos, oob)
-            v_l = jax.vmap(per_slot)(self.v[layer], vq, safe_pos, oob)
-            ks_l = jax.vmap(per_slot)(self.k_scale[layer], ks, safe_pos, oob)
-            vs_l = jax.vmap(per_slot)(self.v_scale[layer], vs, safe_pos, oob)
+            k_l = jax.vmap(per_slot)(self.k[layer], kq, idx)
+            v_l = jax.vmap(per_slot)(self.v[layer], vq, idx)
+            ks_l = jax.vmap(per_slot)(self.k_scale[layer], ks, idx)
+            vs_l = jax.vmap(per_slot)(self.v_scale[layer], vs, idx)
             return replace(
                 self,
                 k=self.k.at[layer].set(k_l),
@@ -144,10 +141,8 @@ class KVCache:
                 k_scale=self.k_scale.at[layer].set(ks_l),
                 v_scale=self.v_scale.at[layer].set(vs_l),
             )
-        kq = k_new.astype(self.k.dtype)
-        vq = v_new.astype(self.v.dtype)
-        k_l = jax.vmap(per_slot)(self.k[layer], kq, safe_pos, oob)
-        v_l = jax.vmap(per_slot)(self.v[layer], vq, safe_pos, oob)
+        k_l = jax.vmap(per_slot)(self.k[layer], k_new, idx)
+        v_l = jax.vmap(per_slot)(self.v[layer], v_new, idx)
         return replace(self, k=self.k.at[layer].set(k_l),
                        v=self.v.at[layer].set(v_l))
 
@@ -164,16 +159,19 @@ class KVCache:
             active = jnp.ones(S, jnp.bool_)
         if visible is None:
             visible = jnp.ones((S, T_new), jnp.bool_)
-        safe_pos = jnp.clip(positions, 0, self.max_seq - 1)
-        in_range = (positions >= 0) & (positions < self.max_seq)
+        T = self.max_seq
+        in_range = (positions >= 0) & (positions < T)
         write = active[:, None] & in_range  # positions whose mask we touch
-        val = visible & write
+        # redirect untouched lanes out of bounds; scatter drops them —
+        # avoids duplicate-index clobbering between touched/untouched lanes
+        idx_set = jnp.where(write & visible, positions, T)
+        idx_clear = jnp.where(write & ~visible, positions, T)
 
-        def per_slot(mask_s, pos_s, val_s, write_s):
-            old = mask_s[pos_s]
-            return mask_s.at[pos_s].set(jnp.where(write_s, val_s, old))
+        def per_slot(mask_s, set_s, clear_s):
+            mask_s = mask_s.at[set_s].set(True, mode="drop")
+            return mask_s.at[clear_s].set(False, mode="drop")
 
-        mask = jax.vmap(per_slot)(self.mask, safe_pos, val, write)
+        mask = jax.vmap(per_slot)(self.mask, idx_set, idx_clear)
         new_pos = self.pos + jnp.where(active, T_new, 0).astype(jnp.int32)
         return replace(self, mask=mask, pos=new_pos)
 

@@ -134,11 +134,14 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         q = apply_rope(q, cos, sin, rope_type)
         knew = apply_rope(knew, cos, sin, rope_type)
 
-        # scatter new K/V into this layer's cache rows
-        safe_pos = jnp.clip(positions, 0, kv.max_seq - 1)
+        # scatter new K/V into this layer's cache rows; out-of-range
+        # positions redirect past the end and are dropped (jit-safe)
+        safe_pos = jnp.where(
+            (positions >= 0) & (positions < kv.max_seq), positions, kv.max_seq)
 
         def scat(cache_s, new_s, pos_s):
-            return cache_s.at[pos_s].set(new_s.astype(cache_s.dtype))
+            return cache_s.at[pos_s].set(new_s.astype(cache_s.dtype),
+                                         mode="drop")
 
         if quantized:
             kq, ks = KVCache.quantize_kv(knew)
