@@ -1,0 +1,153 @@
+"""Vectorized sampler chain (reference src/sampler/, C26).
+
+The reference applies a chain-of-responsibility over a host-side
+ProbArray in the fixed order RepeatPenalty -> TopK -> Temperature ->
+Softmax -> TopP -> Normalize -> Stochastic (sampler_chain.cpp:5-48).
+Here the whole chain is one vectorized device function over a batch of
+logit rows [S, V], so continuous batching samples all slots in one call;
+the repeat-penalty window lives in a device ring buffer instead of the
+reference's per-sequence std::deque (sampler.hpp:69-115).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SamplerConfig
+
+NEG_INF = -1e30
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["recent", "count"],
+    meta_fields=[],
+)
+@dataclass
+class PenaltyState:
+    """Last-n token window per slot (ring buffer)."""
+
+    recent: jax.Array  # [S, P] int32, -1 = empty
+    count: jax.Array  # [S] int32 — total tokens pushed
+
+    @classmethod
+    def create(cls, n_slots: int, window: int) -> "PenaltyState":
+        window = max(int(window), 1)
+        return cls(jnp.full((n_slots, window), -1, jnp.int32),
+                   jnp.zeros(n_slots, jnp.int32))
+
+    def push(self, tokens: jax.Array,
+             active: jax.Array | None = None) -> "PenaltyState":
+        """Append one accepted token per slot (tokens [S])."""
+        S, P = self.recent.shape
+        if active is None:
+            active = jnp.ones(S, jnp.bool_)
+        idx = self.count % P
+        new_recent = self.recent.at[jnp.arange(S), idx].set(
+            jnp.where(active, tokens, self.recent[jnp.arange(S), idx]))
+        return PenaltyState(new_recent,
+                            self.count + active.astype(jnp.int32))
+
+    def reset_slot(self, slot) -> "PenaltyState":
+        return PenaltyState(self.recent.at[slot].set(-1),
+                            self.count.at[slot].set(0))
+
+
+def apply_repeat_penalty(logits: jax.Array, state: PenaltyState,
+                         cfg: SamplerConfig) -> jax.Array:
+    """Reference sampler.cpp:76-150 semantics, vectorized.
+
+    For every token in the last-n window: positive logits are divided by
+    penalty_repeat, negative multiplied; then freq/presence penalties
+    subtract counts.
+    """
+    if (cfg.penalty_repeat == 1.0 and cfg.penalty_freq == 0.0
+            and cfg.penalty_present == 0.0):
+        return logits
+    S, V = logits.shape
+    P = state.recent.shape[1]
+    window = min(cfg.penalty_last_n, P) if cfg.penalty_last_n > 0 else 0
+    if window == 0:
+        return logits
+
+    # occurrence counts of window tokens: scatter-add ones (dropping -1)
+    idx = jnp.where(state.recent >= 0, state.recent, V)
+    counts = jnp.zeros((S, V), jnp.float32)
+    counts = jax.vmap(lambda c, i: c.at[i].add(1.0, mode="drop"))(counts, idx)
+    present = counts > 0
+
+    lf = logits.astype(jnp.float32)
+    penalized = jnp.where(lf > 0, lf / cfg.penalty_repeat,
+                          lf * cfg.penalty_repeat)
+    lf = jnp.where(present, penalized, lf)
+    lf = lf - counts * cfg.penalty_freq - present * cfg.penalty_present
+    return lf
+
+
+def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
+    """Mask everything below the k-th largest logit (sampler.cpp:24-44)."""
+    if k <= 0:
+        return logits
+    V = logits.shape[-1]
+    k = min(k, V)
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(probs: jax.Array, p: float, min_keep: int = 1) -> jax.Array:
+    """Nucleus filter over a prob distribution (sampler.cpp:46-74).
+    Returns unnormalized probs with the tail zeroed."""
+    if p >= 1.0:
+        return probs
+    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    csum = jnp.cumsum(sorted_probs, axis=-1)
+    # keep tokens while cumulative sum (inclusive) hasn't reached p,
+    # plus the one that crosses it; always keep min_keep
+    keep_sorted = (csum - sorted_probs) < p
+    keep_sorted = keep_sorted.at[..., :max(min_keep, 1)].set(True)
+    # threshold = smallest kept prob
+    thr = jnp.min(jnp.where(keep_sorted, sorted_probs, jnp.inf),
+                  axis=-1, keepdims=True)
+    return jnp.where(probs >= thr, probs, 0.0)
+
+
+def sample_logits(key: jax.Array, logits: jax.Array, cfg: SamplerConfig,
+                  state: PenaltyState | None = None,
+                  vocab_size: int | None = None) -> jax.Array:
+    """Full chain -> sampled token ids [S] (order: sampler_chain.cpp:18-37)."""
+    lf = logits.astype(jnp.float32)
+    if vocab_size is not None and vocab_size < lf.shape[-1]:
+        pad = lf.shape[-1] - vocab_size
+        lf = jnp.concatenate(
+            [lf[..., :vocab_size], jnp.full(lf.shape[:-1] + (pad,), NEG_INF)],
+            axis=-1)
+    if state is not None:
+        lf = apply_repeat_penalty(lf, state, cfg)
+    if cfg.temperature <= 0.0:
+        return jnp.argmax(lf, axis=-1)
+    lf = apply_top_k(lf, cfg.top_k)
+    lf = lf / cfg.temperature
+    probs = jax.nn.softmax(lf, axis=-1)
+    probs = apply_top_p(probs, cfg.top_p, cfg.min_keep)
+    # renormalize + categorical draw
+    logp = jnp.log(jnp.maximum(probs, 1e-30))
+    logp = jnp.where(probs > 0, logp, NEG_INF)
+    return jax.random.categorical(key, logp, axis=-1)
+
+
+def greedy_sample(logits: jax.Array) -> jax.Array:
+    """argmax (reference ProbArray greedy_sample / llama decode)."""
+    return jnp.argmax(logits, axis=-1)
+
+
+def draft_probs(logits: jax.Array, top_k: int,
+                temperature: float) -> tuple[jax.Array, jax.Array]:
+    """Draft-model sampler for tree speculation: TopK -> Temperature ->
+    Softmax (token_tree.cpp:36-40). Returns (probs [S, k], ids [S, k])."""
+    vals, ids = jax.lax.top_k(logits.astype(jnp.float32), top_k)
+    probs = jax.nn.softmax(vals / max(temperature, 1e-6), axis=-1)
+    return probs, ids

@@ -1,0 +1,101 @@
+"""Sampler chain tests vs straightforward numpy reference semantics
+(reference src/sampler/sampler.cpp, sampler_chain.cpp)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from powerserve_tpu.core.config import SamplerConfig
+from powerserve_tpu.sampling import (
+    PenaltyState,
+    apply_repeat_penalty,
+    apply_top_k,
+    apply_top_p,
+    draft_probs,
+    greedy_sample,
+    sample_logits,
+)
+
+
+def test_top_k_masks_tail():
+    logits = jnp.asarray([[1.0, 5.0, 3.0, 2.0, 4.0]])
+    out = np.asarray(apply_top_k(logits, 2))
+    assert out[0, 1] == 5.0 and out[0, 4] == 4.0
+    assert (out[0, [0, 2, 3]] < -1e20).all()
+
+
+def test_top_k_zero_disables():
+    logits = jnp.asarray([[1.0, 2.0]])
+    np.testing.assert_array_equal(np.asarray(apply_top_k(logits, 0)),
+                                  np.asarray(logits))
+
+
+def test_top_p_keeps_nucleus():
+    probs = jnp.asarray([[0.5, 0.3, 0.15, 0.05]])
+    out = np.asarray(apply_top_p(probs, 0.7))
+    # 0.5 kept; cumsum-before(0.3)=0.5 < 0.7 -> kept; 0.15 excluded
+    assert out[0, 0] == 0.5 and out[0, 1] == 0.3
+    assert out[0, 2] == 0.0 and out[0, 3] == 0.0
+
+
+def test_top_p_min_keep():
+    probs = jnp.asarray([[0.99, 0.01]])
+    out = np.asarray(apply_top_p(probs, 0.5, min_keep=1))
+    assert out[0, 0] > 0
+
+
+def test_repeat_penalty_matches_reference_semantics():
+    cfg = SamplerConfig(penalty_repeat=2.0, penalty_freq=0.1,
+                        penalty_present=0.5, penalty_last_n=8)
+    state = PenaltyState.create(1, 8)
+    for t in [1, 1, 3]:
+        state = state.push(jnp.asarray([t]))
+    logits = jnp.asarray([[1.0, 4.0, 2.0, -2.0]])
+    out = np.asarray(apply_repeat_penalty(logits, state, cfg))
+    # token 1 (twice): 4.0/2 - 2*0.1 - 0.5 = 1.3
+    # token 3 (once, negative): -2*2 - 0.1 - 0.5 = -4.6
+    # untouched: 0, 2
+    np.testing.assert_allclose(out[0], [1.0, 1.3, 2.0, -4.6], rtol=1e-6)
+
+
+def test_penalty_ring_wraps():
+    state = PenaltyState.create(1, 4)
+    for t in range(6):
+        state = state.push(jnp.asarray([t]))
+    r = np.asarray(state.recent[0])
+    assert set(r.tolist()) == {2, 3, 4, 5}
+
+
+def test_greedy_and_temperature_zero():
+    logits = jnp.asarray([[0.1, 0.9, 0.3], [2.0, 1.0, 0.0]])
+    np.testing.assert_array_equal(np.asarray(greedy_sample(logits)), [1, 0])
+    cfg = SamplerConfig(temperature=0.0)
+    toks = sample_logits(jax.random.PRNGKey(0), logits, cfg)
+    np.testing.assert_array_equal(np.asarray(toks), [1, 0])
+
+
+def test_stochastic_sampling_distribution():
+    cfg = SamplerConfig(temperature=1.0, top_k=0, top_p=1.0)
+    logits = jnp.log(jnp.asarray([[0.7, 0.2, 0.1]]))
+    keys = jax.random.split(jax.random.PRNGKey(0), 512)
+    toks = jax.vmap(lambda k: sample_logits(k, logits, cfg)[0])(keys)
+    freq = np.bincount(np.asarray(toks), minlength=3) / 512
+    assert abs(freq[0] - 0.7) < 0.08
+    assert abs(freq[1] - 0.2) < 0.07
+
+
+def test_vocab_padding_masked():
+    cfg = SamplerConfig(temperature=0.0)
+    logits = jnp.asarray([[0.0, 1.0, 99.0, 98.0]])  # last 2 are padding
+    toks = sample_logits(jax.random.PRNGKey(0), logits, cfg, vocab_size=2)
+    assert int(toks[0]) == 1
+
+
+def test_draft_probs_topk_softmax():
+    logits = jnp.asarray([[1.0, 3.0, 2.0, 0.0]])
+    probs, ids = draft_probs(logits, top_k=2, temperature=1.5)
+    probs, ids = np.asarray(probs), np.asarray(ids)
+    assert ids[0].tolist() == [1, 2]
+    ref = np.exp(np.array([3.0, 2.0]) / 1.5)
+    ref /= ref.sum()
+    np.testing.assert_allclose(probs[0], ref, rtol=1e-5)
