@@ -1,0 +1,288 @@
+"""Tokenizer over GGUF vocab metadata — a from-scratch implementation of
+the SPM and byte-level-BPE algorithms the reference gets from its
+vendored llama.cpp vocab (reference src/tokenizer/tokenizer.cpp:22-60,
+libs/llama_tokenizer/llama-vocab.cpp).
+
+Supported vocab models (tokenizer.ggml.model):
+  - "llama": SentencePiece-style BPE driven by per-token scores, with
+    byte fallback (<0xNN> tokens) and the U+2581 space convention.
+  - "gpt2": byte-level BPE driven by a merge list, with the GPT-2
+    byte<->unicode mapping and a llama3-style pre-tokenization regex.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+# token_type values (gguf tokenizer.ggml.token_type)
+TT_NORMAL = 1
+TT_UNKNOWN = 2
+TT_CONTROL = 3
+TT_USER_DEFINED = 4
+TT_UNUSED = 5
+TT_BYTE = 6
+
+_SPM_SPACE = "▁"  # ▁
+
+
+def _gpt2_byte_to_unicode() -> dict[int, str]:
+    """The GPT-2 printable-byte mapping (public algorithm)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(0xA1, 0xAC + 1)) + list(range(0xAE, 0xFF + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+_BYTE_TO_UNI = _gpt2_byte_to_unicode()
+_UNI_TO_BYTE = {u: b for b, u in _BYTE_TO_UNI.items()}
+
+# llama3-family pre-tokenizer regex (public; close enough for gpt2 too)
+_PRETOK_RE = re.compile(
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)"
+    r"|[^\r\n\w]?\w+"
+    r"|\d{1,3}"
+    r"| ?[^\s\w\d]+[\r\n]*"
+    r"|\s*[\r\n]+"
+    r"|\s+(?!\S)"
+    r"|\s+",
+    re.UNICODE,
+)
+
+
+@dataclass
+class GGUFVocab:
+    tokens: list[str]
+    scores: list[float] | None
+    token_types: list[int] | None
+    merges: list[str] | None
+    model: str  # "llama" (spm) | "gpt2" (bpe)
+    bos_id: int = -1
+    eos_id: int = -1
+    eot_id: int = -1
+    eom_id: int = -1
+    unk_id: int = -1
+    pad_id: int = -1
+    add_bos: bool = True
+    add_eos: bool = False
+    add_space_prefix: bool = True
+    chat_template: str = ""
+    token_to_id: dict[str, int] = field(default_factory=dict)
+    _merge_ranks: dict[tuple[str, str], int] = field(default_factory=dict)
+    _byte_tokens: dict[int, int] = field(default_factory=dict)
+    _special: list[tuple[str, int]] = field(default_factory=list)
+
+    @classmethod
+    def from_metadata(cls, md: dict[str, Any]) -> "GGUFVocab":
+        tokens = [str(t) for t in md["tokenizer.ggml.tokens"]]
+        scores = md.get("tokenizer.ggml.scores")
+        scores = [float(s) for s in scores] if scores is not None else None
+        tt = md.get("tokenizer.ggml.token_type")
+        tt = [int(t) for t in tt] if tt is not None else None
+        merges = md.get("tokenizer.ggml.merges")
+        merges = [str(m) for m in merges] if merges is not None else None
+        v = cls(
+            tokens=tokens, scores=scores, token_types=tt, merges=merges,
+            model=str(md.get("tokenizer.ggml.model", "llama")),
+            bos_id=int(md.get("tokenizer.ggml.bos_token_id", -1)),
+            eos_id=int(md.get("tokenizer.ggml.eos_token_id", -1)),
+            eot_id=int(md.get("tokenizer.ggml.eot_token_id", -1)),
+            eom_id=int(md.get("tokenizer.ggml.eom_token_id", -1)),
+            unk_id=int(md.get("tokenizer.ggml.unknown_token_id", -1)),
+            pad_id=int(md.get("tokenizer.ggml.padding_token_id", -1)),
+            add_bos=bool(md.get("tokenizer.ggml.add_bos_token", True)),
+            add_eos=bool(md.get("tokenizer.ggml.add_eos_token", False)),
+            add_space_prefix=bool(md.get("tokenizer.ggml.add_space_prefix", True)),
+            chat_template=str(md.get("tokenizer.chat_template", "")),
+        )
+        v.token_to_id = {t: i for i, t in enumerate(tokens)}
+        if merges:
+            for rank, m in enumerate(merges):
+                a, _, b = m.partition(" ")
+                v._merge_ranks[(a, b)] = rank
+        if tt:
+            for i, t in enumerate(tt):
+                if t == TT_BYTE:
+                    s = tokens[i]
+                    if s.startswith("<0x") and s.endswith(">"):
+                        v._byte_tokens[int(s[3:-1], 16)] = i
+        # specials sorted longest-first for greedy splitting
+        specials = []
+        for i, t in enumerate(tokens):
+            if tt and tt[i] in (TT_CONTROL, TT_USER_DEFINED) and t:
+                specials.append((t, i))
+        v._special = sorted(specials, key=lambda x: -len(x[0]))
+        return v
+
+    # -- encoding -----------------------------------------------------------
+
+    def _split_specials(self, text: str) -> list[tuple[str, int | None]]:
+        """Split text into (fragment, special_id|None) pieces."""
+        out: list[tuple[str, int | None]] = []
+
+        def rec(s: str) -> None:
+            for tok, tid in self._special:
+                idx = s.find(tok)
+                if idx >= 0:
+                    if idx > 0:
+                        rec(s[:idx])
+                    out.append((tok, tid))
+                    rest = s[idx + len(tok):]
+                    if rest:
+                        rec(rest)
+                    return
+            if s:
+                out.append((s, None))
+
+        rec(text)
+        return out
+
+    def _spm_encode_fragment(self, text: str) -> list[int]:
+        """Greedy score-based pair merging (SPM BPE semantics)."""
+        if not text:
+            return []
+        text = text.replace(" ", _SPM_SPACE)
+        symbols = list(text)
+
+        def tok_score(s: str) -> float | None:
+            tid = self.token_to_id.get(s)
+            if tid is None:
+                return None
+            return self.scores[tid] if self.scores else -len(s)
+
+        # iterative best-pair merge
+        while True:
+            best = None
+            for i in range(len(symbols) - 1):
+                cand = symbols[i] + symbols[i + 1]
+                sc = tok_score(cand)
+                if sc is not None and (best is None or sc > best[0]):
+                    best = (sc, i, cand)
+            if best is None:
+                break
+            _, i, cand = best
+            symbols[i : i + 2] = [cand]
+
+        ids: list[int] = []
+        for s in symbols:
+            tid = self.token_to_id.get(s)
+            if tid is not None:
+                ids.append(tid)
+            else:  # byte fallback
+                for b in s.encode("utf-8"):
+                    if b in self._byte_tokens:
+                        ids.append(self._byte_tokens[b])
+                    elif self.unk_id >= 0:
+                        ids.append(self.unk_id)
+        return ids
+
+    def _bpe_encode_word(self, word: str) -> list[int]:
+        """Merge-rank BPE on a byte-mapped word."""
+        parts = [c for c in word]
+        while len(parts) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(parts) - 1):
+                r = self._merge_ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        ids = []
+        for p in parts:
+            tid = self.token_to_id.get(p)
+            if tid is not None:
+                ids.append(tid)
+            elif self.unk_id >= 0:
+                ids.append(self.unk_id)
+        return ids
+
+    def _bpe_encode_fragment(self, text: str) -> list[int]:
+        ids: list[int] = []
+        for m in _PRETOK_RE.findall(text):
+            mapped = "".join(_BYTE_TO_UNI[b] for b in m.encode("utf-8"))
+            ids.extend(self._bpe_encode_word(mapped))
+        return ids
+
+    def encode(self, text: str, add_bos: bool | None = None,
+               parse_special: bool = True) -> list[int]:
+        ids: list[int] = []
+        frags = self._split_specials(text) if parse_special else [(text, None)]
+        first_normal = True
+        for frag, tid in frags:
+            if tid is not None:
+                ids.append(tid)
+                continue
+            if self.model == "gpt2":
+                ids.extend(self._bpe_encode_fragment(frag))
+            else:
+                f = frag
+                if first_normal and self.add_space_prefix and f and not f.startswith(" "):
+                    f = " " + f
+                ids.extend(self._spm_encode_fragment(f))
+            first_normal = False
+        if add_bos is None:
+            add_bos = self.add_bos
+        if add_bos and self.bos_id >= 0:
+            ids = [self.bos_id] + ids
+        if self.add_eos and self.eos_id >= 0:
+            ids = ids + [self.eos_id]
+        return ids
+
+    # -- decoding -----------------------------------------------------------
+
+    def decode_token(self, tid: int) -> str:
+        t = self.tokens[tid]
+        tt = self.token_types[tid] if self.token_types else TT_NORMAL
+        if tt == TT_BYTE and t.startswith("<0x"):
+            return chr(int(t[3:-1], 16))  # caller joins + re-encodes utf-8
+        if tt in (TT_CONTROL, TT_UNKNOWN, TT_UNUSED):
+            return ""
+        if self.model == "gpt2":
+            try:
+                return bytes(_UNI_TO_BYTE[c] for c in t).decode(
+                    "utf-8", errors="replace")
+            except KeyError:
+                return t
+        return t.replace(_SPM_SPACE, " ")
+
+    def decode(self, ids: list[int]) -> str:
+        if self.model == "gpt2":
+            bs = bytearray()
+            for i in ids:
+                t = self.tokens[i]
+                tt = self.token_types[i] if self.token_types else TT_NORMAL
+                if tt in (TT_CONTROL, TT_UNUSED):
+                    continue
+                try:
+                    bs.extend(_UNI_TO_BYTE[c] for c in t)
+                except KeyError:
+                    bs.extend(t.encode("utf-8"))
+            return bs.decode("utf-8", errors="replace")
+        out = []
+        bs = bytearray()
+        for i in ids:
+            t = self.tokens[i]
+            tt = self.token_types[i] if self.token_types else TT_NORMAL
+            if tt == TT_BYTE and t.startswith("<0x"):
+                bs.append(int(t[3:-1], 16))
+                continue
+            if bs:
+                out.append(bs.decode("utf-8", errors="replace"))
+                bs = bytearray()
+            if tt in (TT_CONTROL, TT_UNKNOWN, TT_UNUSED):
+                continue
+            out.append(t.replace(_SPM_SPACE, " "))
+        if bs:
+            out.append(bs.decode("utf-8", errors="replace"))
+        text = "".join(out)
+        if text.startswith(" ") and self.add_space_prefix:
+            text = text[1:]
+        return text

@@ -1,0 +1,158 @@
+"""Tokenizer tests: GGUF SPM/BPE from-scratch codecs round-trip against
+the HF `tokenizers` implementation of the same vocab, plus chat-template
+family rendering (reference tokenizer.cpp:74-346)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from powerserve_tpu.tokenizer import (
+    ChatMessage,
+    Tokenizer,
+    apply_chat_template,
+    detect_template,
+)
+from powerserve_tpu.tokenizer.vocab import GGUFVocab
+
+
+def _mk_bpe_vocab():
+    """Tiny byte-level BPE vocab built with the HF tokenizers trainer,
+    then exported to GGUF-style metadata for our from-scratch decoder."""
+    from tokenizers import Tokenizer as HFTok
+    from tokenizers.models import BPE
+    from tokenizers.pre_tokenizers import ByteLevel
+    from tokenizers.trainers import BpeTrainer
+    from tokenizers.decoders import ByteLevel as ByteLevelDecoder
+
+    tok = HFTok(BPE(unk_token=None))
+    tok.pre_tokenizer = ByteLevel(add_prefix_space=False, use_regex=True)
+    tok.decoder = ByteLevelDecoder()
+    trainer = BpeTrainer(vocab_size=400, special_tokens=["<s>", "</s>"],
+                         initial_alphabet=ByteLevel.alphabet())
+    corpus = ["hello world", "the quick brown fox jumps over the lazy dog",
+              "tokenizers are fun 123", "hello hello world world"]
+    tok.train_from_iterator(corpus, trainer)
+    vocab_map = tok.get_vocab()
+    id_to_tok = sorted(vocab_map.items(), key=lambda kv: kv[1])
+    tokens = [t for t, _ in id_to_tok]
+    merges_raw = json.loads(tok.to_str())["model"]["merges"]
+    merges = [" ".join(m) if isinstance(m, list) else m for m in merges_raw]
+    md = {
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.merges": merges,
+        "tokenizer.ggml.token_type": [3, 3] + [1] * (len(tokens) - 2),
+        "tokenizer.ggml.bos_token_id": 0,
+        "tokenizer.ggml.eos_token_id": 1,
+        "tokenizer.ggml.add_bos_token": False,
+    }
+    return GGUFVocab.from_metadata(md), tok
+
+
+def test_bpe_matches_hf_tokenizers():
+    vocab, hf = _mk_bpe_vocab()
+    for text in ["hello world", "the lazy dog jumps", "fox 123 fun"]:
+        ours = vocab.encode(text, add_bos=False)
+        ref = hf.encode(text).ids
+        assert ours == ref, f"{text}: {ours} != {ref}"
+        assert vocab.decode(ours) == text
+
+
+def _mk_spm_vocab():
+    # full merge chains present, as real SPM vocabs have
+    tokens = ["<unk>", "<s>", "</s>", "▁", "▁hello", "▁world",
+              "he", "ll", "llo", "hello", "wo", "wor", "ld", "world",
+              "l", "o", "w", "r", "d", "e", "h"]
+    scores = [0, 0, 0, -10, -1, -1,
+              -5, -6, -5, -2, -7, -6, -6, -2,
+              -12, -12, -12, -12, -12, -12, -12]
+    types = [2, 3, 3] + [1] * (len(tokens) - 3)
+    md = {
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.scores": [float(s) for s in scores],
+        "tokenizer.ggml.token_type": types,
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+        "tokenizer.ggml.unknown_token_id": 0,
+        "tokenizer.ggml.add_bos_token": True,
+    }
+    return GGUFVocab.from_metadata(md)
+
+
+def test_spm_greedy_merge():
+    vocab = _mk_spm_vocab()
+    ids = vocab.encode("hello world", add_bos=False)
+    assert [vocab.tokens[i] for i in ids] == ["▁hello", "▁world"]
+    assert vocab.decode(ids) == "hello world"
+
+
+def test_spm_bos():
+    vocab = _mk_spm_vocab()
+    ids = vocab.encode("hello")
+    assert ids[0] == 1  # bos
+
+
+def test_special_token_splitting():
+    vocab = _mk_spm_vocab()
+    ids = vocab.encode("hello</s>world", add_bos=False)
+    assert 2 in ids  # </s> parsed as a single control token
+    pieces = [vocab.tokens[i] for i in ids]
+    assert "</s>" in pieces
+
+
+@pytest.mark.parametrize("template,family", [
+    ("{% for m in messages %}<|im_start|>...", "chatml"),
+    ("...<|start_header_id|>x<|end_header_id|>...", "llama3"),
+    ("...[INST]...", "llama2"),
+    ("...<|user|>\n...", "zephyr"),
+    ("...<start_of_turn>...", "gemma"),
+])
+def test_template_detection(template, family):
+    assert detect_template(template) == family
+
+
+def test_chatml_render():
+    msgs = [ChatMessage("system", "be nice"), ChatMessage("user", "hi")]
+    out = apply_chat_template(msgs, "chatml")
+    assert out == ("<|im_start|>system\nbe nice<|im_end|>\n"
+                   "<|im_start|>user\nhi<|im_end|>\n"
+                   "<|im_start|>assistant\n")
+
+
+def test_llama3_render():
+    msgs = [{"role": "user", "content": " hello "}]
+    out = apply_chat_template(msgs, "llama3")
+    assert out == ("<|start_header_id|>user<|end_header_id|>\n\n"
+                   "hello<|eot_id|>"
+                   "<|start_header_id|>assistant<|end_header_id|>\n\n")
+
+
+def test_llama2_system_folding():
+    msgs = [{"role": "system", "content": "sys"},
+            {"role": "user", "content": "q"}]
+    out = apply_chat_template(msgs, "llama2")
+    assert "<<SYS>>\nsys\n<</SYS>>\n\nq" in out
+    assert out.startswith("[INST] ")
+
+
+def test_tokenizer_from_gguf_file(tmp_path):
+    from powerserve_tpu.core.gguf import GGUFWriter
+
+    w = GGUFWriter()
+    w.metadata["tokenizer.ggml.model"] = "llama"
+    w.metadata["tokenizer.ggml.tokens"] = [
+        "<unk>", "<s>", "</s>", "▁hi", "▁", "h", "i", "hi"]
+    w.metadata["tokenizer.ggml.scores"] = [0.0, 0.0, 0.0, -1.0, -9.0, -9.0,
+                                           -9.0, -2.0]
+    w.metadata["tokenizer.ggml.token_type"] = [2, 3, 3, 1, 1, 1, 1, 1]
+    w.metadata["tokenizer.ggml.bos_token_id"] = 1
+    w.metadata["tokenizer.ggml.eos_token_id"] = 2
+    path = tmp_path / "vocab.gguf"
+    w.write(path)
+    tok = Tokenizer.from_gguf(path)
+    assert tok.n_vocab == 8
+    ids = tok.tokenize("hi")
+    assert ids[0] == 1 and tok.vocab.tokens[ids[-1]] == "▁hi"
+    assert tok.should_stop(2) and not tok.should_stop(3)
