@@ -1,0 +1,186 @@
+"""Generation engine: chunked prefill + jitted decode loop.
+
+Replaces the reference's Model::generate / TokenIterator protocol
+(reference src/model/model.hpp:42-186): prefill batches the prompt in
+hyper-param-sized chunks (model.hpp:117-160), then decode emits one
+token per step. Here both phases are single jitted programs with donated
+KV buffers — the graph-build + interpreted-executor pair of the
+reference (C12/C13) is replaced by XLA tracing.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import HyperParams, ModelConfig, SamplerConfig
+from ..core.logging import Timer, get_logger
+from ..kv.cache import KVCache
+from ..models.llama import LlamaParams, forward
+from ..sampling.sampler import PenaltyState, sample_logits
+
+log = get_logger("engine")
+
+
+@dataclass
+class GenerationStats:
+    """Prefill/decode token throughput (reference run.cpp:126-140)."""
+
+    prefill_tokens: int = 0
+    prefill_ms: float = 0.0
+    decode_tokens: int = 0
+    decode_ms: float = 0.0
+
+    @property
+    def prefill_speed(self) -> float:
+        return self.prefill_tokens / self.prefill_ms * 1e3 if self.prefill_ms else 0.0
+
+    @property
+    def decode_speed(self) -> float:
+        return self.decode_tokens / self.decode_ms * 1e3 if self.decode_ms else 0.0
+
+
+class InferenceEngine:
+    """Single-model engine over a fixed slot batch.
+
+    Slot 0 is used for single-sequence generate(); the server layer
+    drives all slots for continuous batching.
+    """
+
+    def __init__(self, params: LlamaParams, cfg: ModelConfig,
+                 hp: HyperParams | None = None, backend: str = "auto",
+                 mesh=None):
+        self.params = params
+        self.cfg = cfg
+        self.hp = hp or HyperParams()
+        self.backend = backend
+        self.mesh = mesh
+        llm = cfg.llm
+        self.max_seq = self.hp.max_seq_len or llm.seq_len
+        self.n_slots = self.hp.max_slots
+        self.kv = KVCache.create(llm.n_layers, self.n_slots, self.max_seq,
+                                 llm.n_kv_heads, llm.head_size,
+                                 dtype=self.hp.kv_dtype)
+        self.penalty = PenaltyState.create(
+            self.n_slots, max(self.hp.sampler.penalty_last_n, 1))
+        self.rng = jax.random.PRNGKey(self.hp.sampler.seed)
+        self._prefill_fns: dict[int, Callable] = {}
+        self._decode_fn: Callable | None = None
+
+    # -- jitted step builders ----------------------------------------------
+
+    def _prefill_fn(self, chunk: int) -> Callable:
+        if chunk not in self._prefill_fns:
+            llm = self.cfg.llm
+            backend = self.backend
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def prefill(params, kv, tokens, positions, active):
+                return forward(params, llm, kv, tokens, positions,
+                               active=active, backend=backend,
+                               logits_mode="last")
+
+            self._prefill_fns[chunk] = prefill
+        return self._prefill_fns[chunk]
+
+    def _get_decode_fn(self) -> Callable:
+        if self._decode_fn is None:
+            llm = self.cfg.llm
+            backend = self.backend
+            scfg = self.hp.sampler
+            vocab = llm.vocab_size
+
+            @functools.partial(jax.jit, donate_argnums=(1, 4))
+            def decode(params, kv, tokens, positions, penalty, rng, active):
+                logits, kv = forward(params, llm, kv, tokens, positions,
+                                     active=active, backend=backend,
+                                     logits_mode="last")
+                rng, sub = jax.random.split(rng)
+                next_tok = sample_logits(sub, logits, scfg, penalty,
+                                         vocab_size=vocab)
+                penalty = penalty.push(next_tok, active)
+                return next_tok, kv, penalty, rng
+
+            self._decode_fn = decode
+        return self._decode_fn
+
+    # -- single-sequence API (reference TokenIterator) ----------------------
+
+    def reset(self, slot: int = 0) -> None:
+        self.kv = self.kv.reset_slot(slot)
+        self.penalty = self.penalty.reset_slot(slot)
+
+    def prefill(self, prompt_tokens: list[int], slot: int = 0,
+                stats: GenerationStats | None = None) -> np.ndarray:
+        """Feed the whole prompt; returns logits for the last token."""
+        chunk = max(int(self.hp.batch_size), 1)
+        toks = np.asarray(prompt_tokens, np.int32)
+        n = len(toks)
+        start = int(np.asarray(self.kv.pos)[slot])
+        timer = Timer()
+        logits = None
+        active = np.zeros(self.n_slots, bool)
+        active[slot] = True
+        active = jnp.asarray(active)
+        for off in range(0, n, chunk):
+            part = toks[off : off + chunk]
+            # final partial chunk jits with its exact length (one extra
+            # compile at most; server paths pad instead)
+            use = len(part)
+            fn = self._prefill_fn(use)
+            batch_t = np.zeros((self.n_slots, use), np.int32)
+            batch_p = np.full((self.n_slots, use), -1, np.int32)
+            batch_t[slot] = part
+            batch_p[slot] = start + off + np.arange(use)
+            logits, self.kv = fn(self.params, self.kv, jnp.asarray(batch_t),
+                                 jnp.asarray(batch_p), active)
+        if logits is not None:
+            logits = np.asarray(logits)  # host fetch = real sync point
+        if stats is not None:
+            stats.prefill_tokens += n
+            stats.prefill_ms += timer.elapsed_time_ms()
+        # seed the penalty window with the prompt tail
+        P = self.penalty.recent.shape[1]
+        av = np.zeros(self.n_slots, bool)
+        av[slot] = True
+        av = jnp.asarray(av)
+        for t in toks[-P:]:
+            self.penalty = self.penalty.push(
+                jnp.full(self.n_slots, int(t), jnp.int32), av)
+        return None if logits is None else logits[slot]
+
+    def generate(self, prompt_tokens: list[int], n_predict: int,
+                 stop_fn: Callable[[int], bool] | None = None,
+                 slot: int = 0,
+                 stats: GenerationStats | None = None) -> Iterator[int]:
+        """Streaming generation (prefill in first next(), as reference
+        TokenIterator does prefill-in-ctor)."""
+        stats = stats if stats is not None else GenerationStats()
+        logits = self.prefill(prompt_tokens[:-1], slot=slot, stats=stats)
+        del logits  # prompt minus last token: last token feeds decode
+        decode = self._get_decode_fn()
+        cur = int(prompt_tokens[-1])
+        active = np.zeros(self.n_slots, bool)
+        active[slot] = True
+        active = jnp.asarray(active)
+        timer = Timer()
+        for i in range(n_predict):
+            pos = self.kv.pos[slot]
+            tokens = jnp.full((self.n_slots, 1), cur, jnp.int32)
+            positions = jnp.where(
+                jnp.arange(self.n_slots)[:, None] == slot,
+                pos[None, None].astype(jnp.int32), -1)
+            next_tok, self.kv, self.penalty, self.rng = decode(
+                self.params, self.kv, tokens, positions, self.penalty,
+                self.rng, active)
+            cur = int(np.asarray(next_tok)[slot])
+            stats.decode_tokens += 1
+            stats.decode_ms = timer.elapsed_time_ms()
+            yield cur
+            if stop_fn is not None and stop_fn(cur):
+                break

@@ -224,6 +224,11 @@ def qmatmul(x: jax.Array, lin: QLinear, *, backend: str = "auto",
         return y.reshape(*lead, -1)
     if backend == "auto":
         backend = "pallas" if _is_tpu() else "xla"
+    # tiny/unaligned shapes: Mosaic layout inference rejects the repeat/
+    # concat patterns — XLA handles them fine and perf doesn't matter there
+    if backend == "pallas" and (lin.in_features < 512
+                                or lin.out_features % 128 != 0):
+        backend = "xla"
     if backend == "pallas":
         return _qmatmul_pallas(x, lin, compute_dtype)
     if backend == "pallas_interpret":

@@ -1,0 +1,99 @@
+"""`python -m powerserve_tpu.run` — CLI generation app.
+
+TPU counterpart of `powerserve-run` (reference app/run/run.cpp:34-170):
+loads a workspace, streams tokens to stdout, and prints prefill/decode
+tok/s in the same spirit (run.cpp:126-140), plus an optional speed-info
+JSON dump compatible with the parameter-search tooling
+(POWERSERVE_DUMP_SPEEDINFO, run.cpp:141-156).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+from .core.config import HyperParams, WorkspaceConfig
+from .core.logging import get_logger
+from .engine.generator import GenerationStats, InferenceEngine
+from .models.loader import load_gguf_model
+from .tokenizer import Tokenizer
+
+log = get_logger("run")
+
+
+def build_engine(model_dir: str, hp: HyperParams,
+                 backend: str = "auto") -> tuple[InferenceEngine, Tokenizer]:
+    cfg, params = load_gguf_model(model_dir)
+    tok = Tokenizer.from_model_dir(model_dir)
+    engine = InferenceEngine(params, cfg, hp, backend=backend)
+    return engine, tok
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="powerserve-tpu run")
+    ap.add_argument("-d", "--work-folder", required=True,
+                    help="workspace dir (workspace.json) or model dir")
+    ap.add_argument("-p", "--prompt", default="Hello, world")
+    ap.add_argument("--prompt-file", default=None)
+    ap.add_argument("-n", "--n-predicts", type=int, default=64)
+    ap.add_argument("--temperature", type=float, default=None)
+    ap.add_argument("--top-k", type=int, default=None)
+    ap.add_argument("--top-p", type=float, default=None)
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "pallas", "xla"])
+    ap.add_argument("--use-chat-template", action="store_true")
+    ap.add_argument("--no-progress", action="store_true")
+    args = ap.parse_args(argv)
+
+    root = Path(args.work_folder)
+    if (root / "workspace.json").exists():
+        ws = WorkspaceConfig.load(root)
+        model_dir, hp = ws.main_model_dir, ws.hyper_params
+    else:
+        model_dir, hp = root, HyperParams()
+    if args.temperature is not None:
+        hp.sampler.temperature = args.temperature
+    if args.top_k is not None:
+        hp.sampler.top_k = args.top_k
+    if args.top_p is not None:
+        hp.sampler.top_p = args.top_p
+
+    prompt = args.prompt
+    if args.prompt_file:
+        prompt = Path(args.prompt_file).read_text()
+
+    log.info(f"loading model from {model_dir}")
+    engine, tok = build_engine(str(model_dir), hp, args.backend)
+    if args.use_chat_template:
+        prompt = tok.apply_chat_template([{"role": "user", "content": prompt}])
+    ids = tok.tokenize(prompt)
+    log.info(f"prompt tokens: {len(ids)}")
+
+    stats = GenerationStats()
+    out_ids: list[int] = []
+    print(prompt, end="", flush=True)
+    for t in engine.generate(ids, args.n_predicts, stop_fn=tok.should_stop,
+                             stats=stats):
+        out_ids.append(t)
+        piece = tok.to_string([t])
+        print(piece, end="", flush=True)
+    print()
+    log.info(f"prefill speed: {stats.prefill_speed:.2f} tokens/s")
+    log.info(f"decode speed: {stats.decode_speed:.2f} tokens/s")
+
+    dump = os.environ.get("POWERSERVE_DUMP_SPEEDINFO")
+    if dump:
+        with open(dump, "a") as f:
+            json.dump({"prefill_speed": stats.prefill_speed,
+                       "decode_speed": stats.decode_speed,
+                       "n_prefill": stats.prefill_tokens,
+                       "n_decode": stats.decode_tokens}, f)
+            f.write("\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
