@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Headline benchmark: 8B-class Q4 decode tokens/s on one TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: reference PowerServe Llama-3.1-8B Q4 decode on Snapdragon
+8 Elite = 12.48 tok/s (BASELINE.md, reference README.md:25).
+
+Method: device-native random Q4_K params (values irrelevant to timing),
+prefill 128 tokens, then N greedy decode steps inside one jitted
+lax.scan (token feedback on device). Timing waits on a host fetch of
+the produced tokens, which is a true execution barrier even over
+remote-TPU links where block_until_ready is unreliable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+BASELINE_DECODE_8B = 12.48  # tok/s, 8G4 (BASELINE.md)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="llama-8b")
+    ap.add_argument("--quant", default="q4_k")
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--prefill", type=int, default=128)
+    ap.add_argument("--max-seq", type=int, default=1024)
+    ap.add_argument("--backend", default="auto")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from powerserve_tpu.engine.loops import decode_scan, prefill_step
+    from powerserve_tpu.kv.cache import KVCache
+    from powerserve_tpu.tools.bench_params import make_device_params
+
+    cfg, params = make_device_params(args.preset, args.quant)
+    llm = cfg.llm
+    kv = KVCache.create(llm.n_layers, 1, args.max_seq, llm.n_kv_heads,
+                        llm.head_size, dtype="int8")
+
+    # ---- prefill ----
+    # sync via a tiny host fetch (argmax token) — fetching full logits
+    # pollutes timing over remote links
+    P = args.prefill
+    tokens = jnp.zeros((1, P), jnp.int32)
+    positions = jnp.arange(P, dtype=jnp.int32)[None, :]
+    logits, kv = prefill_step(params, tokens, positions, kv, llm,
+                              args.backend)
+    np.asarray(jnp.argmax(logits))  # warmup sync
+    kv = kv.truncate(0)
+    np.asarray(kv.pos)
+    t0 = time.perf_counter()
+    logits, kv = prefill_step(params, tokens, positions, kv, llm,
+                              args.backend)
+    np.asarray(jnp.argmax(logits))
+    prefill_s = P / (time.perf_counter() - t0)
+
+    # ---- decode ----
+    cur = jnp.zeros(1, jnp.int32)
+    toks, kv = decode_scan(params, cur, kv, llm, args.steps, args.backend)
+    np.asarray(toks)  # warmup + sync
+    t0 = time.perf_counter()
+    toks, kv = decode_scan(params, cur, kv, llm, args.steps, args.backend)
+    np.asarray(toks)
+    dt = time.perf_counter() - t0
+    decode_tok_s = args.steps / dt
+
+    print(json.dumps({
+        "metric": f"decode_tok_s_{args.preset}_{args.quant}",
+        "value": round(decode_tok_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(decode_tok_s / BASELINE_DECODE_8B, 2),
+        "extra": {"prefill_tok_s": round(prefill_s, 1),
+                  "steps": args.steps, "backend": args.backend,
+                  "device": str(jax.devices()[0])},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,10 @@ MODEL_WEIGHTS_FILENAME = "weights.gguf"
 MODEL_VOCAB_FILENAME = "vocab.gguf"
 
 
+def _cfg_hash(self) -> int:
+    return hash(dataclasses.astuple(self))
+
+
 @dataclass
 class RopeConfig:
     """Reference config.hpp:38-47 rope params."""
@@ -61,6 +65,12 @@ class LLMConfig:
     def __post_init__(self) -> None:
         if self.head_size * self.n_kv_heads != self.kv_dim:
             self.kv_dim = self.head_size * self.n_kv_heads
+
+
+# value-based hash so configs can be jit static args (the @dataclass
+# decorator nulls __hash__ when eq is auto-generated)
+RopeConfig.__hash__ = _cfg_hash
+LLMConfig.__hash__ = _cfg_hash
 
 
 @dataclass

@@ -292,25 +292,49 @@ def repack_gguf_tensor(payload: np.ndarray, ggml_type: int,
     raise NotImplementedError(f"repack for ggml type {t}")
 
 
-def pack_nib4(q: np.ndarray) -> np.ndarray:
+def choose_pack_group(k: int, max_group: int = 2048) -> int:
+    """Largest group G <= max_group with K % G == 0 and G % 64 == 0.
+
+    The fused kernel K-tiles at the pack-group granularity: within each
+    group, low nibbles hold the first half of the group's k range and
+    high nibbles the second half, so the in-kernel unpack of one tile is
+    a single concat (no interleave, no reshape). G % 64 keeps the halves
+    aligned to 32-element scale blocks."""
+    for g in range(min(max_group, k), 63, -64):
+        if k % g == 0 and g % 64 == 0:
+            return g
+    raise ValueError(f"K={k} has no 64-aligned pack group")
+
+
+def pack_nib4(q: np.ndarray, group: int | None = None) -> np.ndarray:
     """int8 [K, N] with values in [-8, 7] (Q4_0) or [0, 15] (Q4_K) ->
-    uint8 [K//2, N]: row i packs k=i (low nibble) and k=i+K/2 (high),
-    so unpack = concat((p & 15), (p >> 4)) along axis 0, in k order."""
-    k = q.shape[0]
+    uint8 [K//2, N], packed per group of `group` rows: within group g,
+    output row o (o < group/2) packs k = g*group + o (low nibble) and
+    k = g*group + group/2 + o (high nibble)."""
+    k, n = q.shape
+    group = group or choose_pack_group(k)
     u = (q.astype(np.int16) & 0xF).astype(np.uint8)
-    return (u[: k // 2] | (u[k // 2 :] << 4)).astype(np.uint8)
+    ug = u.reshape(k // group, group, n)
+    half = group // 2
+    return (ug[:, :half] | (ug[:, half:] << 4)).reshape(k // 2, n)
 
 
-def unpack_nib4_signed(p: np.ndarray) -> np.ndarray:
-    """Inverse of pack_nib4 for Q4_0-style signed nibbles (stored as q-8
-    biased? no — stored two's-complement 4-bit). Returns int8 [K, N]."""
-    lo = (p & 0xF).astype(np.int8)
-    hi = (p >> 4).astype(np.int8)
-    q = np.concatenate([lo, hi], axis=0)
+def _unpack_nib4(p: np.ndarray, group: int) -> np.ndarray:
+    kh, n = p.shape
+    half = group // 2
+    pg = p.reshape(kh // half, half, n)
+    lo = (pg & 0xF).astype(np.int8)
+    hi = (pg >> 4).astype(np.int8)
+    return np.concatenate([lo, hi], axis=1).reshape(kh * 2, n)
+
+
+def unpack_nib4_signed(p: np.ndarray, group: int | None = None) -> np.ndarray:
+    """Inverse of pack_nib4 for signed two's-complement nibbles."""
+    group = group or choose_pack_group(p.shape[0] * 2)
+    q = _unpack_nib4(p, group)
     return np.where(q >= 8, q - 16, q).astype(np.int8)
 
 
-def unpack_nib4_unsigned(p: np.ndarray) -> np.ndarray:
-    lo = (p & 0xF).astype(np.int8)
-    hi = (p >> 4).astype(np.int8)
-    return np.concatenate([lo, hi], axis=0)
+def unpack_nib4_unsigned(p: np.ndarray, group: int | None = None) -> np.ndarray:
+    group = group or choose_pack_group(p.shape[0] * 2)
+    return _unpack_nib4(p, group)

@@ -67,9 +67,11 @@ class KVCache:
             return cls(k, v, ks, vs, jnp.zeros((n_slots, max_seq), jnp.bool_),
                        jnp.zeros(n_slots, jnp.int32), True)
         k = jnp.zeros(shape, jnp.bfloat16)
-        # dummy keeps a leading n_layers axis so lax.scan over layers works
+        # dummies keep a leading n_layers axis so lax.scan over layers
+        # works; distinct buffers so donation doesn't alias
         dummy = jnp.zeros((n_layers, 1, 1, 1), jnp.float32)
-        return cls(k, jnp.zeros_like(k), dummy, dummy,
+        dummy2 = jnp.zeros((n_layers, 1, 1, 1), jnp.float32)
+        return cls(k, jnp.zeros_like(k), dummy, dummy2,
                    jnp.zeros((n_slots, max_seq), jnp.bool_),
                    jnp.zeros(n_slots, jnp.int32), False)
 
@@ -251,6 +253,31 @@ class KVCache:
                 v_scale=jax.vmap(per_layer)(self.v_scale),
             )
         return out
+
+    def commit_tokens(self, slot_indices: jax.Array, src_positions: jax.Array,
+                      n_accept: jax.Array) -> "KVCache":
+        """Tree-verify acceptance: compact the accepted nodes' cached
+        entries to the sequence front and advance.
+
+        src_positions: [S, n_max] cache positions of accepted nodes in
+        acceptance order (pad with -1 beyond n_accept). Entries move to
+        pos .. pos+n_accept-1; mask set there; pos += n_accept.
+        (Replaces the reference's per-node copy+advance loop,
+        token_tree.cpp:190-210, with one gather/scatter.)
+        """
+        S, n_max = src_positions.shape
+        dst_start = self.pos.astype(jnp.int32)
+        out = self.gather_tokens(slot_indices, src_positions, dst_start)
+        col = jnp.arange(n_max)[None, :]
+        positions = dst_start[:, None] + col
+        valid = col < n_accept[:, None]
+        positions = jnp.where(valid, positions, -1)
+        T = self.max_seq
+        idx_set = jnp.where((positions >= 0) & (positions < T), positions, T)
+        mask = jax.vmap(lambda m, i: m.at[i].set(True, mode="drop"))(
+            out.mask, idx_set)
+        return replace(out, mask=mask,
+                       pos=self.pos + n_accept.astype(jnp.int32))
 
     def reset_slot(self, slot: int | jax.Array) -> "KVCache":
         """Clear one slot (new request in continuous batching)."""

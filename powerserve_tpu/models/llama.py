@@ -98,14 +98,24 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             active: jax.Array | None = None,
             intra_mask: jax.Array | None = None,
             visible: jax.Array | None = None,
+            cache_positions: jax.Array | None = None,
+            vis_override: jax.Array | None = None,
             backend: str = "auto",
             logits_mode: str = "last") -> tuple[jax.Array, KVCache]:
     """One forward pass over a batch of slots.
 
-    tokens/positions: [S, Tq] int32. active: [S] bool — rows that run.
+    tokens/positions: [S, Tq] int32 (positions drive RoPE). active: [S]
+    bool — rows that run.
     intra_mask: [Tq, Tq] bool or None (causal) — tree verification mask.
     visible: [S, Tq] bool or None — False keeps a written token masked
              after advance (draft-tree siblings).
+    cache_positions: [S, Tq] or None — where K/V rows are written when
+             it differs from the sequence position (token-tree drafting:
+             rope position = depth, cache slot = tree index; reference
+             keeps the same {position, cache_index} split per node).
+    vis_override: [S, Tq, T] bool or None — full per-query cache
+             visibility (tree drafting: each frontier node sees only its
+             ancestor path, reference switch_parent mask semantics).
     logits_mode: "last" -> [S, vocab] for the final position;
                  "all" -> [S, Tq, vocab] (perplexity / verification);
                  "none" -> zeros [S, 0] (prefill chunks before the last).
@@ -114,10 +124,15 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     S, Tq = tokens.shape
     llm = cfg
     H, Hkv, D = llm.n_heads, llm.n_kv_heads, llm.head_size
+    if cache_positions is None:
+        cache_positions = positions
 
     x = params.embed.lookup(tokens).astype(jnp.bfloat16)  # [S, Tq, dim]
     cos, sin = rope_cos_sin(positions, llm.rope, D)  # [S, Tq, D/2]
-    vis = build_visibility(kv.mask, positions, intra_mask)  # [S, Tq, T]
+    if vis_override is not None:
+        vis = vis_override
+    else:
+        vis = build_visibility(kv.mask, cache_positions, intra_mask)
     scale = 1.0 / float(np.sqrt(D))
     rope_type = llm.rope.rope_type
 
@@ -137,7 +152,8 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         # scatter new K/V into this layer's cache rows; out-of-range
         # positions redirect past the end and are dropped (jit-safe)
         safe_pos = jnp.where(
-            (positions >= 0) & (positions < kv.max_seq), positions, kv.max_seq)
+            (cache_positions >= 0) & (cache_positions < kv.max_seq),
+            cache_positions, kv.max_seq)
 
         def scat(cache_s, new_s, pos_s):
             return cache_s.at[pos_s].set(new_s.astype(cache_s.dtype),
@@ -181,7 +197,7 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     kv = _dc.replace(kv, k=k_new, v=v_new,
                      k_scale=ks_new if quantized else kv.k_scale,
                      v_scale=vs_new if quantized else kv.v_scale)
-    kv = kv.advance(positions, active=active, visible=visible)
+    kv = kv.advance(cache_positions, active=active, visible=visible)
 
     xf = rms_norm(x, params.out_norm, llm.norm_eps).astype(jnp.bfloat16)
     if logits_mode == "none":

@@ -10,21 +10,22 @@ dim N on lanes.
 
 Two storage forms:
   - unpacked: q int8 [K, N]            (1 byte / weight in HBM)
-  - packed:   q uint8 [K//2, N]        (0.5 byte / weight; row i packs
-              k=i in the low nibble and k=i+K/2 in the high nibble, so
-              unpack = concat of two shifted copies along sublanes)
+  - packed:   q uint8 [K//2, N]        (0.5 byte / weight), nibbles
+              grouped per `pack_group` rows so a K-tile of one group
+              unpacks with a single concat (core/quant.py:pack_nib4)
 
-Three backends:
-  - "xla":    jnp dequant + matmul; XLA fuses the dequant into the
-              matmul's operand pipeline. Baseline + CPU-test path.
-  - "pallas": fused kernel, grid over (M, N) tiles with full-K tiles
-              resident in VMEM (LLM K <= ~32k fits comfortably).
-  - "auto":   pallas on TPU, xla elsewhere.
+The Pallas kernel K-tiles at pack-group granularity with an f32 VMEM
+accumulator (grid (m, n, k), k innermost/arbitrary), so VMEM stays flat
+for any K (the 8B ffn down-proj K=14336 was the sizing case).
+
+Backends:
+  - "xla":    jnp dequant + matmul; XLA fuses. Baseline + CPU tests.
+  - "pallas": the fused kernel.
+  - "auto":   pallas on TPU (when shapes allow), else xla.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from dataclasses import dataclass
 from typing import Any
@@ -35,7 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.quant import QK, QuantizedTensor, pack_nib4
+from ..core.quant import QK, QuantizedTensor, choose_pack_group, pack_nib4
 
 
 def _is_tpu() -> bool:
@@ -48,19 +49,21 @@ def _is_tpu() -> bool:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["q", "scales", "bias"],
-    meta_fields=["packed", "unsigned", "in_features", "out_features"],
+    meta_fields=["packed", "unsigned", "in_features", "out_features",
+                 "pack_group"],
 )
 @dataclass
 class QLinear:
     """Quantized linear layer parameters (a jax pytree)."""
 
     q: jax.Array  # int8 [K, N] or uint8 [K//2, N] when packed
-    scales: jax.Array  # f32 [K//32, N]
-    bias: jax.Array | None  # f32 [K//32, N] (Q4_K additive min) or None
+    scales: jax.Array  # f32/bf16 [K//32, N]
+    bias: jax.Array | None  # [K//32, N] (Q4_K additive min) or None
     packed: bool
-    unsigned: bool  # True: nibbles are 0..15 (Q4_K); False: signed int
+    unsigned: bool  # True: nibbles are 0..15 (Q4_K); False: signed
     in_features: int
     out_features: int
+    pack_group: int = 0  # nibble grouping (0 when not packed)
 
     @classmethod
     def from_quantized(cls, qt: QuantizedTensor, pack: bool = True,
@@ -69,17 +72,19 @@ class QLinear:
         from ..core.gguf import GGMLType
 
         is4bit = qt.ggml_type in (GGMLType.Q4_0, GGMLType.Q4_K)
-        packed = bool(pack and is4bit and qt.k % 2 == 0)
+        packed = bool(pack and is4bit and qt.k % 128 == 0)
         unsigned = qt.ggml_type == GGMLType.Q4_K
+        group = 0
         if packed:
-            qdev = jnp.asarray(pack_nib4(qt.q))
+            group = choose_pack_group(qt.k)
+            qdev = jnp.asarray(pack_nib4(qt.q, group))
         else:
             qdev = jnp.asarray(qt.q)
         scales = jnp.asarray(qt.scales.astype(np.float32), dtype=scale_dtype)
         bias = None
         if qt.bias is not None:
             bias = jnp.asarray(qt.bias.astype(np.float32), dtype=scale_dtype)
-        return cls(qdev, scales, bias, packed, unsigned, qt.k, qt.n)
+        return cls(qdev, scales, bias, packed, unsigned, qt.k, qt.n, group)
 
     @classmethod
     def from_float(cls, w: np.ndarray, ggml_type: int | None = None,
@@ -101,21 +106,22 @@ class QLinear:
         return n
 
 
-def _unpack_nibbles(p: jax.Array, unsigned: bool) -> jax.Array:
-    """uint8 [K//2, N] -> int8 [K, N] (concat along axis 0, natural k)."""
-    lo = (p & 0xF).astype(jnp.int8)
-    hi = (p >> 4).astype(jnp.int8)
-    q = jnp.concatenate([lo, hi], axis=0)
-    if not unsigned:
-        q = ((q ^ 8) - 8).astype(jnp.int8)  # sign-extend 4-bit two's complement
-    return q
-
-
 def _dequant_full(lin: QLinear, dtype: Any) -> jax.Array:
-    q = _unpack_nibbles(lin.q, lin.unsigned) if lin.packed else lin.q
-    w = q.astype(dtype) * jnp.repeat(lin.scales.astype(dtype), QK, axis=0)
+    if lin.packed:
+        kh, n = lin.q.shape[-2:]
+        half = lin.pack_group // 2
+        lead = lin.q.shape[:-2]
+        pg = lin.q.reshape(*lead, kh // half, half, n)
+        lo = (pg & 0xF).astype(jnp.int8)
+        hi = (pg >> 4).astype(jnp.int8)
+        q = jnp.concatenate([lo, hi], axis=-2).reshape(*lead, kh * 2, n)
+        if not lin.unsigned:
+            q = ((q ^ 8) - 8).astype(jnp.int8)
+    else:
+        q = lin.q
+    w = q.astype(dtype) * jnp.repeat(lin.scales.astype(dtype), QK, axis=-2)
     if lin.bias is not None:
-        w = w - jnp.repeat(lin.bias.astype(dtype), QK, axis=0)
+        w = w - jnp.repeat(lin.bias.astype(dtype), QK, axis=-2)
     return w
 
 
@@ -126,35 +132,45 @@ def _qmatmul_xla(x: jax.Array, lin: QLinear, compute_dtype: Any) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Pallas fused kernel
+# Pallas fused kernel (K-tiled, f32 accumulator)
 # ---------------------------------------------------------------------------
 
-def _make_kernel(unsigned: bool, packed: bool, has_bias: bool, compute_dtype):
+def _make_kernel(unsigned: bool, packed: bool, has_bias: bool, compute_dtype,
+                 n_k_tiles: int):
     def kernel(*refs):
         if has_bias:
-            x_ref, q_ref, s_ref, b_ref, o_ref = refs
+            x_ref, q_ref, s_ref, b_ref, o_ref, acc = refs
         else:
-            x_ref, q_ref, s_ref, o_ref = refs
+            x_ref, q_ref, s_ref, o_ref, acc = refs
             b_ref = None
+        kt = pl.program_id(2)
+
+        @pl.when(kt == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
         qv = q_ref[...]
         if packed:
-            # Mosaic can't shift i8 vectors — widen to i32 for the unpack.
+            # widen to i32 (Mosaic can't shift i8 vectors); one concat
+            # restores natural k order thanks to group packing
             q32 = qv.astype(jnp.int32)
             lo = q32 & 0xF
             hi = q32 >> 4
             qi = jnp.concatenate([lo, hi], axis=0)
             if not unsigned:
-                qi = (qi ^ 8) - 8  # sign-extend 4-bit two's complement
+                qi = (qi ^ 8) - 8
         else:
             qi = qv
         s = jnp.repeat(s_ref[...].astype(compute_dtype), QK, axis=0)
         w = qi.astype(compute_dtype) * s
         if b_ref is not None:
             w = w - jnp.repeat(b_ref[...].astype(compute_dtype), QK, axis=0)
-        o_ref[...] = jnp.dot(
-            x_ref[...].astype(compute_dtype), w,
-            preferred_element_type=jnp.float32,
-        )
+        acc[...] += jnp.dot(x_ref[...].astype(compute_dtype), w,
+                            preferred_element_type=jnp.float32)
+
+        @pl.when(kt == n_k_tiles - 1)
+        def _():
+            o_ref[...] = acc[...]
 
     return kernel
 
@@ -163,41 +179,61 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _pick_bn(n: int, prefer: int) -> int | None:
+    for bn in (prefer, 512, 256, 128):
+        if bn <= prefer and n % bn == 0:
+            return bn
+    return None
+
+
 def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
                     block_n: int = 512, block_m: int = 256,
+                    block_k: int = 2048,
                     interpret: bool = False) -> jax.Array:
     m, k = x.shape
     n = lin.out_features
-    kb = k // QK
     bm = min(_round_up(m, 16), block_m)
-    bn = min(block_n, n)
-    if n % bn != 0:  # fall back for awkward N
+    bn = _pick_bn(n, block_n)
+    # K tile: exactly one pack group when packed (a tile must cover one
+    # whole group for the single-concat unpack); else the largest
+    # 64-aligned divisor of K
+    try:
+        bk = lin.pack_group if lin.packed else choose_pack_group(k, block_k)
+    except ValueError:
+        return _qmatmul_xla(x, lin, compute_dtype)
+    if bn is None or k % bk != 0:
         return _qmatmul_xla(x, lin, compute_dtype)
     pad_m = _round_up(m, bm) - m
     if pad_m:
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
-    grid = (x.shape[0] // bm, n // bn)
-    qrows = k // 2 if lin.packed else k
+    n_k_tiles = k // bk
+    grid = (x.shape[0] // bm, n // bn, n_k_tiles)
+    kb = bk // QK
+    if lin.packed:
+        q_spec = pl.BlockSpec((bk // 2, bn), lambda i, j, t: (t, j))
+    else:
+        q_spec = pl.BlockSpec((bk, bn), lambda i, j, t: (t, j))
     in_specs = [
-        pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
-        pl.BlockSpec((qrows, bn), lambda i, j: (0, j)),
-        pl.BlockSpec((kb, bn), lambda i, j: (0, j)),
+        pl.BlockSpec((bm, bk), lambda i, j, t: (i, t)),
+        q_spec,
+        pl.BlockSpec((kb, bn), lambda i, j, t: (t, j)),
     ]
     inputs = [x, lin.q, lin.scales]
     if lin.bias is not None:
-        in_specs.append(pl.BlockSpec((kb, bn), lambda i, j: (0, j)))
+        in_specs.append(pl.BlockSpec((kb, bn), lambda i, j, t: (t, j)))
         inputs.append(lin.bias)
     kernel = _make_kernel(lin.unsigned, lin.packed, lin.bias is not None,
-                          compute_dtype)
+                          compute_dtype, n_k_tiles)
     q_bytes = lin.q.size * lin.q.dtype.itemsize
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, t: (i, j)),
         out_shape=jax.ShapeDtypeStruct((x.shape[0], n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
@@ -215,7 +251,7 @@ def qmatmul(x: jax.Array, lin: QLinear, *, backend: str = "auto",
             compute_dtype: Any = jnp.bfloat16) -> jax.Array:
     """y = x @ dequant(lin); x [M, K] -> y [M, N] float32.
 
-    backend: "auto" | "pallas" | "xla".
+    backend: "auto" | "pallas" | "xla" | "pallas_interpret".
     """
     if x.ndim != 2:
         lead = x.shape[:-1]

@@ -1,0 +1,90 @@
+"""Device-native random parameter builder for benchmarks.
+
+Creates quantized LlamaParams directly on the accelerator with jax PRNG
+— no host->device weight transfer, so an 8B-parameter benchmark model
+materializes in seconds. The whole pytree is produced by ONE jitted
+program (layers vmapped over per-layer keys) so remote-TPU links pay a
+single compile/dispatch instead of hundreds. Values are random; kernel
+timing is identical to real weights."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LLMConfig, ModelConfig, RopeConfig
+from ..models.llama import LayerWeights, LlamaParams, QEmbedding
+from ..ops.elementwise import ROPE_TYPE_NORM
+from ..ops.qmatmul import QLinear
+from .synthetic import PRESETS
+
+
+def _rand_qlinear(key, k: int, n: int, quant: str) -> QLinear:
+    from ..core.quant import choose_pack_group
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    kb = k // 32
+    scales = (jax.random.uniform(k2, (kb, n), jnp.float32) * 0.02 + 0.001
+              ).astype(jnp.bfloat16)
+    if quant in ("q4_0", "q4_k"):
+        q = jax.random.bits(k1, (k // 2, n), jnp.uint8)
+        bias = None
+        if quant == "q4_k":
+            bias = (jax.random.uniform(k3, (kb, n), jnp.float32) * 0.01
+                    ).astype(jnp.bfloat16)
+        return QLinear(q=q, scales=scales, bias=bias, packed=True,
+                       unsigned=(quant == "q4_k"), in_features=k,
+                       out_features=n, pack_group=choose_pack_group(k))
+    q = jax.random.bits(k1, (k, n), jnp.uint8).astype(jnp.int8)
+    return QLinear(q=q, scales=scales, bias=None, packed=False,
+                   unsigned=False, in_features=k, out_features=n)
+
+
+def make_device_params(preset: str = "llama-8b", quant: str = "q4_k",
+                       seed: int = 0) -> tuple[ModelConfig, LlamaParams]:
+    p = PRESETS[preset]
+    dim, ffn, L = p["dim"], p["ffn"], p["layers"]
+    H, Hkv, V = p["heads"], p["kv_heads"], p["vocab"]
+    hd = dim // H
+    Vpad = (V + 255) // 256 * 256
+
+    def one_layer(key) -> LayerWeights:
+        ks = jax.random.split(key, 7)
+        return LayerWeights(
+            attn_norm=jnp.ones(dim, jnp.float32),
+            ffn_norm=jnp.ones(dim, jnp.float32),
+            wq=_rand_qlinear(ks[0], dim, H * hd, quant),
+            wk=_rand_qlinear(ks[1], dim, Hkv * hd, quant),
+            wv=_rand_qlinear(ks[2], dim, Hkv * hd, quant),
+            wo=_rand_qlinear(ks[3], H * hd, dim, quant),
+            bq=None, bk=None, bv=None,
+            w_gate=_rand_qlinear(ks[4], dim, ffn, quant),
+            w_up=_rand_qlinear(ks[5], dim, ffn, quant),
+            w_down=_rand_qlinear(ks[6], ffn, dim, quant),
+        )
+
+    @jax.jit
+    def build(key) -> LlamaParams:
+        k_emb, k_head, k_layers = jax.random.split(key, 3)
+        embed = QEmbedding(
+            q=jax.random.bits(k_emb, (Vpad, dim), jnp.uint8).astype(jnp.int8),
+            scales=(jax.random.uniform(k_emb, (Vpad, dim // 32)) * 0.02
+                    ).astype(jnp.float32),
+            bias=None,
+        )
+        layers = jax.vmap(one_layer)(jax.random.split(k_layers, L))
+        return LlamaParams(
+            embed=embed,
+            layers=layers,
+            out_norm=jnp.ones(dim, jnp.float32),
+            lm_head=_rand_qlinear(k_head, dim, Vpad, quant),
+        )
+
+    params = build(jax.random.PRNGKey(seed))
+    rope = RopeConfig(n_dims=hd, freq_base=500000.0, rope_type=ROPE_TYPE_NORM)
+    llm = LLMConfig(dim=dim, hidden_dim=ffn, n_layers=L, n_heads=H,
+                    n_kv_heads=Hkv, head_size=hd, seq_len=2048,
+                    vocab_size=Vpad, kv_dim=Hkv * hd, rope=rope)
+    return ModelConfig(arch=p["arch"], llm=llm), params

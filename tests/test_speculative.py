@@ -1,0 +1,178 @@
+"""Speculative decoding tests: tree construction invariants, and the
+lossless property — greedy speculative output must equal vanilla greedy
+decode of the target model (the draft only accelerates)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from powerserve_tpu.core.config import ModelConfig
+from powerserve_tpu.core.gguf import GGMLType
+from powerserve_tpu.kv import KVCache
+from powerserve_tpu.models import forward, params_from_hf_state_dict
+from powerserve_tpu.speculative.engine import SpecStats, SpeculativeEngine
+from powerserve_tpu.speculative.tree import (
+    SpeculativeConfig,
+    TokenTree,
+    grow_tree,
+)
+
+torch = pytest.importorskip("torch")
+
+
+# ---------------------------------------------------------------------------
+# tree unit tests
+# ---------------------------------------------------------------------------
+
+def test_tree_ancestor_mask():
+    t = TokenTree()
+    r = t.add(10, -1, 1.0)
+    a = t.add(11, r, 0.6)
+    b = t.add(12, r, 0.3)
+    c = t.add(13, a, 0.5)
+    m = t.ancestor_mask()
+    assert m[c, a] and m[c, r] and m[c, c]
+    assert not m[c, b] and not m[a, b] and not m[b, a]
+    assert m[r].sum() == 1
+
+
+def test_tree_accepted_chain():
+    t = TokenTree()
+    r = t.add(10, -1, 1.0)
+    a = t.add(11, r, 0.6)
+    b = t.add(12, r, 0.3)
+    c = t.add(13, a, 0.5)
+    # target samples: at root -> 11 (match a), at a -> 99 (no child match)
+    sampled = np.zeros(4, np.int64)
+    sampled[r] = 11
+    sampled[a] = 99
+    accepted, emitted = t.accepted_chain(sampled)
+    assert accepted == [a]
+    assert emitted == [11, 99]
+
+
+def test_grow_tree_budget_and_order():
+    cfg = SpeculativeConfig(draft_batch_size=6, draft_top_k=4,
+                            max_fan_out=2, min_prob=0.01, p_base=0.99)
+
+    def draft_step(tokens, depths, tree, frontier):
+        F = len(tokens)
+        probs = np.tile(np.array([0.5, 0.3, 0.15, 0.05]), (F, 1))
+        ids = np.tile(np.arange(100, 104), (F, 1))
+        return probs, ids
+
+    tree = grow_tree(7, cfg, draft_step)
+    assert tree.size <= 6
+    assert tree.nodes[0].token == 7 and tree.nodes[0].parent == -1
+    # children have decreasing cum_prob in insertion order per level
+    cums = [n.cum_prob for n in tree.nodes[1:3]]
+    assert cums == sorted(cums, reverse=True)
+
+
+def test_grow_tree_min_prob_prunes():
+    cfg = SpeculativeConfig(draft_batch_size=12, draft_top_k=4,
+                            max_fan_out=4, min_prob=0.4, p_base=1.0)
+
+    def draft_step(tokens, depths, tree, frontier):
+        F = len(tokens)
+        probs = np.tile(np.array([0.5, 0.3, 0.1, 0.1]), (F, 1))
+        ids = np.tile(np.arange(4), (F, 1))
+        return probs, ids
+
+    tree = grow_tree(0, cfg, draft_step)
+    # depth 1: only 0.5 survives (0.3 < min_prob as non-first);
+    # depth 2: 0.25 < 0.4 kept only if first candidate of the level
+    assert all(n.cum_prob >= 0.2 for n in tree.nodes[1:])
+
+
+# ---------------------------------------------------------------------------
+# end-to-end losslessness
+# ---------------------------------------------------------------------------
+
+def _mk_model(seed, layers=2, dim=64):
+    import transformers
+
+    torch.manual_seed(seed)
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=dim, intermediate_size=2 * dim,
+        num_hidden_layers=layers, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=256,
+        rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=False)
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    model.eval()
+    cfg = ModelConfig(arch="llama")
+    llm = cfg.llm
+    llm.dim = dim
+    llm.hidden_dim = 2 * dim
+    llm.n_layers = layers
+    llm.n_heads = 4
+    llm.n_kv_heads = 2
+    llm.head_size = dim // 4
+    llm.seq_len = 256
+    llm.vocab_size = 256
+    llm.kv_dim = 2 * (dim // 4)
+    llm.rope.n_dims = dim // 4
+    sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+    params = params_from_hf_state_dict(sd, cfg, fmt=GGMLType.Q8_0)
+    return params, cfg
+
+
+def _vanilla_greedy(params, cfg, prompt, n):
+    kv = KVCache.create(cfg.llm.n_layers, 1, 256, cfg.llm.n_kv_heads,
+                        cfg.llm.head_size, dtype="bf16")
+    toks = list(prompt)
+    # prefill all but last
+    pos = jnp.arange(len(toks) - 1)[None, :]
+    _, kv = forward(params, cfg.llm, kv, jnp.asarray([toks[:-1]]), pos,
+                    backend="xla", logits_mode="none")
+    cur = toks[-1]
+    out = []
+    for i in range(n):
+        p = len(toks) - 1 + i
+        logits, kv = forward(params, cfg.llm, kv,
+                             jnp.asarray([[cur]]),
+                             jnp.asarray([[p]], jnp.int32),
+                             backend="xla", logits_mode="last")
+        cur = int(np.argmax(np.asarray(logits)[0]))
+        out.append(cur)
+    return out
+
+
+@pytest.mark.parametrize("same_draft", [True, False])
+def test_speculative_matches_vanilla_greedy(same_draft):
+    t_params, t_cfg = _mk_model(0)
+    if same_draft:
+        d_params, d_cfg = t_params, t_cfg
+    else:
+        d_params, d_cfg = _mk_model(1, layers=1)
+
+    prompt = [1, 17, 42, 63, 99]
+    N = 12
+    ref = _vanilla_greedy(t_params, t_cfg, prompt, N)
+
+    eng = SpeculativeEngine(t_params, t_cfg, d_params, d_cfg,
+                            SpeculativeConfig(draft_batch_size=8,
+                                              draft_top_k=4),
+                            max_seq=256, kv_dtype="bf16", backend="xla")
+    stats = SpecStats()
+    got = []
+    for t in eng.generate(prompt, N, stats=stats):
+        got.append(t)
+    assert got[:N] == ref, f"spec={got} ref={ref} ({stats.summary()})"
+    assert stats.steps > 0
+    if same_draft:
+        # a perfect draft should accept nearly everything
+        assert stats.accept_rate > 0.5, stats.summary()
+
+
+def test_speculative_emits_at_least_one_per_step():
+    t_params, t_cfg = _mk_model(2)
+    d_params, d_cfg = _mk_model(3, layers=1)
+    eng = SpeculativeEngine(t_params, t_cfg, d_params, d_cfg,
+                            SpeculativeConfig(draft_batch_size=6,
+                                              draft_top_k=3),
+                            max_seq=256, kv_dtype="bf16", backend="xla")
+    stats = SpecStats()
+    out = list(eng.generate([5, 6, 7], 6, stats=stats))
+    assert len(out) >= 6
+    assert stats.emitted >= stats.steps
