@@ -1,0 +1,246 @@
+"""Continuous-batching scheduler: requests -> slots of one fixed-shape
+jitted step.
+
+Net-new vs the reference, which decodes one sequence at a time behind a
+mutex (SURVEY §2.3 "Request concurrency: minimal"): here every decode
+step advances ALL active slots in one device call; prefill runs
+chunk-wise with priority over decode (new requests start fast), and each
+request carries its own sampling parameters as per-slot device arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import HyperParams, ModelConfig
+from ..core.logging import get_logger
+from ..kv.cache import KVCache
+from ..models.llama import LlamaParams, forward
+from ..sampling.sampler import PenaltyState, sample_logits_batched
+
+log = get_logger("scheduler")
+
+
+@dataclass
+class Request:
+    prompt_ids: list[int]
+    max_tokens: int = 128
+    temperature: float = 0.8
+    top_k: int = 40
+    top_p: float = 0.95
+    penalty_repeat: float = 1.0
+    stop_ids: set[int] = field(default_factory=set)
+    # sink receives token ids, then None when finished
+    sink: Callable[[int | None], None] = lambda t: None
+    id: int = 0
+    # filled by the scheduler
+    n_generated: int = 0
+    finish_reason: str = ""
+
+
+@dataclass
+class _Slot:
+    req: Request | None = None
+    prefill_off: int = 0
+    cur_token: int = 0
+    prefilling: bool = False
+
+
+class BatchScheduler:
+    """Owns the KV cache and the step loop; thread-safe submit()."""
+
+    def __init__(self, params: LlamaParams, cfg: ModelConfig,
+                 hp: HyperParams | None = None, backend: str = "auto"):
+        self.params = params
+        self.cfg = cfg
+        self.hp = hp or HyperParams()
+        self.backend = backend
+        llm = cfg.llm
+        self.S = self.hp.max_slots
+        self.max_seq = self.hp.max_seq_len or llm.seq_len
+        self.chunk = max(int(self.hp.batch_size), 8)
+        self.kv = KVCache.create(llm.n_layers, self.S, self.max_seq,
+                                 llm.n_kv_heads, llm.head_size,
+                                 self.hp.kv_dtype)
+        self.penalty = PenaltyState.create(
+            self.S, max(self.hp.sampler.penalty_last_n, 1))
+        self.rng = jax.random.PRNGKey(self.hp.sampler.seed)
+        self.slots = [_Slot() for _ in range(self.S)]
+        self.pending: "queue.Queue[Request]" = queue.Queue()
+        self._ids = itertools.count()
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._mk_jits()
+
+    # -- jitted steps -------------------------------------------------------
+
+    def _mk_jits(self) -> None:
+        llm = self.cfg.llm
+        backend = self.backend
+        vocab = llm.vocab_size
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill_chunk(params, kv, tokens, positions, active):
+            return forward(params, llm, kv, tokens, positions, active=active,
+                           backend=backend, logits_mode="none")
+
+        @functools.partial(jax.jit, donate_argnums=(1, 4))
+        def decode_all(params, kv, tokens, positions, penalty, rng, active,
+                       temp, top_k, top_p, pen_rep):
+            logits, kv = forward(params, llm, kv, tokens, positions,
+                                 active=active, backend=backend,
+                                 logits_mode="last")
+            rng, sub = jax.random.split(rng)
+            nxt = sample_logits_batched(sub, logits, temp, top_k, top_p,
+                                        state=penalty, penalty_repeat=pen_rep,
+                                        vocab_size=vocab)
+            nxt = nxt.astype(jnp.int32)
+            penalty = penalty.push(nxt, active)
+            return nxt, kv, penalty, rng
+
+        self._prefill_chunk = prefill_chunk
+        self._decode_all = decode_all
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, req: Request) -> Request:
+        req.id = next(self._ids)
+        self.pending.put(req)
+        self._wake.set()
+        return req
+
+    def start(self) -> None:
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._loop, daemon=True,
+                                            name="batch-scheduler")
+            self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+    @property
+    def n_active(self) -> int:
+        return sum(1 for s in self.slots if s.req is not None)
+
+    # -- core loop ----------------------------------------------------------
+
+    def _admit(self) -> None:
+        for i, slot in enumerate(self.slots):
+            if slot.req is not None:
+                continue
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                return
+            if len(req.prompt_ids) >= self.max_seq:
+                req.prompt_ids = req.prompt_ids[-(self.max_seq - req.max_tokens - 1):]
+            slot.req = req
+            slot.prefill_off = 0
+            slot.prefilling = True
+            slot.cur_token = req.prompt_ids[-1]
+            self.kv = self.kv.reset_slot(i)
+            self.penalty = self.penalty.reset_slot(i)
+            log.debug(f"req {req.id} -> slot {i}")
+
+    def _prefill_tick(self) -> bool:
+        """Advance every prefilling slot by one chunk. True if any ran."""
+        C = self.chunk
+        tokens = np.zeros((self.S, C), np.int32)
+        positions = np.full((self.S, C), -1, np.int32)
+        active = np.zeros(self.S, bool)
+        ran = False
+        for i, slot in enumerate(self.slots):
+            if slot.req is None or not slot.prefilling:
+                continue
+            prompt = slot.req.prompt_ids[:-1]  # last token feeds decode
+            part = prompt[slot.prefill_off : slot.prefill_off + C]
+            if not part:
+                slot.prefilling = False
+                continue
+            tokens[i, :len(part)] = part
+            positions[i, :len(part)] = slot.prefill_off + np.arange(len(part))
+            active[i] = True
+            slot.prefill_off += len(part)
+            if slot.prefill_off >= len(prompt):
+                slot.prefilling = False
+            ran = True
+        if ran:
+            _, self.kv = self._prefill_chunk(
+                self.params, self.kv, jnp.asarray(tokens),
+                jnp.asarray(positions), jnp.asarray(active))
+        return ran
+
+    def _decode_tick(self) -> bool:
+        decoding = [i for i, s in enumerate(self.slots)
+                    if s.req is not None and not s.prefilling]
+        if not decoding:
+            return False
+        tokens = np.zeros((self.S, 1), np.int32)
+        positions = np.full((self.S, 1), -1, np.int32)
+        active = np.zeros(self.S, bool)
+        temp = np.zeros(self.S, np.float32)
+        top_k = np.zeros(self.S, np.int32)
+        top_p = np.ones(self.S, np.float32)
+        pen = np.ones(self.S, np.float32)
+        pos_host = np.asarray(self.kv.pos)
+        for i in decoding:
+            s = self.slots[i]
+            tokens[i, 0] = s.cur_token
+            positions[i, 0] = pos_host[i]
+            active[i] = True
+            temp[i] = s.req.temperature
+            top_k[i] = s.req.top_k
+            top_p[i] = s.req.top_p
+            pen[i] = s.req.penalty_repeat
+        nxt, self.kv, self.penalty, self.rng = self._decode_all(
+            self.params, self.kv, jnp.asarray(tokens), jnp.asarray(positions),
+            self.penalty, self.rng, jnp.asarray(active), jnp.asarray(temp),
+            jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(pen))
+        nxt = np.asarray(nxt)
+        for i in decoding:
+            s = self.slots[i]
+            tok = int(nxt[i])
+            s.cur_token = tok
+            s.req.n_generated += 1
+            s.req.sink(tok)
+            done = False
+            if tok in s.req.stop_ids:
+                s.req.finish_reason = "stop"
+                done = True
+            elif s.req.n_generated >= s.req.max_tokens:
+                s.req.finish_reason = "length"
+                done = True
+            elif int(pos_host[i]) + 1 >= self.max_seq - 1:
+                s.req.finish_reason = "length"
+                done = True
+            if done:
+                s.req.sink(None)
+                self.slots[i] = _Slot()
+        return True
+
+    def step(self) -> bool:
+        """One scheduler iteration; returns True if work was done."""
+        self._admit()
+        if self._prefill_tick():
+            return True
+        return self._decode_tick()
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            if not self.step():
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()

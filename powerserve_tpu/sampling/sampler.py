@@ -139,6 +139,59 @@ def sample_logits(key: jax.Array, logits: jax.Array, cfg: SamplerConfig,
     return jax.random.categorical(key, logp, axis=-1)
 
 
+def sample_logits_batched(key: jax.Array, logits: jax.Array,
+                          temperature: jax.Array, top_k: jax.Array,
+                          top_p: jax.Array,
+                          state: PenaltyState | None = None,
+                          penalty_repeat: jax.Array | None = None,
+                          max_top_k: int = 64,
+                          vocab_size: int | None = None) -> jax.Array:
+    """Per-slot sampling with *array* parameters (continuous batching:
+    every request carries its own temperature/top_k/top_p).
+
+    temperature/top_k/top_p/penalty_repeat: [S]. temperature <= 0 means
+    greedy for that slot. top_k <= 0 disables top-k (capped at
+    max_top_k otherwise).
+    """
+    S, V = logits.shape
+    lf = logits.astype(jnp.float32)
+    if vocab_size is not None and vocab_size < V:
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, V), 1)
+        lf = jnp.where(col < vocab_size, lf, NEG_INF)
+    if state is not None and penalty_repeat is not None:
+        P = state.recent.shape[1]
+        idx = jnp.where(state.recent >= 0, state.recent, V)
+        counts = jnp.zeros((S, V), jnp.float32)
+        counts = jax.vmap(lambda c, i: c.at[i].add(1.0, mode="drop"))(counts, idx)
+        present = counts > 0
+        pr = penalty_repeat[:, None]
+        penalized = jnp.where(lf > 0, lf / pr, lf * pr)
+        lf = jnp.where(present, penalized, lf)
+
+    greedy_tok = jnp.argmax(lf, axis=-1)
+
+    # top-k: rank-mask against a static max_top_k window
+    kth_vals, _ = jax.lax.top_k(lf, max_top_k)  # [S, max_top_k] desc
+    k_eff = jnp.clip(jnp.where(top_k <= 0, max_top_k, top_k), 1, max_top_k)
+    thr = jnp.take_along_axis(kth_vals, (k_eff - 1)[:, None], axis=-1)
+    lf = jnp.where(lf < thr, NEG_INF, lf)
+
+    temp = jnp.maximum(temperature, 1e-6)[:, None]
+    probs = jax.nn.softmax(lf / temp, axis=-1)
+
+    # top-p nucleus
+    sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
+    csum = jnp.cumsum(sorted_probs, axis=-1)
+    keep_sorted = (csum - sorted_probs) < top_p[:, None]
+    keep_sorted = keep_sorted.at[:, 0].set(True)
+    pthr = jnp.min(jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1,
+                   keepdims=True)
+    probs = jnp.where(probs >= pthr, probs, 0.0)
+    logp = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)), NEG_INF)
+    sampled = jax.random.categorical(key, logp, axis=-1)
+    return jnp.where(temperature <= 0.0, greedy_tok, sampled)
+
+
 def greedy_sample(logits: jax.Array) -> jax.Array:
     """argmax (reference ProbArray greedy_sample / llama decode)."""
     return jnp.argmax(logits, axis=-1)

@@ -1,0 +1,360 @@
+"""OpenAI-compatible HTTP server (aiohttp) with continuous batching.
+
+API surface mirrors the reference server (reference app/server/
+simple_server.cpp:27-37, openai_api.hpp):
+  POST /completion, /completions, /v1/completions
+  POST /chat/completions, /v1/chat/completions
+  GET  /v1/models
+SSE streaming emits `data: {...}` chunks then `data: [DONE]`
+(openai_api.hpp:284-332) with UTF-8-safe text chunking
+(server_handler.hpp:455-506). The reference's "target+draft" model-name
+syntax selects speculative decoding (server_handler.hpp:250-262).
+
+Unlike the reference (one sequence at a time behind a mutex), plain
+requests share a continuous-batching scheduler; speculative requests run
+single-sequence behind a lock, as speculation+batching composition is a
+separate road-mapped feature.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+
+from aiohttp import web
+
+from ..core.config import HyperParams, WorkspaceConfig
+from ..core.logging import get_logger
+from ..engine.scheduler import BatchScheduler, Request
+from ..models.loader import load_gguf_model
+from ..speculative.engine import SpecStats, SpeculativeEngine
+from ..speculative.tree import SpeculativeConfig
+from ..tokenizer import Tokenizer
+
+log = get_logger("server")
+
+
+class IncrementalDecoder:
+    """UTF-8-safe streaming detokenizer: holds back text that ends in a
+    partial multibyte sequence (reference server_handler.hpp:455-506)."""
+
+    def __init__(self, tokenizer: Tokenizer):
+        self.tok = tokenizer
+        self.ids: list[int] = []
+        self.emitted = 0
+
+    def push(self, token_id: int) -> str:
+        self.ids.append(token_id)
+        text = self.tok.to_string(self.ids)
+        if text.endswith("�"):
+            return ""
+        out = text[self.emitted:]
+        self.emitted = len(text)
+        return out
+
+    def flush(self) -> str:
+        text = self.tok.to_string(self.ids)
+        out = text[self.emitted:]
+        self.emitted = len(text)
+        return out
+
+
+@dataclass
+class ModelContext:
+    name: str
+    scheduler: BatchScheduler
+    tokenizer: Tokenizer
+    spec: SpeculativeEngine | None = None
+    spec_lock: asyncio.Lock | None = None
+
+
+class ServerContext:
+    """Model registry (reference ServerContext, server_handler.hpp:250-343).
+
+    Model names resolve to dirs under `model_root`; "main+draft" syntax
+    builds a speculative engine pair."""
+
+    def __init__(self, model_root: str | Path, default_model: str = "",
+                 hp: HyperParams | None = None, backend: str = "auto"):
+        self.root = Path(model_root)
+        self.hp = hp or HyperParams()
+        self.backend = backend
+        self.models: dict[str, ModelContext] = {}
+        self.default_model = default_model
+
+    def resolve_dir(self, name: str) -> Path:
+        p = self.root / name
+        if p.is_dir():
+            return p
+        if (self.root / name / "weights.gguf").exists():
+            return self.root / name
+        if name in ("", "default") and (self.root / "weights.gguf").exists():
+            return self.root
+        raise web.HTTPNotFound(text=f"unknown model '{name}'")
+
+    def get(self, name: str) -> ModelContext:
+        name = name or self.default_model or "default"
+        if name in self.models:
+            return self.models[name]
+        if "+" in name:
+            main_name, draft_name = name.split("+", 1)
+            t_cfg, t_params = load_gguf_model(self.resolve_dir(main_name))
+            d_cfg, d_params = load_gguf_model(self.resolve_dir(draft_name))
+            tok = Tokenizer.from_model_dir(self.resolve_dir(main_name))
+            spec = SpeculativeEngine(t_params, t_cfg, d_params, d_cfg,
+                                     SpeculativeConfig(),
+                                     kv_dtype=self.hp.kv_dtype,
+                                     backend=self.backend)
+            base = self.get(main_name)
+            ctx = ModelContext(name, base.scheduler, tok, spec,
+                               asyncio.Lock())
+        else:
+            cfg, params = load_gguf_model(self.resolve_dir(name))
+            sched = BatchScheduler(params, cfg, self.hp, self.backend)
+            sched.start()
+            tok = Tokenizer.from_model_dir(self.resolve_dir(name))
+            ctx = ModelContext(name, sched, tok)
+        self.models[name] = ctx
+        return ctx
+
+
+def _now_id(prefix: str) -> str:
+    return f"{prefix}-{uuid.uuid4().hex[:24]}"
+
+
+def _sampling_from_body(body: dict) -> dict:
+    return dict(
+        temperature=float(body.get("temperature", 0.8)),
+        top_k=int(body.get("top_k", 40)),
+        top_p=float(body.get("top_p", 0.95)),
+        penalty_repeat=float(body.get("repeat_penalty",
+                                      body.get("frequency_penalty", 0.0) + 1.0
+                                      if body.get("frequency_penalty") else 1.0)),
+        max_tokens=int(body.get("max_tokens", body.get("n_predict", 128))),
+    )
+
+
+async def _run_batched(ctx: ModelContext, prompt_ids: list[int],
+                       sampling: dict, stop_ids: set[int]):
+    """Submit to the scheduler; async-iterate generated token ids."""
+    loop = asyncio.get_running_loop()
+    q: asyncio.Queue = asyncio.Queue()
+
+    def sink(tok):
+        loop.call_soon_threadsafe(q.put_nowait, tok)
+
+    req = Request(prompt_ids=prompt_ids, stop_ids=stop_ids, sink=sink,
+                  **sampling)
+    ctx.scheduler.submit(req)
+    while True:
+        tok = await q.get()
+        if tok is None:
+            break
+        yield tok, req
+
+
+async def _run_speculative(ctx: ModelContext, prompt_ids: list[int],
+                           sampling: dict, stop_ids: set[int]):
+    """Speculative path (greedy target verification)."""
+    assert ctx.spec is not None and ctx.spec_lock is not None
+    loop = asyncio.get_running_loop()
+    async with ctx.spec_lock:
+        ctx.spec.reset()
+        stats = SpecStats()
+        req = Request(prompt_ids=prompt_ids, **sampling)
+
+        def gen():
+            return list(ctx.spec.generate(
+                prompt_ids, sampling["max_tokens"],
+                stop_fn=lambda t: t in stop_ids, stats=stats))
+
+        tokens = await loop.run_in_executor(None, gen)
+        log.info(stats.summary())
+        for t in tokens:
+            req.n_generated += 1
+            yield t, req
+        req.finish_reason = "stop" if (tokens and tokens[-1] in stop_ids) \
+            else "length"
+
+
+def _runner(ctx: ModelContext, prompt_ids, sampling, stop_ids):
+    if ctx.spec is not None:
+        return _run_speculative(ctx, prompt_ids, sampling, stop_ids)
+    return _run_batched(ctx, prompt_ids, sampling, stop_ids)
+
+
+async def _respond(request: web.Request, ctx: ModelContext,
+                   prompt_ids: list[int], sampling: dict, chat: bool,
+                   stream: bool, model_name: str) -> web.StreamResponse:
+    tok = ctx.tokenizer
+    stop_ids = set(tok.stop_ids)
+    rid = _now_id("chatcmpl" if chat else "cmpl")
+    created = int(time.time())
+    obj_stream = "chat.completion.chunk" if chat else "text_completion"
+    obj_full = "chat.completion" if chat else "text_completion"
+
+    if stream:
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+        dec = IncrementalDecoder(tok)
+        finish = "stop"
+        last_req = None
+        if chat:
+            first = {"id": rid, "object": obj_stream, "created": created,
+                     "model": model_name,
+                     "choices": [{"index": 0,
+                                  "delta": {"role": "assistant"},
+                                  "finish_reason": None}]}
+            await resp.write(f"data: {json.dumps(first)}\n\n".encode())
+        async for t, req in _runner(ctx, prompt_ids, sampling, stop_ids):
+            last_req = req
+            piece = dec.push(t) if t not in stop_ids else ""
+            if piece:
+                delta = ({"content": piece} if chat else None)
+                chunk = {"id": rid, "object": obj_stream, "created": created,
+                         "model": model_name,
+                         "choices": [{"index": 0,
+                                      **({"delta": delta} if chat
+                                         else {"text": piece}),
+                                      "finish_reason": None}]}
+                await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+        tail = dec.flush()
+        if tail:
+            chunk = {"id": rid, "object": obj_stream, "created": created,
+                     "model": model_name,
+                     "choices": [{"index": 0,
+                                  **({"delta": {"content": tail}} if chat
+                                     else {"text": tail}),
+                                  "finish_reason": None}]}
+            await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+        if last_req is not None and last_req.finish_reason:
+            finish = last_req.finish_reason
+        final = {"id": rid, "object": obj_stream, "created": created,
+                 "model": model_name,
+                 "choices": [{"index": 0,
+                              **({"delta": {}} if chat else {"text": ""}),
+                              "finish_reason": finish}],
+                 "usage": {"prompt_tokens": len(prompt_ids),
+                           "completion_tokens":
+                               last_req.n_generated if last_req else 0,
+                           "total_tokens": len(prompt_ids) + (
+                               last_req.n_generated if last_req else 0)}}
+        await resp.write(f"data: {json.dumps(final)}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    # non-streaming
+    ids: list[int] = []
+    finish = "stop"
+    last_req = None
+    async for t, req in _runner(ctx, prompt_ids, sampling, stop_ids):
+        last_req = req
+        if t not in stop_ids:
+            ids.append(t)
+    if last_req is not None and last_req.finish_reason:
+        finish = last_req.finish_reason
+    text = tok.to_string(ids)
+    usage = {"prompt_tokens": len(prompt_ids),
+             "completion_tokens": last_req.n_generated if last_req else 0,
+             "total_tokens": len(prompt_ids) + (
+                 last_req.n_generated if last_req else 0)}
+    if chat:
+        body = {"id": rid, "object": obj_full, "created": created,
+                "model": model_name,
+                "choices": [{"index": 0,
+                             "message": {"role": "assistant", "content": text},
+                             "finish_reason": finish}],
+                "usage": usage}
+    else:
+        body = {"id": rid, "object": obj_full, "created": created,
+                "model": model_name,
+                "choices": [{"index": 0, "text": text,
+                             "finish_reason": finish}],
+                "usage": usage}
+    return web.json_response(body)
+
+
+def build_app(server_ctx: ServerContext) -> web.Application:
+    app = web.Application()
+
+    async def handle_completion(request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        model_name = body.get("model", server_ctx.default_model)
+        loop = asyncio.get_running_loop()
+        ctx = await loop.run_in_executor(None, server_ctx.get, model_name)
+        prompt = body.get("prompt", "")
+        if isinstance(prompt, list):
+            prompt = "".join(prompt)
+        prompt_ids = ctx.tokenizer.tokenize(prompt)
+        sampling = _sampling_from_body(body)
+        return await _respond(request, ctx, prompt_ids, sampling,
+                              chat=False, stream=bool(body.get("stream")),
+                              model_name=model_name or ctx.name)
+
+    async def handle_chat(request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        model_name = body.get("model", server_ctx.default_model)
+        loop = asyncio.get_running_loop()
+        ctx = await loop.run_in_executor(None, server_ctx.get, model_name)
+        messages = body.get("messages", [])
+        prompt = ctx.tokenizer.apply_chat_template(messages)
+        prompt_ids = ctx.tokenizer.tokenize(prompt)
+        sampling = _sampling_from_body(body)
+        return await _respond(request, ctx, prompt_ids, sampling,
+                              chat=True, stream=bool(body.get("stream")),
+                              model_name=model_name or ctx.name)
+
+    async def handle_models(request: web.Request) -> web.Response:
+        names = list(server_ctx.models) or [server_ctx.default_model or "default"]
+        return web.json_response({
+            "object": "list",
+            "data": [{"id": n, "object": "model", "created": 0,
+                      "owned_by": "powerserve_tpu"} for n in names],
+        })
+
+    for route in ("/completion", "/completions", "/v1/completions"):
+        app.router.add_post(route, handle_completion)
+    for route in ("/chat/completions", "/v1/chat/completions"):
+        app.router.add_post(route, handle_chat)
+    app.router.add_get("/v1/models", handle_models)
+    return app
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="powerserve-tpu serve")
+    ap.add_argument("-d", "--model-root", required=True,
+                    help="dir containing model dirs (or one model dir)")
+    ap.add_argument("--model", default="default")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--max-slots", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    root = Path(args.model_root)
+    hp = HyperParams(max_slots=args.max_slots)
+    if (root / "workspace.json").exists():
+        ws = WorkspaceConfig.load(root)
+        hp = ws.hyper_params
+        hp.max_slots = args.max_slots
+        root_dir, default = ws.main_model_dir.parent, ws.main_model_dir.name
+    else:
+        root_dir, default = root, args.model
+    ctx = ServerContext(root_dir, default, hp, args.backend)
+    app = build_app(ctx)
+    log.info(f"serving on http://{args.host}:{args.port}")
+    web.run_app(app, host=args.host, port=args.port, print=None)
+
+
+if __name__ == "__main__":
+    main()

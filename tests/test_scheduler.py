@@ -1,0 +1,85 @@
+"""Continuous-batching scheduler tests (CPU, tiny synthetic model)."""
+
+import threading
+import time
+
+import pytest
+
+from powerserve_tpu.core.config import HyperParams
+from powerserve_tpu.core.gguf import GGMLType
+from powerserve_tpu.engine.scheduler import BatchScheduler, Request
+from powerserve_tpu.models.loader import load_gguf_model
+from powerserve_tpu.tools.synthetic import make_synthetic_gguf
+
+
+@pytest.fixture(scope="module")
+def sched(tmp_path_factory):
+    out = tmp_path_factory.mktemp("ws")
+    make_synthetic_gguf(out, "tiny", GGMLType.Q8_0, seed=0, seq_len=128)
+    cfg, params = load_gguf_model(out / "model")
+    hp = HyperParams(max_slots=2, batch_size=8)
+    s = BatchScheduler(params, cfg, hp, backend="xla")
+    yield s
+    s.stop()
+
+
+def _collect(sched, prompt, max_tokens, **kw):
+    done = threading.Event()
+    out = []
+
+    def sink(t):
+        if t is None:
+            done.set()
+        else:
+            out.append(t)
+
+    req = Request(prompt_ids=prompt, max_tokens=max_tokens, sink=sink,
+                  temperature=0.0, **kw)
+    sched.submit(req)
+    return req, out, done
+
+
+def test_single_request_completes(sched):
+    sched.start()
+    req, out, done = _collect(sched, [1, 4, 9], 6)
+    assert done.wait(timeout=120), "request did not finish"
+    assert len(out) == 6
+    assert req.finish_reason == "length"
+
+
+def test_concurrent_requests_batched(sched):
+    sched.start()
+    r1, o1, d1 = _collect(sched, [1, 2, 3], 8)
+    r2, o2, d2 = _collect(sched, [9, 8, 7, 6], 8)
+    r3, o3, d3 = _collect(sched, [5, 5, 5], 4)  # queues behind (2 slots)
+    assert d1.wait(timeout=180) and d2.wait(timeout=180) and d3.wait(timeout=180)
+    assert len(o1) == 8 and len(o2) == 8 and len(o3) == 4
+
+
+def test_determinism_vs_engine(sched):
+    """Scheduler greedy output must match the single-sequence engine."""
+    from powerserve_tpu.engine.generator import InferenceEngine
+
+    sched.start()
+    prompt = [1, 6, 11, 16]
+    req, out, done = _collect(sched, prompt, 6)
+    assert done.wait(timeout=120)
+
+    engine = InferenceEngine(sched.params, sched.cfg,
+                             HyperParams(max_slots=2, batch_size=8),
+                             backend="xla")
+    engine.hp.sampler.temperature = 0.0
+    ref = list(engine.generate(prompt, 6))
+    assert out == ref, f"sched={out} engine={ref}"
+
+
+def test_stop_ids(sched):
+    sched.start()
+    # run once to learn the first emitted token, then use it as stop
+    req, out, done = _collect(sched, [2, 3, 4], 8)
+    assert done.wait(timeout=120)
+    first = out[0]
+    req2, out2, done2 = _collect(sched, [2, 3, 4], 8, stop_ids={first})
+    assert done2.wait(timeout=120)
+    assert out2[0] == first and len(out2) == 1
+    assert req2.finish_reason == "stop"
