@@ -1,0 +1,403 @@
+// powerserve_tpu native runtime: GGUF parsing + multithreaded weight
+// repacking to the TPU layout.
+//
+// TPU-native counterpart of the reference's C++ storage layer + repack
+// precedent (reference src/storage/file_loader.* mmap strategy;
+// libs/ggml/src/ggml-aarch64.c repack kernels). The Python framework
+// calls this through ctypes (powerserve_tpu/core/native.py); everything
+// here is pure C ABI.
+//
+// Repack target layout (powerserve_tpu/core/quant.py):
+//   q      int8   [K, N]  (or uint8 [K/2, N] group-packed nibbles)
+//   scales float  [K/32, N]
+//   bias   float  [K/32, N]   (Q4_K only)
+// where the GGUF payload is row-major [N rows, K elements] with quant
+// blocks along K.
+
+#include <atomic>
+#include <cstdint>
+#include <functional>
+#include <cstring>
+#include <cstdio>
+#include <cstdlib>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// fp16 -> fp32 (bit manipulation, no F16C dependency)
+// ---------------------------------------------------------------------------
+inline float fp16_to_fp32(uint16_t h) {
+    uint32_t sign = (uint32_t)(h & 0x8000) << 16;
+    uint32_t exp = (h >> 10) & 0x1F;
+    uint32_t man = h & 0x3FF;
+    uint32_t bits;
+    if (exp == 0) {
+        if (man == 0) {
+            bits = sign;
+        } else {  // subnormal
+            exp = 127 - 15 + 1;
+            while ((man & 0x400) == 0) { man <<= 1; exp--; }
+            man &= 0x3FF;
+            bits = sign | (exp << 23) | (man << 13);
+        }
+    } else if (exp == 31) {
+        bits = sign | 0x7F800000u | (man << 13);
+    } else {
+        bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+    }
+    float f;
+    std::memcpy(&f, &bits, 4);
+    return f;
+}
+
+// nibble packing index helper: for element k with pack group G,
+// returns (row, high?) in the packed [K/2, N] layout
+inline void pack_index(int64_t k, int64_t group, int64_t *row, bool *high) {
+    int64_t g = k / group;
+    int64_t o = k % group;
+    int64_t half = group / 2;
+    if (o < half) { *row = g * half + o; *high = false; }
+    else          { *row = g * half + (o - half); *high = true; }
+}
+
+void parallel_for(int64_t n, const std::function<void(int64_t, int64_t)> &fn) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int64_t n_threads = hw ? (hw > 16 ? 16 : hw) : 4;
+    if (n < n_threads * 4) { fn(0, n); return; }
+    std::vector<std::thread> ts;
+    int64_t chunk = (n + n_threads - 1) / n_threads;
+    for (int64_t t = 0; t < n_threads; t++) {
+        int64_t lo = t * chunk, hi = lo + chunk > n ? n : lo + chunk;
+        if (lo >= hi) break;
+        ts.emplace_back([=, &fn] { fn(lo, hi); });
+    }
+    for (auto &t : ts) t.join();
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// GGUF container parsing (format per the public GGUF v3 spec)
+// ---------------------------------------------------------------------------
+
+struct PsvTensor {
+    std::string name;
+    uint32_t ggml_type;
+    uint64_t offset;     // into data section
+    uint64_t ne[4];
+    uint32_t n_dims;
+};
+
+struct PsvFile {
+    int fd = -1;
+    const uint8_t *data = nullptr;
+    size_t size = 0;
+    uint64_t data_offset = 0;
+    std::vector<PsvTensor> tensors;
+    std::string meta_json;
+};
+
+namespace {
+
+struct Cursor {
+    const uint8_t *p;
+    const uint8_t *end;
+    bool ok = true;
+    template <typename T> T read() {
+        if (p + sizeof(T) > end) { ok = false; return T{}; }
+        T v;
+        std::memcpy(&v, p, sizeof(T));
+        p += sizeof(T);
+        return v;
+    }
+    std::string read_str() {
+        uint64_t n = read<uint64_t>();
+        if (!ok || p + n > end) { ok = false; return ""; }
+        std::string s((const char *)p, n);
+        p += n;
+        return s;
+    }
+};
+
+void json_escape(std::string &out, const std::string &s) {
+    out += '"';
+    for (char c : s) {
+        switch (c) {
+            case '"': out += "\\\""; break;
+            case '\\': out += "\\\\"; break;
+            case '\n': out += "\\n"; break;
+            case '\r': out += "\\r"; break;
+            case '\t': out += "\\t"; break;
+            default:
+                if ((unsigned char)c < 0x20) {
+                    char buf[8];
+                    snprintf(buf, sizeof buf, "\\u%04x", c);
+                    out += buf;
+                } else out += c;
+        }
+    }
+    out += '"';
+}
+
+// serialize one metadata value as JSON (strings and scalars; long
+// arrays are serialized fully — the Python side asks for them rarely)
+void value_to_json(Cursor &c, uint32_t vtype, std::string &out, int depth = 0) {
+    char buf[64];
+    switch (vtype) {
+        case 0: snprintf(buf, sizeof buf, "%u", c.read<uint8_t>()); out += buf; break;
+        case 1: snprintf(buf, sizeof buf, "%d", c.read<int8_t>()); out += buf; break;
+        case 2: snprintf(buf, sizeof buf, "%u", c.read<uint16_t>()); out += buf; break;
+        case 3: snprintf(buf, sizeof buf, "%d", c.read<int16_t>()); out += buf; break;
+        case 4: snprintf(buf, sizeof buf, "%u", c.read<uint32_t>()); out += buf; break;
+        case 5: snprintf(buf, sizeof buf, "%d", c.read<int32_t>()); out += buf; break;
+        case 6: snprintf(buf, sizeof buf, "%.9g", c.read<float>()); out += buf; break;
+        case 7: out += (c.read<uint8_t>() ? "true" : "false"); break;
+        case 8: json_escape(out, c.read_str()); break;
+        case 9: {
+            uint32_t et = c.read<uint32_t>();
+            uint64_t n = c.read<uint64_t>();
+            out += '[';
+            for (uint64_t i = 0; i < n && c.ok; i++) {
+                if (i) out += ',';
+                value_to_json(c, et, out, depth + 1);
+            }
+            out += ']';
+            break;
+        }
+        case 10: snprintf(buf, sizeof buf, "%llu", (unsigned long long)c.read<uint64_t>()); out += buf; break;
+        case 11: snprintf(buf, sizeof buf, "%lld", (long long)c.read<int64_t>()); out += buf; break;
+        case 12: snprintf(buf, sizeof buf, "%.17g", c.read<double>()); out += buf; break;
+        default: c.ok = false;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void psv_close(void *h);  // fwd decl (used by psv_open error paths)
+
+void *psv_open(const char *path) {
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return nullptr;
+    struct stat st;
+    if (fstat(fd, &st) != 0) { close(fd); return nullptr; }
+    void *map = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (map == MAP_FAILED) { close(fd); return nullptr; }
+    madvise(map, st.st_size, MADV_SEQUENTIAL);
+
+    auto *f = new PsvFile;
+    f->fd = fd;
+    f->data = (const uint8_t *)map;
+    f->size = st.st_size;
+
+    Cursor c{f->data, f->data + f->size};
+    uint32_t magic = c.read<uint32_t>();
+    uint32_t version = c.read<uint32_t>();
+    if (magic != 0x46554747u || (version != 2 && version != 3)) {
+        psv_close(f);
+        return nullptr;
+    }
+    uint64_t n_tensors = c.read<uint64_t>();
+    uint64_t n_kv = c.read<uint64_t>();
+
+    uint64_t alignment = 32;
+    std::string &json = f->meta_json;
+    json += '{';
+    for (uint64_t i = 0; i < n_kv && c.ok; i++) {
+        std::string key = c.read_str();
+        uint32_t vtype = c.read<uint32_t>();
+        if (i) json += ',';
+        json_escape(json, key);
+        json += ':';
+        size_t val_start = json.size();
+        value_to_json(c, vtype, json);
+        if (key == "general.alignment") {
+            alignment = strtoull(json.c_str() + val_start, nullptr, 10);
+            if (!alignment) alignment = 32;
+        }
+    }
+    json += '}';
+
+    for (uint64_t i = 0; i < n_tensors && c.ok; i++) {
+        PsvTensor t;
+        t.name = c.read_str();
+        t.n_dims = c.read<uint32_t>();
+        if (t.n_dims > 4) { c.ok = false; break; }
+        for (uint32_t d = 0; d < 4; d++) t.ne[d] = 1;
+        for (uint32_t d = 0; d < t.n_dims; d++) t.ne[d] = c.read<uint64_t>();
+        t.ggml_type = c.read<uint32_t>();
+        t.offset = c.read<uint64_t>();
+        f->tensors.push_back(std::move(t));
+    }
+    if (!c.ok) { psv_close(f); return nullptr; }
+    uint64_t head = c.p - f->data;
+    f->data_offset = (head + alignment - 1) / alignment * alignment;
+    return f;
+}
+
+void psv_close(void *h) {
+    auto *f = (PsvFile *)h;
+    if (!f) return;
+    if (f->data) munmap((void *)f->data, f->size);
+    if (f->fd >= 0) close(f->fd);
+    delete f;
+}
+
+const char *psv_meta_json(void *h) { return ((PsvFile *)h)->meta_json.c_str(); }
+
+int64_t psv_tensor_count(void *h) { return (int64_t)((PsvFile *)h)->tensors.size(); }
+
+// info out params; returns 0 on success
+int psv_tensor_info(void *h, int64_t i, const char **name, uint32_t *ggml_type,
+                    uint32_t *n_dims, uint64_t *ne, uint64_t *offset) {
+    auto *f = (PsvFile *)h;
+    if (i < 0 || (size_t)i >= f->tensors.size()) return -1;
+    auto &t = f->tensors[i];
+    *name = t.name.c_str();
+    *ggml_type = t.ggml_type;
+    *n_dims = t.n_dims;
+    for (int d = 0; d < 4; d++) ne[d] = t.ne[d];
+    *offset = t.offset;
+    return 0;
+}
+
+const uint8_t *psv_tensor_data(void *h, int64_t i) {
+    auto *f = (PsvFile *)h;
+    if (i < 0 || (size_t)i >= f->tensors.size()) return nullptr;
+    return f->data + f->data_offset + f->tensors[i].offset;
+}
+
+// ---------------------------------------------------------------------------
+// repack kernels: GGUF payload [N rows x K elems] -> TPU layout
+// (parallel over output rows N)
+// ---------------------------------------------------------------------------
+
+// Q4_0: 18-byte blocks of 32 (fp16 d + 16 nibble bytes; byte j packs
+// elems j and j+16). Output: packed nibbles (two's complement of q-8)
+// + f32 scales.
+void psv_repack_q4_0(const uint8_t *payload, int64_t n_out, int64_t k_in,
+                     int64_t pack_group, uint8_t *q_packed, float *scales) {
+    const int64_t kb = k_in / 32;
+    parallel_for(n_out, [&](int64_t lo, int64_t hi) {
+        for (int64_t n = lo; n < hi; n++) {
+            const uint8_t *row = payload + n * kb * 18;
+            for (int64_t b = 0; b < kb; b++) {
+                const uint8_t *blk = row + b * 18;
+                uint16_t d16;
+                std::memcpy(&d16, blk, 2);
+                scales[b * n_out + n] = fp16_to_fp32(d16);
+                for (int j = 0; j < 16; j++) {
+                    uint8_t byte = blk[2 + j];
+                    int v0 = (byte & 0xF) - 8;      // elem b*32 + j
+                    int v1 = (byte >> 4) - 8;       // elem b*32 + 16 + j
+                    int64_t ks[2] = {b * 32 + j, b * 32 + 16 + j};
+                    int vs[2] = {v0, v1};
+                    for (int t = 0; t < 2; t++) {
+                        int64_t prow; bool high;
+                        pack_index(ks[t], pack_group, &prow, &high);
+                        uint8_t nib = (uint8_t)(vs[t] & 0xF);
+                        uint8_t &dst = q_packed[prow * n_out + n];
+                        if (high) dst = (uint8_t)((dst & 0x0F) | (nib << 4));
+                        else      dst = (uint8_t)((dst & 0xF0) | nib);
+                    }
+                }
+            }
+        }
+    });
+}
+
+// Q8_0: 34-byte blocks of 32 (fp16 d + 32 int8). Output int8 [K, N].
+void psv_repack_q8_0(const uint8_t *payload, int64_t n_out, int64_t k_in,
+                     int8_t *q, float *scales) {
+    const int64_t kb = k_in / 32;
+    parallel_for(n_out, [&](int64_t lo, int64_t hi) {
+        for (int64_t n = lo; n < hi; n++) {
+            const uint8_t *row = payload + n * kb * 34;
+            for (int64_t b = 0; b < kb; b++) {
+                const uint8_t *blk = row + b * 34;
+                uint16_t d16;
+                std::memcpy(&d16, blk, 2);
+                scales[b * n_out + n] = fp16_to_fp32(d16);
+                for (int j = 0; j < 32; j++) {
+                    q[(b * 32 + j) * n_out + n] = (int8_t)blk[2 + j];
+                }
+            }
+        }
+    });
+}
+
+// Q4_K: 144-byte superblocks of 256 (fp16 d, fp16 dmin, 12B 6-bit
+// scales/mins, 128B nibbles; chunk c's byte j packs elems 64c+j and
+// 64c+32+j). Output: packed unsigned nibbles + per-32 f32 scales+bias.
+void psv_repack_q4_k(const uint8_t *payload, int64_t n_out, int64_t k_in,
+                     int64_t pack_group, uint8_t *q_packed, float *scales,
+                     float *bias) {
+    const int64_t nsb = k_in / 256;
+    parallel_for(n_out, [&](int64_t lo, int64_t hi) {
+        for (int64_t n = lo; n < hi; n++) {
+            const uint8_t *row = payload + n * nsb * 144;
+            for (int64_t sb = 0; sb < nsb; sb++) {
+                const uint8_t *blk = row + sb * 144;
+                uint16_t d16, dmin16;
+                std::memcpy(&d16, blk, 2);
+                std::memcpy(&dmin16, blk + 2, 2);
+                float d = fp16_to_fp32(d16);
+                float dmin = fp16_to_fp32(dmin16);
+                const uint8_t *sc = blk + 4;
+                // decode 8 six-bit (scale, min) pairs
+                for (int j = 0; j < 8; j++) {
+                    uint8_t s6, m6;
+                    if (j < 4) {
+                        s6 = sc[j] & 63;
+                        m6 = sc[j + 4] & 63;
+                    } else {
+                        s6 = (uint8_t)((sc[j + 4] & 0xF) | ((sc[j - 4] >> 6) << 4));
+                        m6 = (uint8_t)((sc[j + 4] >> 4) | ((sc[j] >> 6) << 4));
+                    }
+                    int64_t kb32 = sb * 8 + j;
+                    scales[kb32 * n_out + n] = d * s6;
+                    bias[kb32 * n_out + n] = dmin * m6;
+                }
+                const uint8_t *qs = blk + 16;
+                for (int c = 0; c < 4; c++) {
+                    for (int j = 0; j < 32; j++) {
+                        uint8_t byte = qs[c * 32 + j];
+                        int64_t ks[2] = {sb * 256 + c * 64 + j,
+                                         sb * 256 + c * 64 + 32 + j};
+                        uint8_t vs[2] = {(uint8_t)(byte & 0xF),
+                                         (uint8_t)(byte >> 4)};
+                        for (int t = 0; t < 2; t++) {
+                            int64_t prow; bool high;
+                            pack_index(ks[t], pack_group, &prow, &high);
+                            uint8_t &dst = q_packed[prow * n_out + n];
+                            if (high) dst = (uint8_t)((dst & 0x0F) | (vs[t] << 4));
+                            else      dst = (uint8_t)((dst & 0xF0) | vs[t]);
+                        }
+                    }
+                }
+            }
+        }
+    });
+}
+
+// fp16 payload -> f32 (for norms / biases)
+void psv_fp16_to_f32(const uint8_t *payload, int64_t n, float *out) {
+    parallel_for(n, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++) {
+            uint16_t h;
+            std::memcpy(&h, payload + 2 * i, 2);
+            out[i] = fp16_to_fp32(h);
+        }
+    });
+}
+
+}  // extern "C"

@@ -1,0 +1,171 @@
+"""ctypes bindings for the native C++ runtime (csrc/gguf_loader.cpp).
+
+Provides a fast path for GGUF parsing and weight repacking (mmap +
+multithreaded transpose/nibble-pack in C++); every entry point has a
+pure-numpy fallback in gguf.py/quant.py, so the framework works without
+the compiled library. Build on demand with `make -C csrc` (attempted
+automatically once)."""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from .logging import get_logger
+
+log = get_logger("native")
+
+_CSRC = Path(__file__).resolve().parents[2] / "csrc"
+_LIB_PATH = _CSRC / "build" / "libpowerserve_native.so"
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        r = subprocess.run(["make", "-C", str(_CSRC)], capture_output=True,
+                           text=True, timeout=300)
+        if r.returncode != 0:
+            log.warning(f"native build failed: {r.stderr[-500:]}")
+            return False
+        return True
+    except Exception as e:  # noqa: BLE001
+        log.warning(f"native build unavailable: {e}")
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists() and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError as e:
+        log.warning(f"native lib load failed: {e}")
+        return None
+    lib.psv_open.restype = ctypes.c_void_p
+    lib.psv_open.argtypes = [ctypes.c_char_p]
+    lib.psv_close.argtypes = [ctypes.c_void_p]
+    lib.psv_meta_json.restype = ctypes.c_char_p
+    lib.psv_meta_json.argtypes = [ctypes.c_void_p]
+    lib.psv_tensor_count.restype = ctypes.c_int64
+    lib.psv_tensor_count.argtypes = [ctypes.c_void_p]
+    lib.psv_tensor_info.restype = ctypes.c_int
+    lib.psv_tensor_info.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64)]
+    lib.psv_tensor_data.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.psv_tensor_data.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    for name in ("psv_repack_q4_0", "psv_repack_q8_0", "psv_repack_q4_k"):
+        getattr(lib, name).restype = None
+    lib.psv_repack_q4_0.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float)]
+    lib.psv_repack_q8_0.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_float)]
+    lib.psv_repack_q4_k.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+    lib.psv_fp16_to_f32.restype = None
+    lib.psv_fp16_to_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float)]
+    _lib = lib
+    return _lib
+
+
+class NativeGGUFReader:
+    """Drop-in alternative to gguf.GGUFReader backed by the C++ parser."""
+
+    def __init__(self, path: str | os.PathLike):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.psv_open(os.fspath(path).encode())
+        if not self._h:
+            raise ValueError(f"psv_open failed for {path}")
+        self.metadata = json.loads(lib.psv_meta_json(self._h).decode())
+        self.tensors: dict[str, tuple[int, int, tuple[int, ...]]] = {}
+        self._index: dict[str, int] = {}
+        n = lib.psv_tensor_count(self._h)
+        for i in range(n):
+            name = ctypes.c_char_p()
+            ggml_type = ctypes.c_uint32()
+            n_dims = ctypes.c_uint32()
+            ne = (ctypes.c_uint64 * 4)()
+            off = ctypes.c_uint64()
+            lib.psv_tensor_info(self._h, i, ctypes.byref(name),
+                                ctypes.byref(ggml_type), ctypes.byref(n_dims),
+                                ne, ctypes.byref(off))
+            nm = name.value.decode()
+            dims = tuple(int(ne[d]) for d in range(n_dims.value))
+            self._index[nm] = i
+            self.tensors[nm] = (int(ggml_type.value), int(off.value), dims)
+
+    def tensor_raw(self, name: str) -> np.ndarray:
+        from .gguf import tensor_nbytes
+
+        ggml_type, _, ne = self.tensors[name]
+        n_el = int(np.prod(ne)) if ne else 1
+        nbytes = tensor_nbytes(ggml_type, n_el)
+        ptr = self._lib.psv_tensor_data(self._h, self._index[name])
+        return np.ctypeslib.as_array(ptr, shape=(nbytes,))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.psv_close(self._h)
+            self._h = None
+
+
+def native_repack(payload: np.ndarray, ggml_type: int, n_out: int,
+                  k_in: int):
+    """C++ repack -> (q, scales, bias) in the quant.py layout, with
+    4-bit formats already nibble-packed. Returns None if unsupported."""
+    from .gguf import GGMLType
+    from .quant import choose_pack_group
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    pp = payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    kb = k_in // 32
+    scales = np.empty((kb, n_out), np.float32)
+    sp = scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    if ggml_type == GGMLType.Q4_0:
+        group = choose_pack_group(k_in)
+        q = np.zeros((k_in // 2, n_out), np.uint8)
+        lib.psv_repack_q4_0(pp, n_out, k_in, group,
+                            q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                            sp)
+        return q, scales, None, group, False
+    if ggml_type == GGMLType.Q8_0:
+        q = np.empty((k_in, n_out), np.int8)
+        lib.psv_repack_q8_0(pp, n_out, k_in,
+                            q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                            sp)
+        return q, scales, None, 0, False
+    if ggml_type == GGMLType.Q4_K:
+        group = choose_pack_group(k_in)
+        q = np.zeros((k_in // 2, n_out), np.uint8)
+        bias = np.empty((kb, n_out), np.float32)
+        lib.psv_repack_q4_k(pp, n_out, k_in, group,
+                            q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                            sp,
+                            bias.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return q, scales, bias, group, True
+    return None

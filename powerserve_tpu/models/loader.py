@@ -78,6 +78,19 @@ def config_from_gguf_metadata(md: dict[str, Any]) -> ModelConfig:
 def _qlinear_from_gguf(reader: GGUFReader, name: str,
                        pack: bool = True) -> QLinear:
     info = reader.tensors[name]
+    if pack:
+        from ..core.native import native_repack
+
+        n_out, k_in = info.shape
+        nat = native_repack(reader.tensor_raw(name), info.ggml_type,
+                            n_out, k_in)
+        if nat is not None:
+            q, scales, bias, group, unsigned = nat
+            return QLinear(
+                q=jnp.asarray(q), scales=jnp.asarray(scales),
+                bias=None if bias is None else jnp.asarray(bias),
+                packed=group > 0, unsigned=unsigned,
+                in_features=k_in, out_features=n_out, pack_group=group)
     qt = repack_gguf_tensor(reader.tensor_raw(name), info.ggml_type,
                             info.shape)
     return QLinear.from_quantized(qt, pack=pack)

@@ -1,0 +1,78 @@
+"""Native C++ loader/repacker parity vs the numpy reference path."""
+
+import numpy as np
+import pytest
+
+from powerserve_tpu.core import gguf as G
+from powerserve_tpu.core import quant as Q
+from powerserve_tpu.core.native import NativeGGUFReader, get_lib, native_repack
+
+pytestmark = pytest.mark.skipif(get_lib() is None,
+                                reason="native lib not built")
+
+
+@pytest.mark.parametrize("fmt", [G.GGMLType.Q4_0, G.GGMLType.Q8_0,
+                                 G.GGMLType.Q4_K])
+def test_native_repack_matches_numpy(fmt):
+    rng = np.random.default_rng(0)
+    n_out, k_in = 8, 512
+    w = rng.standard_normal((n_out, k_in)).astype(np.float32)
+    payload = Q.quantize(w, fmt)
+    ref = Q.repack_gguf_tensor(payload, fmt, (n_out, k_in))
+    out = native_repack(payload, fmt, n_out, k_in)
+    assert out is not None
+    q, scales, bias, group, unsigned = out
+    np.testing.assert_allclose(scales, ref.scales, rtol=1e-6, atol=1e-7)
+    if fmt == G.GGMLType.Q4_K:
+        assert unsigned and bias is not None
+        np.testing.assert_allclose(bias, ref.bias, rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(Q.unpack_nib4_unsigned(q, group), ref.q)
+    elif fmt == G.GGMLType.Q4_0:
+        assert not unsigned and bias is None
+        np.testing.assert_array_equal(Q.unpack_nib4_signed(q, group), ref.q)
+    else:
+        np.testing.assert_array_equal(q, ref.q)
+
+
+def test_native_gguf_reader_matches_python(tmp_path):
+    rng = np.random.default_rng(1)
+    w = G.GGUFWriter()
+    w.metadata["general.architecture"] = "llama"
+    w.metadata["llama.block_count"] = 3
+    w.metadata["llama.rope.freq_base"] = 500000.0
+    w.metadata["tokenizer.ggml.tokens"] = ["a", "b", "c"]
+    w.metadata["flag"] = True
+    a = rng.standard_normal((4, 64)).astype(np.float32)
+    w.add_float_tensor("a.weight", a)
+    b = rng.standard_normal((8, 256)).astype(np.float32)
+    w.add_tensor("b.weight", (256, 8), G.GGMLType.Q4_K,
+                 Q.quantize(b, G.GGMLType.Q4_K))
+    path = tmp_path / "t.gguf"
+    w.write(path)
+
+    py = G.GGUFReader(path)
+    nat = NativeGGUFReader(path)
+    assert nat.metadata["general.architecture"] == "llama"
+    assert nat.metadata["llama.block_count"] == 3
+    assert abs(nat.metadata["llama.rope.freq_base"] - 500000.0) < 1e-3
+    assert nat.metadata["tokenizer.ggml.tokens"] == ["a", "b", "c"]
+    assert nat.metadata["flag"] is True
+    for name in ("a.weight", "b.weight"):
+        np.testing.assert_array_equal(nat.tensor_raw(name),
+                                      py.tensor_raw(name))
+        assert nat.tensors[name][2] == py.tensors[name].ne
+    nat.close()
+    py.close()
+
+
+def test_native_fp16_convert():
+    import ctypes
+
+    lib = get_lib()
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(1000).astype(np.float16)
+    out = np.empty(1000, np.float32)
+    lib.psv_fp16_to_f32(
+        x.view(np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        1000, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    np.testing.assert_array_equal(out, x.astype(np.float32))
