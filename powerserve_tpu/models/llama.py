@@ -138,9 +138,7 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
 
     quantized = kv.quantized
 
-    def layer_step(carry, inputs):
-        x = carry
-        lw, k_l, v_l, ks_l, vs_l = inputs
+    def layer_body(x, lw, k_l, v_l, ks_l, vs_l):
         h = rms_norm(x, lw.attn_norm, llm.norm_eps).astype(jnp.bfloat16)
         hf = h.reshape(S * Tq, -1)
         q = _linear(hf, lw.wq, lw.bq, backend).reshape(S, Tq, H, D)
@@ -187,16 +185,37 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         x = x + down.reshape(S, Tq, -1).astype(x.dtype)
         return x, (k_l, v_l, ks_l, vs_l)
 
-    x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
-        layer_step, x,
-        (params.layers, kv.k, kv.v, kv.k_scale, kv.v_scale),
-    )
-
     import dataclasses as _dc
 
-    kv = _dc.replace(kv, k=k_new, v=v_new,
-                     k_scale=ks_new if quantized else kv.k_scale,
-                     v_scale=vs_new if quantized else kv.v_scale)
+    if isinstance(params.layers, (tuple, list)):
+        # unrolled layer loop: weights are separate arrays, so Pallas
+        # kernels read them directly from HBM — lax.scan over stacked
+        # weights forces XLA to materialize a per-layer slice copy
+        # before each opaque pallas_call (≈3x HBM traffic at decode)
+        k_all, v_all = kv.k, kv.v
+        ks_all, vs_all = kv.k_scale, kv.v_scale
+        for i, lw in enumerate(params.layers):
+            x, (k_l, v_l, ks_l, vs_l) = layer_body(
+                x, lw, k_all[i], v_all[i], ks_all[i], vs_all[i])
+            k_all = k_all.at[i].set(k_l)
+            v_all = v_all.at[i].set(v_l)
+            if quantized:
+                ks_all = ks_all.at[i].set(ks_l)
+                vs_all = vs_all.at[i].set(vs_l)
+        kv = _dc.replace(kv, k=k_all, v=v_all, k_scale=ks_all,
+                         v_scale=vs_all)
+    else:
+        def layer_step(carry, inputs):
+            lw, k_l, v_l, ks_l, vs_l = inputs
+            return layer_body(carry, lw, k_l, v_l, ks_l, vs_l)
+
+        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+            layer_step, x,
+            (params.layers, kv.k, kv.v, kv.k_scale, kv.v_scale),
+        )
+        kv = _dc.replace(kv, k=k_new, v=v_new,
+                         k_scale=ks_new if quantized else kv.k_scale,
+                         v_scale=vs_new if quantized else kv.v_scale)
     kv = kv.advance(cache_positions, active=active, visible=visible)
 
     xf = rms_norm(x, params.out_norm, llm.norm_eps).astype(jnp.bfloat16)

@@ -129,9 +129,13 @@ def _maybe_bias(reader: GGUFReader, name: str) -> jnp.ndarray | None:
     return None
 
 
-def load_gguf_model(path: str | os.PathLike,
-                    pack: bool = True) -> tuple[ModelConfig, LlamaParams]:
-    """Load weights.gguf (or a model dir containing it)."""
+def load_gguf_model(path: str | os.PathLike, pack: bool = True,
+                    stacked: bool = False) -> tuple[ModelConfig, LlamaParams]:
+    """Load weights.gguf (or a model dir containing it).
+
+    stacked=False (default) keeps per-layer weights as a tuple — the
+    unrolled forward reads them in place (fast on TPU); stacked=True
+    stacks them for the lax.scan forward (small compile times)."""
     p = Path(path)
     if p.is_dir():
         p = p / "weights.gguf"
@@ -164,8 +168,10 @@ def load_gguf_model(path: str | os.PathLike,
     else:
         lm_head = _lm_head_from_embedding(embed)
         cfg.llm.tie_embeddings = True
-    params = LlamaParams(embed=embed, layers=stack_layers(layers),
-                         out_norm=out_norm, lm_head=lm_head)
+    params = LlamaParams(
+        embed=embed,
+        layers=stack_layers(layers) if stacked else tuple(layers),
+        out_norm=out_norm, lm_head=lm_head)
     reader.close()
     return cfg, params
 
@@ -193,8 +199,8 @@ def _embedding_from_float(w: np.ndarray, fmt: int) -> QEmbedding:
 
 
 def params_from_hf_state_dict(sd: dict[str, np.ndarray], cfg: ModelConfig,
-                              fmt: int = GGMLType.Q8_0,
-                              pack: bool = True) -> LlamaParams:
+                              fmt: int = GGMLType.Q8_0, pack: bool = True,
+                              stacked: bool = False) -> LlamaParams:
     """Build params from a HuggingFace Llama/Qwen2 state dict (numpy
     arrays, HF names). Used by tests (golden logits vs transformers) and
     the HF->workspace converter. HF layout => NEOX rope."""
@@ -232,5 +238,7 @@ def params_from_hf_state_dict(sd: dict[str, np.ndarray], cfg: ModelConfig,
         lm_head = _qlinear_from_float(get("lm_head.weight"), fmt, pack)
     else:
         lm_head = _lm_head_from_embedding(embed)
-    return LlamaParams(embed=embed, layers=stack_layers(layers),
-                       out_norm=out_norm, lm_head=lm_head)
+    return LlamaParams(
+        embed=embed,
+        layers=stack_layers(layers) if stacked else tuple(layers),
+        out_norm=out_norm, lm_head=lm_head)

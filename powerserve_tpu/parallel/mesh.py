@@ -83,11 +83,11 @@ def _shard_qlinear(lin: QLinear, mesh: Mesh, col_parallel: bool) -> QLinear:
 
 
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
-    """Place model params on the mesh with TP shardings."""
+    """Place model params on the mesh with TP shardings (handles both
+    stacked-scan and unrolled-tuple layer layouts)."""
     import dataclasses
 
     tp = mesh.shape["tp"]
-    lw = params.layers
 
     def col(l: QLinear) -> QLinear:
         return _shard_qlinear(l, mesh, True)
@@ -103,15 +103,22 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
             return None
         if not _shardable(b.shape[-1], tp):
             return repl(b)
-        return _put(b, mesh, P(None, "tp"))
+        spec = P(None, "tp") if b.ndim == 2 else P("tp")
+        return _put(b, mesh, spec)
 
-    layers = dataclasses.replace(
-        lw,
-        attn_norm=repl(lw.attn_norm), ffn_norm=repl(lw.ffn_norm),
-        wq=col(lw.wq), wk=col(lw.wk), wv=col(lw.wv), wo=row(lw.wo),
-        bq=bias_col(lw.bq), bk=bias_col(lw.bk), bv=bias_col(lw.bv),
-        w_gate=col(lw.w_gate), w_up=col(lw.w_up), w_down=row(lw.w_down),
-    )
+    def shard_layer(lw):
+        return dataclasses.replace(
+            lw,
+            attn_norm=repl(lw.attn_norm), ffn_norm=repl(lw.ffn_norm),
+            wq=col(lw.wq), wk=col(lw.wk), wv=col(lw.wv), wo=row(lw.wo),
+            bq=bias_col(lw.bq), bk=bias_col(lw.bk), bv=bias_col(lw.bv),
+            w_gate=col(lw.w_gate), w_up=col(lw.w_up), w_down=row(lw.w_down),
+        )
+
+    if isinstance(params.layers, (tuple, list)):
+        layers = tuple(shard_layer(lw) for lw in params.layers)
+    else:
+        layers = shard_layer(params.layers)
     # embedding: shard vocab axis when divisible (gather all-reduces),
     # else replicate
     emb = params.embed

@@ -43,7 +43,11 @@ def _rand_qlinear(key, k: int, n: int, quant: str) -> QLinear:
 
 
 def make_device_params(preset: str = "llama-8b", quant: str = "q4_k",
-                       seed: int = 0) -> tuple[ModelConfig, LlamaParams]:
+                       seed: int = 0,
+                       stacked: bool = False) -> tuple[ModelConfig, LlamaParams]:
+    """stacked=False (default) builds a tuple of per-layer weights for
+    the unrolled forward (fast path); stacked=True builds lax.scan
+    layout."""
     p = PRESETS[preset]
     dim, ffn, L = p["dim"], p["ffn"], p["layers"]
     H, Hkv, V = p["heads"], p["kv_heads"], p["vocab"]
@@ -74,7 +78,11 @@ def make_device_params(preset: str = "llama-8b", quant: str = "q4_k",
                     ).astype(jnp.float32),
             bias=None,
         )
-        layers = jax.vmap(one_layer)(jax.random.split(k_layers, L))
+        if stacked:
+            layers = jax.vmap(one_layer)(jax.random.split(k_layers, L))
+        else:
+            layers = tuple(one_layer(k)
+                           for k in jax.random.split(k_layers, L))
         return LlamaParams(
             embed=embed,
             layers=layers,

@@ -146,3 +146,36 @@ def test_forward_jits_and_caches():
     logits2, kv = step(params, kv, t + 1, jnp.ones((2, 1), jnp.int32))
     assert logits.shape == (2, cfg.llm.vocab_size)
     assert np.asarray(kv.pos).tolist() == [2, 2]
+
+
+def test_unrolled_matches_scan():
+    """Unrolled (tuple) layer layout must produce identical logits to
+    the stacked lax.scan layout."""
+    torch.manual_seed(5)
+    model, cfg = _mk_hf_llama()
+    sd = _to_sd(model)
+    p_scan = params_from_hf_state_dict(sd, cfg, fmt=GGMLType.Q8_0,
+                                       stacked=True)
+    p_unroll = params_from_hf_state_dict(sd, cfg, fmt=GGMLType.Q8_0,
+                                         stacked=False)
+    assert isinstance(p_unroll.layers, tuple)
+    T = 6
+    tokens = jnp.asarray(np.random.default_rng(5).integers(
+        0, cfg.llm.vocab_size, (1, T)))
+    pos = jnp.arange(T)[None, :]
+    outs = []
+    for p in (p_scan, p_unroll):
+        kv = KVCache.create(cfg.llm.n_layers, 1, 16, cfg.llm.n_kv_heads,
+                            cfg.llm.head_size, dtype="bf16")
+        logits, kv2 = forward(p, cfg.llm, kv, tokens, pos, backend="xla",
+                              logits_mode="all")
+        outs.append((np.asarray(logits), np.asarray(kv2.k),
+                     np.asarray(kv2.pos)))
+    # bf16 matmuls fuse differently between the two lowerings — allow
+    # rounding-level drift but require structural agreement
+    corr = np.corrcoef(outs[0][0].ravel(), outs[1][0].ravel())[0, 1]
+    assert corr > 0.9999, f"corr {corr}"
+    denom = np.abs(outs[0][0]).max()
+    assert np.abs(outs[0][0] - outs[1][0]).max() / denom < 0.02
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-2, atol=1e-2)
+    np.testing.assert_array_equal(outs[0][2], outs[1][2])
