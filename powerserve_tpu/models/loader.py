@@ -51,13 +51,15 @@ def config_from_gguf_metadata(md: dict[str, Any]) -> ModelConfig:
     rope_dims = int(key("rope.dimension_count", head_size))
     vocab = md.get("tokenizer.ggml.tokens")
     vocab_size = int(key("vocab_size", len(vocab) if vocab is not None else 32000))
+    default_rope = (ROPE_TYPE_NEOX if arch in ("qwen2", "qwen3", "internvl")
+                    else ROPE_TYPE_NORM)
     rope = RopeConfig(
         n_dims=rope_dims,
         n_ctx_orig=int(key("context_length", 2048)),
         freq_base=float(key("rope.freq_base", 10000.0)),
         freq_scale=1.0 / float(key("rope.scale_linear", 1.0) or 1.0),
-        rope_type=ROPE_TYPE_NEOX if arch in ("qwen2", "qwen3", "internvl")
-        else ROPE_TYPE_NORM,
+        # our own converter writes unpermuted HF weights and marks it
+        rope_type=int(md.get("powerserve.rope_type", default_rope)),
     )
     llm = LLMConfig(
         dim=dim,

@@ -1,0 +1,170 @@
+"""HF checkpoint -> powerserve workspace converter.
+
+Replaces the reference's export pipeline (tools/gguf_export.py P3 +
+vendored convert_hf_to_gguf P2): reads a HuggingFace model dir
+(config.json + *.safetensors or pytorch_model.bin), quantizes weights to
+a GGUF-family format, and writes a ready-to-serve workspace:
+
+  out/
+    workspace.json  hparams.json
+    model/
+      weights.gguf   (tensors in llama.cpp naming, quantized)
+      tokenizer.json tokenizer_config.json (copied if present)
+      model.json
+
+Rope layout: HF weights are written UNPERMUTED with the metadata key
+`powerserve.rope_type = 2` (NEOX) — the loader honors it, so no Wq/Wk
+permutation juggling (llama.cpp permutes instead; either convention
+decodes identically)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+
+from ..core.gguf import GGMLType, GGUFWriter
+from ..core.quant import quantize
+from ..ops.elementwise import ROPE_TYPE_NEOX
+
+QUANTS = {"q4_0": GGMLType.Q4_0, "q8_0": GGMLType.Q8_0,
+          "q4_k": GGMLType.Q4_K, "f16": GGMLType.F16, "f32": GGMLType.F32}
+
+# HF name -> GGUF name (llama.cpp convention, reference llama_weight.hpp)
+_GLOBAL_MAP = {
+    "model.embed_tokens.weight": "token_embd.weight",
+    "model.norm.weight": "output_norm.weight",
+    "lm_head.weight": "output.weight",
+}
+_LAYER_MAP = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+
+
+def _iter_hf_tensors(model_dir: Path):
+    """Yield (name, numpy array) from safetensors shards or torch bins."""
+    st_files = sorted(model_dir.glob("*.safetensors"))
+    if st_files:
+        from safetensors.numpy import load_file
+
+        for f in st_files:
+            for name, arr in load_file(str(f)).items():
+                yield name, arr
+        return
+    bins = sorted(model_dir.glob("pytorch_model*.bin"))
+    if not bins:
+        raise FileNotFoundError(f"no safetensors/bin weights in {model_dir}")
+    import torch
+
+    for f in bins:
+        sd = torch.load(f, map_location="cpu", weights_only=True)
+        for name, t in sd.items():
+            yield name, t.float().numpy()
+
+
+def _gguf_name(hf_name: str) -> str | None:
+    if hf_name in _GLOBAL_MAP:
+        return _GLOBAL_MAP[hf_name]
+    if hf_name.startswith("model.layers."):
+        rest = hf_name[len("model.layers."):]
+        idx, _, tail = rest.partition(".")
+        mapped = _LAYER_MAP.get(tail)
+        if mapped:
+            return f"blk.{idx}.{mapped}"
+    return None
+
+
+def convert_hf_model(model_dir: str | Path, out_dir: str | Path,
+                     quant: str = "q4_k") -> Path:
+    model_dir = Path(model_dir)
+    out_dir = Path(out_dir)
+    target = out_dir / "model"
+    target.mkdir(parents=True, exist_ok=True)
+    fmt = QUANTS[quant]
+
+    hf_cfg = json.loads((model_dir / "config.json").read_text())
+    arch_list = hf_cfg.get("architectures", ["LlamaForCausalLM"])
+    arch = "qwen2" if any("Qwen2" in a for a in arch_list) else "llama"
+    dim = hf_cfg["hidden_size"]
+    n_heads = hf_cfg["num_attention_heads"]
+    n_kv = hf_cfg.get("num_key_value_heads", n_heads)
+    head_dim = hf_cfg.get("head_dim", dim // n_heads)
+    n_layers = hf_cfg["num_hidden_layers"]
+
+    w = GGUFWriter()
+    md = w.metadata
+    md["general.architecture"] = arch
+    md[f"{arch}.embedding_length"] = dim
+    md[f"{arch}.feed_forward_length"] = hf_cfg["intermediate_size"]
+    md[f"{arch}.block_count"] = n_layers
+    md[f"{arch}.attention.head_count"] = n_heads
+    md[f"{arch}.attention.head_count_kv"] = n_kv
+    md[f"{arch}.context_length"] = hf_cfg.get("max_position_embeddings", 4096)
+    md[f"{arch}.rope.dimension_count"] = head_dim
+    md[f"{arch}.rope.freq_base"] = float(hf_cfg.get("rope_theta", 10000.0))
+    md[f"{arch}.attention.layer_norm_rms_epsilon"] = float(
+        hf_cfg.get("rms_norm_eps", 1e-5))
+    md[f"{arch}.vocab_size"] = hf_cfg["vocab_size"]
+    md["powerserve.rope_type"] = ROPE_TYPE_NEOX  # unpermuted HF layout
+
+    tied = bool(hf_cfg.get("tie_word_embeddings", False))
+    n_written = 0
+    for hf_name, arr in _iter_hf_tensors(model_dir):
+        name = _gguf_name(hf_name)
+        if name is None:
+            continue
+        arr = np.asarray(arr, np.float32)
+        if arr.ndim == 1 or name.endswith(".bias"):
+            w.add_float_tensor(name, arr)
+        else:
+            use = fmt
+            block = 256 if fmt == GGMLType.Q4_K else 32
+            if arr.shape[-1] % block != 0:
+                use = GGMLType.F16
+            w.add_tensor(name, tuple(reversed(arr.shape)), use,
+                         quantize(arr, use))
+        n_written += 1
+    if tied:
+        pass  # loader falls back to token_embd for lm_head
+    w.write(target / "weights.gguf")
+
+    for f in ("tokenizer.json", "tokenizer_config.json"):
+        if (model_dir / f).exists():
+            shutil.copy(model_dir / f, target / f)
+
+    (out_dir / "workspace.json").write_text(json.dumps({
+        "model_main": "model", "model_draft": "",
+        "hparams_config": "hparams.json"}))
+    (out_dir / "hparams.json").write_text(json.dumps({
+        "batch_size": 128, "max_slots": 4,
+        "sampler": {"temperature": 0.8, "top_k": 40, "top_p": 0.95}}))
+    print(f"wrote {n_written} tensors -> {target / 'weights.gguf'}")
+    return out_dir
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="powerserve-tpu convert")
+    ap.add_argument("model_dir", help="HF model dir")
+    ap.add_argument("out_dir", help="workspace output dir")
+    ap.add_argument("--quant", default="q4_k", choices=sorted(QUANTS))
+    args = ap.parse_args(argv)
+    convert_hf_model(args.model_dir, args.out_dir, args.quant)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

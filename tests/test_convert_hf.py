@@ -1,0 +1,58 @@
+"""HF -> workspace converter round-trip: convert a tiny random HF llama,
+load the workspace, compare logits with transformers."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from powerserve_tpu.kv import KVCache
+from powerserve_tpu.models import forward, load_gguf_model
+from powerserve_tpu.tools.convert_hf import convert_hf_model
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def test_convert_roundtrip(tmp_path):
+    from tests.test_model_golden import _mk_hf_llama
+
+    torch.manual_seed(0)
+    model, _ = _mk_hf_llama(vocab=512, dim=64)
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(hf_dir, safe_serialization=True)
+
+    ws = convert_hf_model(hf_dir, tmp_path / "ws", quant="q8_0")
+    cfg, params = load_gguf_model(ws / "model")
+    assert cfg.arch == "llama"
+    assert cfg.llm.dim == 64
+    assert cfg.llm.rope.rope_type == 2  # NEOX: unpermuted HF weights
+
+    T = 8
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 512, (1, T))
+    with torch.no_grad():
+        ref = model(torch.tensor(tokens)).logits.numpy()[0]
+
+    kv = KVCache.create(cfg.llm.n_layers, 1, 32, cfg.llm.n_kv_heads,
+                        cfg.llm.head_size, dtype="bf16")
+    logits, _ = forward(params, cfg.llm, kv, jnp.asarray(tokens),
+                        jnp.arange(T)[None, :], backend="xla",
+                        logits_mode="all")
+    got = np.asarray(logits)[0]
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999, f"corr {corr}"
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.08, f"rel {rel}"
+
+
+def test_convert_qwen_bias(tmp_path):
+    from tests.test_model_golden import _mk_hf_llama
+
+    torch.manual_seed(1)
+    model, _ = _mk_hf_llama(qwen=True, vocab=512, dim=64)
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(hf_dir, safe_serialization=True)
+    ws = convert_hf_model(hf_dir, tmp_path / "ws", quant="q8_0")
+    cfg, params = load_gguf_model(ws / "model")
+    assert cfg.arch == "qwen2"
+    assert params.layers[0].bq is not None  # qkv bias survived
