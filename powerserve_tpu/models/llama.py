@@ -85,14 +85,6 @@ class LlamaParams:
     lm_head: QLinear  # [dim, vocab]
 
 
-def _linear(x: jax.Array, w: QLinear, b: jax.Array | None,
-            backend: str) -> jax.Array:
-    y = qmatmul(x, w, backend=backend)
-    if b is not None:
-        y = y + b
-    return y
-
-
 def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             tokens: jax.Array, positions: jax.Array, *,
             active: jax.Array | None = None,
@@ -138,12 +130,24 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
 
     quantized = kv.quantized
 
-    def layer_body(x, lw, k_l, v_l, ks_l, vs_l):
-        h = rms_norm(x, lw.attn_norm, llm.norm_eps).astype(jnp.bfloat16)
+    def layer_body(x, lw, k_l, v_l, ks_l, vs_l, layer=None):
+        # layer!=None: lw holds stacked [L, ...] weights (scan mode) —
+        # small tensors are sliced here, QLinears are indexed inside the
+        # kernel via scalar prefetch (no HBM slice copies)
+        def sl(t):
+            if t is None or layer is None:
+                return t
+            return jnp.take(t, layer, axis=0)
+
+        def lin(h, w, b):
+            y = qmatmul(h, w, backend=backend, layer=layer)
+            return y if b is None else y + sl(b)
+
+        h = rms_norm(x, sl(lw.attn_norm), llm.norm_eps).astype(jnp.bfloat16)
         hf = h.reshape(S * Tq, -1)
-        q = _linear(hf, lw.wq, lw.bq, backend).reshape(S, Tq, H, D)
-        knew = _linear(hf, lw.wk, lw.bk, backend).reshape(S, Tq, Hkv, D)
-        vnew = _linear(hf, lw.wv, lw.bv, backend).reshape(S, Tq, Hkv, D)
+        q = lin(hf, lw.wq, lw.bq).reshape(S, Tq, H, D)
+        knew = lin(hf, lw.wk, lw.bk).reshape(S, Tq, Hkv, D)
+        vnew = lin(hf, lw.wv, lw.bv).reshape(S, Tq, Hkv, D)
         q = apply_rope(q, cos, sin, rope_type)
         knew = apply_rope(knew, cos, sin, rope_type)
 
@@ -172,16 +176,16 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             kf, vf = k_l, v_l
 
         attn = gqa_attention(q, kf, vf, vis, scale)  # [S, Tq, H*D]
-        attn_out = qmatmul(attn.reshape(S * Tq, -1).astype(jnp.bfloat16),
-                           lw.wo, backend=backend)
+        attn_out = lin(attn.reshape(S * Tq, -1).astype(jnp.bfloat16),
+                       lw.wo, None)
         x = x + attn_out.reshape(S, Tq, -1).astype(x.dtype)
 
-        h2 = rms_norm(x, lw.ffn_norm, llm.norm_eps).astype(jnp.bfloat16)
+        h2 = rms_norm(x, sl(lw.ffn_norm), llm.norm_eps).astype(jnp.bfloat16)
         h2f = h2.reshape(S * Tq, -1)
-        gate = qmatmul(h2f, lw.w_gate, backend=backend)
-        up = qmatmul(h2f, lw.w_up, backend=backend)
+        gate = lin(h2f, lw.w_gate, None)
+        up = lin(h2f, lw.w_up, None)
         act = silu_hadamard(gate, up).astype(jnp.bfloat16)
-        down = qmatmul(act, lw.w_down, backend=backend)
+        down = lin(act, lw.w_down, None)
         x = x + down.reshape(S, Tq, -1).astype(x.dtype)
         return x, (k_l, v_l, ks_l, vs_l)
 
@@ -205,13 +209,20 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         kv = _dc.replace(kv, k=k_all, v=v_all, k_scale=ks_all,
                          v_scale=vs_all)
     else:
-        def layer_step(carry, inputs):
-            lw, k_l, v_l, ks_l, vs_l = inputs
-            return layer_body(carry, lw, k_l, v_l, ks_l, vs_l)
+        # scan over the layer index; stacked weights stay OUTSIDE the
+        # scan as a closure constant, indexed inside the Pallas kernels
+        # via scalar prefetch
+        stacked = params.layers
 
+        def layer_step(carry, inputs):
+            idx, k_l, v_l, ks_l, vs_l = inputs
+            return layer_body(carry, stacked, k_l, v_l, ks_l, vs_l,
+                              layer=idx)
+
+        n_layers = kv.k.shape[0]
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
             layer_step, x,
-            (params.layers, kv.k, kv.v, kv.k_scale, kv.v_scale),
+            (jnp.arange(n_layers), kv.k, kv.v, kv.k_scale, kv.v_scale),
         )
         kv = _dc.replace(kv, k=k_new, v=v_new,
                          k_scale=ks_new if quantized else kv.k_scale,

@@ -132,12 +132,13 @@ def _maybe_bias(reader: GGUFReader, name: str) -> jnp.ndarray | None:
 
 
 def load_gguf_model(path: str | os.PathLike, pack: bool = True,
-                    stacked: bool = False) -> tuple[ModelConfig, LlamaParams]:
+                    stacked: bool = True) -> tuple[ModelConfig, LlamaParams]:
     """Load weights.gguf (or a model dir containing it).
 
-    stacked=False (default) keeps per-layer weights as a tuple — the
-    unrolled forward reads them in place (fast on TPU); stacked=True
-    stacks them for the lax.scan forward (small compile times)."""
+    stacked=True (default) stacks per-layer weights for the lax.scan
+    forward whose Pallas kernels index layers via scalar prefetch (small
+    compiles, no slice copies); stacked=False keeps a tuple for the
+    unrolled forward."""
     p = Path(path)
     if p.is_dir():
         p = p / "weights.gguf"
@@ -202,7 +203,7 @@ def _embedding_from_float(w: np.ndarray, fmt: int) -> QEmbedding:
 
 def params_from_hf_state_dict(sd: dict[str, np.ndarray], cfg: ModelConfig,
                               fmt: int = GGMLType.Q8_0, pack: bool = True,
-                              stacked: bool = False) -> LlamaParams:
+                              stacked: bool = True) -> LlamaParams:
     """Build params from a HuggingFace Llama/Qwen2 state dict (numpy
     arrays, HF names). Used by tests (golden logits vs transformers) and
     the HF->workspace converter. HF layout => NEOX rope."""

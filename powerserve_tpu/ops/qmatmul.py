@@ -136,13 +136,20 @@ def _qmatmul_xla(x: jax.Array, lin: QLinear, compute_dtype: Any) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _make_kernel(unsigned: bool, packed: bool, has_bias: bool, compute_dtype,
-                 n_k_tiles: int):
+                 n_k_tiles: int, prefetch: bool):
     def kernel(*refs):
+        if prefetch:  # scalar-prefetch layer index comes first
+            refs = refs[1:]
         if has_bias:
             x_ref, q_ref, s_ref, b_ref, o_ref, acc = refs
         else:
             x_ref, q_ref, s_ref, o_ref, acc = refs
             b_ref = None
+        if prefetch:  # blocks carry a leading layer dim of size 1
+            q_ref = q_ref.at[0]
+            s_ref = s_ref.at[0]
+            if b_ref is not None:
+                b_ref = b_ref.at[0]
         kt = pl.program_id(2)
 
         @pl.when(kt == 0)
@@ -188,10 +195,11 @@ def _pick_bn(n: int, prefer: int) -> int | None:
 
 def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
                     block_n: int = 512, block_m: int = 256,
-                    block_k: int = 2048,
+                    block_k: int = 2048, layer: jax.Array | None = None,
                     interpret: bool = False) -> jax.Array:
     m, k = x.shape
     n = lin.out_features
+    prefetch = layer is not None  # weights stacked [L, ...], index via SMEM
     bm = min(_round_up(m, 16), block_m)
     bn = _pick_bn(n, block_n)
     # K tile: exactly one pack group when packed (a tile must cover one
@@ -200,63 +208,103 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
     try:
         bk = lin.pack_group if lin.packed else choose_pack_group(k, block_k)
     except ValueError:
-        return _qmatmul_xla(x, lin, compute_dtype)
+        return _qmatmul_xla(x, _slice_layer(lin, layer), compute_dtype)
     if bn is None or k % bk != 0:
-        return _qmatmul_xla(x, lin, compute_dtype)
+        return _qmatmul_xla(x, _slice_layer(lin, layer), compute_dtype)
     pad_m = _round_up(m, bm) - m
     if pad_m:
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
     n_k_tiles = k // bk
     grid = (x.shape[0] // bm, n // bn, n_k_tiles)
     kb = bk // QK
-    if lin.packed:
-        q_spec = pl.BlockSpec((bk // 2, bn), lambda i, j, t: (t, j))
+    qrows = bk // 2 if lin.packed else bk
+
+    if prefetch:
+        q_spec = pl.BlockSpec((1, qrows, bn),
+                              lambda i, j, t, L: (L[0], t, j))
+        s_spec = pl.BlockSpec((1, kb, bn), lambda i, j, t, L: (L[0], t, j))
+        x_spec = pl.BlockSpec((bm, bk), lambda i, j, t, L: (i, t))
+        o_spec = pl.BlockSpec((bm, bn), lambda i, j, t, L: (i, j))
     else:
-        q_spec = pl.BlockSpec((bk, bn), lambda i, j, t: (t, j))
-    in_specs = [
-        pl.BlockSpec((bm, bk), lambda i, j, t: (i, t)),
-        q_spec,
-        pl.BlockSpec((kb, bn), lambda i, j, t: (t, j)),
-    ]
+        q_spec = pl.BlockSpec((qrows, bn), lambda i, j, t: (t, j))
+        s_spec = pl.BlockSpec((kb, bn), lambda i, j, t: (t, j))
+        x_spec = pl.BlockSpec((bm, bk), lambda i, j, t: (i, t))
+        o_spec = pl.BlockSpec((bm, bn), lambda i, j, t: (i, j))
+
+    in_specs = [x_spec, q_spec, s_spec]
     inputs = [x, lin.q, lin.scales]
     if lin.bias is not None:
-        in_specs.append(pl.BlockSpec((kb, bn), lambda i, j, t: (t, j)))
+        in_specs.append(s_spec)
         inputs.append(lin.bias)
     kernel = _make_kernel(lin.unsigned, lin.packed, lin.bias is not None,
-                          compute_dtype, n_k_tiles)
-    q_bytes = lin.q.size * lin.q.dtype.itemsize
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, t: (i, j)),
+                          compute_dtype, n_k_tiles, prefetch)
+    q_bytes = k * n * lin.q.dtype.itemsize // (2 if lin.packed else 1)
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k,
+        bytes_accessed=q_bytes + x.size * x.dtype.itemsize + 4 * m * n,
+        transcendentals=0,
+    )
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((x.shape[0], n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m * n * k,
-            bytes_accessed=q_bytes + x.size * x.dtype.itemsize + 4 * m * n,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
-    )(*inputs)
+    )
+    if prefetch:
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=o_spec,
+                scratch_shapes=common.pop("scratch_shapes"),
+            ),
+            **{k2: v for k2, v in common.items() if k2 != "scratch_shapes"},
+        )(jnp.asarray(layer, jnp.int32).reshape(1), *inputs)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=o_spec,
+            **common,
+        )(*inputs)
     if pad_m:
         out = out[:m]
     return out
 
 
+def _slice_layer(lin: QLinear, layer: jax.Array | None) -> QLinear:
+    """Dynamic-index stacked [L, ...] weights down to one layer."""
+    if layer is None:
+        return lin
+    import dataclasses
+
+    take = functools.partial(jnp.take, indices=layer, axis=0)
+    return dataclasses.replace(
+        lin, q=take(lin.q), scales=take(lin.scales),
+        bias=None if lin.bias is None else take(lin.bias))
+
+
 def qmatmul(x: jax.Array, lin: QLinear, *, backend: str = "auto",
-            compute_dtype: Any = jnp.bfloat16) -> jax.Array:
+            compute_dtype: Any = jnp.bfloat16,
+            layer: jax.Array | None = None) -> jax.Array:
     """y = x @ dequant(lin); x [M, K] -> y [M, N] float32.
 
     backend: "auto" | "pallas" | "xla" | "pallas_interpret".
+    layer: when lin holds stacked [L, ...] weights (lax.scan over
+    layers), the traced layer index — the Pallas kernel reads the right
+    slab directly from HBM via scalar prefetch, avoiding the per-layer
+    slice copy XLA would otherwise materialize before the opaque call.
     """
     if x.ndim != 2:
         lead = x.shape[:-1]
         y = qmatmul(x.reshape(-1, x.shape[-1]), lin, backend=backend,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, layer=layer)
         return y.reshape(*lead, -1)
     if backend == "auto":
         backend = "pallas" if _is_tpu() else "xla"
@@ -266,7 +314,8 @@ def qmatmul(x: jax.Array, lin: QLinear, *, backend: str = "auto",
                                 or lin.out_features % 128 != 0):
         backend = "xla"
     if backend == "pallas":
-        return _qmatmul_pallas(x, lin, compute_dtype)
+        return _qmatmul_pallas(x, lin, compute_dtype, layer=layer)
     if backend == "pallas_interpret":
-        return _qmatmul_pallas(x, lin, compute_dtype, interpret=True)
-    return _qmatmul_xla(x, lin, compute_dtype)
+        return _qmatmul_pallas(x, lin, compute_dtype, layer=layer,
+                               interpret=True)
+    return _qmatmul_xla(x, _slice_layer(lin, layer), compute_dtype)

@@ -44,10 +44,10 @@ def _rand_qlinear(key, k: int, n: int, quant: str) -> QLinear:
 
 def make_device_params(preset: str = "llama-8b", quant: str = "q4_k",
                        seed: int = 0,
-                       stacked: bool = False) -> tuple[ModelConfig, LlamaParams]:
-    """stacked=False (default) builds a tuple of per-layer weights for
-    the unrolled forward (fast path); stacked=True builds lax.scan
-    layout."""
+                       stacked: bool = True) -> tuple[ModelConfig, LlamaParams]:
+    """stacked=True (default) builds lax.scan layout (Pallas indexes
+    layers via scalar prefetch); stacked=False builds a tuple for the
+    unrolled forward."""
     p = PRESETS[preset]
     dim, ffn, L = p["dim"], p["ffn"], p["layers"]
     H, Hkv, V = p["heads"], p["kv_heads"], p["vocab"]

@@ -53,6 +53,6 @@ def test_convert_qwen_bias(tmp_path):
     hf_dir = tmp_path / "hf"
     model.save_pretrained(hf_dir, safe_serialization=True)
     ws = convert_hf_model(hf_dir, tmp_path / "ws", quant="q8_0")
-    cfg, params = load_gguf_model(ws / "model")
+    cfg, params = load_gguf_model(ws / "model", stacked=False)
     assert cfg.arch == "qwen2"
     assert params.layers[0].bq is not None  # qkv bias survived
