@@ -297,17 +297,18 @@ void psv_repack_q4_0(const uint8_t *payload, int64_t n_out, int64_t k_in,
                 scales[b * n_out + n] = fp16_to_fp32(d16);
                 for (int j = 0; j < 16; j++) {
                     uint8_t byte = blk[2 + j];
-                    int v0 = (byte & 0xF) - 8;      // elem b*32 + j
-                    int v1 = (byte >> 4) - 8;       // elem b*32 + 16 + j
+                    // GGUF nibbles are raw 0..15 with zero point 8; the
+                    // packed layout stores them biased as-is (kernel
+                    // dequant: w = nib * s - 8 * s)
                     int64_t ks[2] = {b * 32 + j, b * 32 + 16 + j};
-                    int vs[2] = {v0, v1};
+                    uint8_t vs[2] = {(uint8_t)(byte & 0xF),
+                                     (uint8_t)(byte >> 4)};
                     for (int t = 0; t < 2; t++) {
                         int64_t prow; bool high;
                         pack_index(ks[t], pack_group, &prow, &high);
-                        uint8_t nib = (uint8_t)(vs[t] & 0xF);
                         uint8_t &dst = q_packed[prow * n_out + n];
-                        if (high) dst = (uint8_t)((dst & 0x0F) | (nib << 4));
-                        else      dst = (uint8_t)((dst & 0xF0) | nib);
+                        if (high) dst = (uint8_t)((dst & 0x0F) | (vs[t] << 4));
+                        else      dst = (uint8_t)((dst & 0xF0) | vs[t]);
                     }
                 }
             }

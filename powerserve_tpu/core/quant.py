@@ -306,14 +306,19 @@ def choose_pack_group(k: int, max_group: int = 2048) -> int:
     raise ValueError(f"K={k} has no 64-aligned pack group")
 
 
-def pack_nib4(q: np.ndarray, group: int | None = None) -> np.ndarray:
-    """int8 [K, N] with values in [-8, 7] (Q4_0) or [0, 15] (Q4_K) ->
-    uint8 [K//2, N], packed per group of `group` rows: within group g,
-    output row o (o < group/2) packs k = g*group + o (low nibble) and
-    k = g*group + group/2 + o (high nibble)."""
+def pack_nib4(q: np.ndarray, group: int | None = None,
+              signed_bias: bool = False) -> np.ndarray:
+    """int8 [K, N] -> uint8 [K//2, N], packed per group of `group` rows:
+    within group g, output row o (o < group/2) packs k = g*group + o
+    (low nibble) and k = g*group + group/2 + o (high nibble).
+
+    signed_bias=True: values are signed [-8, 7] and stored BIASED as
+    q+8 (0..15) so the kernel's dequant is affine (w = nib*s - 8s) —
+    two's-complement nibbles are not affine-decodable."""
     k, n = q.shape
     group = group or choose_pack_group(k)
-    u = (q.astype(np.int16) & 0xF).astype(np.uint8)
+    qi = q.astype(np.int16) + (8 if signed_bias else 0)
+    u = (qi & 0xF).astype(np.uint8)
     ug = u.reshape(k // group, group, n)
     half = group // 2
     return (ug[:, :half] | (ug[:, half:] << 4)).reshape(k // 2, n)
@@ -329,10 +334,9 @@ def _unpack_nib4(p: np.ndarray, group: int) -> np.ndarray:
 
 
 def unpack_nib4_signed(p: np.ndarray, group: int | None = None) -> np.ndarray:
-    """Inverse of pack_nib4 for signed two's-complement nibbles."""
+    """Inverse of pack_nib4(signed_bias=True): biased nibble - 8."""
     group = group or choose_pack_group(p.shape[0] * 2)
-    q = _unpack_nib4(p, group)
-    return np.where(q >= 8, q - 16, q).astype(np.int8)
+    return (_unpack_nib4(p, group) - 8).astype(np.int8)
 
 
 def unpack_nib4_unsigned(p: np.ndarray, group: int | None = None) -> np.ndarray:

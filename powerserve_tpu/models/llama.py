@@ -53,23 +53,29 @@ class QEmbedding:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["attn_norm", "ffn_norm", "wq", "wk", "wv", "wo",
-                 "bq", "bk", "bv", "w_gate", "w_up", "w_down"],
+                 "bq", "bk", "bv", "w_gate", "w_up", "w_down",
+                 "wqkv", "bqkv", "wgu"],
     meta_fields=[],
 )
 @dataclass
 class LayerWeights:
     attn_norm: jax.Array  # [dim] f32
     ffn_norm: jax.Array
-    wq: QLinear
-    wk: QLinear
-    wv: QLinear
+    wq: QLinear | None
+    wk: QLinear | None
+    wv: QLinear | None
     wo: QLinear
     bq: jax.Array | None  # [n_heads * head_dim] (qwen2_weight.hpp:12-24)
     bk: jax.Array | None
     bv: jax.Array | None
-    w_gate: QLinear
-    w_up: QLinear
+    w_gate: QLinear | None
+    w_up: QLinear | None
     w_down: QLinear
+    # fused projections (fewer, larger kernel launches — decode is
+    # launch-overhead sensitive); when set, the unfused fields are None
+    wqkv: QLinear | None = None
+    bqkv: jax.Array | None = None  # concat [H*D + 2*Hkv*D]
+    wgu: QLinear | None = None  # gate|up concat [dim, 2*ffn]
 
 
 @functools.partial(
@@ -145,9 +151,15 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
 
         h = rms_norm(x, sl(lw.attn_norm), llm.norm_eps).astype(jnp.bfloat16)
         hf = h.reshape(S * Tq, -1)
-        q = lin(hf, lw.wq, lw.bq).reshape(S, Tq, H, D)
-        knew = lin(hf, lw.wk, lw.bk).reshape(S, Tq, Hkv, D)
-        vnew = lin(hf, lw.wv, lw.bv).reshape(S, Tq, Hkv, D)
+        if lw.wqkv is not None:
+            qkv = lin(hf, lw.wqkv, lw.bqkv)
+            q = qkv[:, : H * D].reshape(S, Tq, H, D)
+            knew = qkv[:, H * D : (H + Hkv) * D].reshape(S, Tq, Hkv, D)
+            vnew = qkv[:, (H + Hkv) * D :].reshape(S, Tq, Hkv, D)
+        else:
+            q = lin(hf, lw.wq, lw.bq).reshape(S, Tq, H, D)
+            knew = lin(hf, lw.wk, lw.bk).reshape(S, Tq, Hkv, D)
+            vnew = lin(hf, lw.wv, lw.bv).reshape(S, Tq, Hkv, D)
         q = apply_rope(q, cos, sin, rope_type)
         knew = apply_rope(knew, cos, sin, rope_type)
 
@@ -182,8 +194,13 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
 
         h2 = rms_norm(x, sl(lw.ffn_norm), llm.norm_eps).astype(jnp.bfloat16)
         h2f = h2.reshape(S * Tq, -1)
-        gate = lin(h2f, lw.w_gate, None)
-        up = lin(h2f, lw.w_up, None)
+        if lw.wgu is not None:
+            gu = lin(h2f, lw.wgu, None)
+            F = gu.shape[-1] // 2
+            gate, up = gu[:, :F], gu[:, F:]
+        else:
+            gate = lin(h2f, lw.w_gate, None)
+            up = lin(h2f, lw.w_up, None)
         act = silu_hadamard(gate, up).astype(jnp.bfloat16)
         down = lin(act, lw.w_down, None)
         x = x + down.reshape(S, Tq, -1).astype(x.dtype)

@@ -36,6 +36,45 @@ def stack_layers(layers: list[LayerWeights]) -> LayerWeights:
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
 
 
+def _concat_qlinear(parts: list[QLinear]) -> QLinear | None:
+    """Concatenate QLinears along the output axis (same K/format)."""
+    head = parts[0]
+    for p in parts[1:]:
+        if (p.packed != head.packed or p.unsigned != head.unsigned
+                or p.pack_group != head.pack_group
+                or p.in_features != head.in_features
+                or (p.bias is None) != (head.bias is None)):
+            return None
+    import dataclasses
+
+    return dataclasses.replace(
+        head,
+        q=jnp.concatenate([p.q for p in parts], axis=-1),
+        scales=jnp.concatenate([p.scales for p in parts], axis=-1),
+        bias=None if head.bias is None else jnp.concatenate(
+            [p.bias for p in parts], axis=-1),
+        out_features=sum(p.out_features for p in parts),
+    )
+
+
+def fuse_layer(lw: LayerWeights) -> LayerWeights:
+    """Fuse QKV and gate/up projections into single matmuls (fewer,
+    larger kernel launches; decode is launch-overhead sensitive)."""
+    import dataclasses
+
+    wqkv = _concat_qlinear([lw.wq, lw.wk, lw.wv])
+    wgu = _concat_qlinear([lw.w_gate, lw.w_up])
+    if wqkv is None or wgu is None:
+        return lw
+    bqkv = None
+    if lw.bq is not None:
+        bqkv = jnp.concatenate([lw.bq, lw.bk, lw.bv], axis=-1)
+    return dataclasses.replace(
+        lw, wqkv=wqkv, bqkv=bqkv, wgu=wgu,
+        wq=None, wk=None, wv=None, bq=None, bk=None, bv=None,
+        w_gate=None, w_up=None)
+
+
 def config_from_gguf_metadata(md: dict[str, Any]) -> ModelConfig:
     """Mirror of the reference's gguf_config_to_json (tools/
     gguf_config_to_json/main.cpp): GGUF metadata -> ModelConfig."""
@@ -132,7 +171,8 @@ def _maybe_bias(reader: GGUFReader, name: str) -> jnp.ndarray | None:
 
 
 def load_gguf_model(path: str | os.PathLike, pack: bool = True,
-                    stacked: bool = True) -> tuple[ModelConfig, LlamaParams]:
+                    stacked: bool = True,
+                    fuse: bool = True) -> tuple[ModelConfig, LlamaParams]:
     """Load weights.gguf (or a model dir containing it).
 
     stacked=True (default) stacks per-layer weights for the lax.scan
@@ -171,6 +211,8 @@ def load_gguf_model(path: str | os.PathLike, pack: bool = True,
     else:
         lm_head = _lm_head_from_embedding(embed)
         cfg.llm.tie_embeddings = True
+    if fuse:
+        layers = [fuse_layer(lw) for lw in layers]
     params = LlamaParams(
         embed=embed,
         layers=stack_layers(layers) if stacked else tuple(layers),
@@ -203,7 +245,8 @@ def _embedding_from_float(w: np.ndarray, fmt: int) -> QEmbedding:
 
 def params_from_hf_state_dict(sd: dict[str, np.ndarray], cfg: ModelConfig,
                               fmt: int = GGMLType.Q8_0, pack: bool = True,
-                              stacked: bool = True) -> LlamaParams:
+                              stacked: bool = True,
+                              fuse: bool = False) -> LlamaParams:
     """Build params from a HuggingFace Llama/Qwen2 state dict (numpy
     arrays, HF names). Used by tests (golden logits vs transformers) and
     the HF->workspace converter. HF layout => NEOX rope."""
@@ -237,6 +280,8 @@ def params_from_hf_state_dict(sd: dict[str, np.ndarray], cfg: ModelConfig,
             w_down=_qlinear_from_float(get(pre + "mlp.down_proj.weight"), fmt, pack),
         ))
     out_norm = jnp.asarray(get("model.norm.weight"))
+    if fuse:
+        layers = [fuse_layer(lw) for lw in layers]
     if "lm_head.weight" in sd:
         lm_head = _qlinear_from_float(get("lm_head.weight"), fmt, pack)
     else:

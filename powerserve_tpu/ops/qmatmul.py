@@ -77,7 +77,8 @@ class QLinear:
         group = 0
         if packed:
             group = choose_pack_group(qt.k)
-            qdev = jnp.asarray(pack_nib4(qt.q, group))
+            qdev = jnp.asarray(pack_nib4(qt.q, group,
+                                         signed_bias=not unsigned))
         else:
             qdev = jnp.asarray(qt.q)
         scales = jnp.asarray(qt.scales.astype(np.float32), dtype=scale_dtype)
@@ -116,7 +117,7 @@ def _dequant_full(lin: QLinear, dtype: Any) -> jax.Array:
         hi = (pg >> 4).astype(jnp.int8)
         q = jnp.concatenate([lo, hi], axis=-2).reshape(*lead, kh * 2, n)
         if not lin.unsigned:
-            q = ((q ^ 8) - 8).astype(jnp.int8)
+            q = (q - 8).astype(jnp.int8)  # nibbles stored biased (+8)
     else:
         q = lin.q
     w = q.astype(dtype) * jnp.repeat(lin.scales.astype(dtype), QK, axis=-2)
@@ -156,22 +157,28 @@ def _make_kernel(unsigned: bool, packed: bool, has_bias: bool, compute_dtype,
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        qv = q_ref[...]
+        s = jnp.repeat(s_ref[...].astype(jnp.float32), QK, axis=0)
         if packed:
-            # widen to i32 (Mosaic can't shift i8 vectors); one concat
-            # restores natural k order thanks to group packing
-            q32 = qv.astype(jnp.int32)
-            lo = q32 & 0xF
-            hi = q32 >> 4
-            qi = jnp.concatenate([lo, hi], axis=0)
-            if not unsigned:
-                qi = (qi ^ 8) - 8
+            # float-arithmetic unpack: u8 -> f32 once, then split the two
+            # nibbles with mul/floor/fma — fewer VPU ops than integer
+            # widen+shift+mask, and the 4-bit zero point folds into the
+            # per-block additive term (w = nib * s + off)
+            # (Mosaic has no direct u8->f32 cast; widen via i32 first)
+            qf = q_ref[...].astype(jnp.int32).astype(jnp.float32)
+            hi = jnp.floor(qf * (1.0 / 16.0))
+            lo = qf - hi * 16.0
+            nib = jnp.concatenate([lo, hi], axis=0)
+            if unsigned:
+                off = (-jnp.repeat(b_ref[...].astype(jnp.float32), QK, axis=0)
+                       if b_ref is not None else 0.0)
+            else:
+                off = -8.0 * s
+            w = (nib * s + off).astype(compute_dtype)
         else:
-            qi = qv
-        s = jnp.repeat(s_ref[...].astype(compute_dtype), QK, axis=0)
-        w = qi.astype(compute_dtype) * s
-        if b_ref is not None:
-            w = w - jnp.repeat(b_ref[...].astype(compute_dtype), QK, axis=0)
+            w = q_ref[...].astype(jnp.float32) * s
+            if b_ref is not None:
+                w = w - jnp.repeat(b_ref[...].astype(jnp.float32), QK, axis=0)
+            w = w.astype(compute_dtype)
         acc[...] += jnp.dot(x_ref[...].astype(compute_dtype), w,
                             preferred_element_type=jnp.float32)
 

@@ -89,11 +89,11 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
 
     tp = mesh.shape["tp"]
 
-    def col(l: QLinear) -> QLinear:
-        return _shard_qlinear(l, mesh, True)
+    def col(l: QLinear | None) -> QLinear | None:
+        return None if l is None else _shard_qlinear(l, mesh, True)
 
-    def row(l: QLinear) -> QLinear:
-        return _shard_qlinear(l, mesh, False)
+    def row(l: QLinear | None) -> QLinear | None:
+        return None if l is None else _shard_qlinear(l, mesh, False)
 
     def repl(x):
         return None if x is None else _put(x, mesh, P())
@@ -113,6 +113,10 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
             wq=col(lw.wq), wk=col(lw.wk), wv=col(lw.wv), wo=row(lw.wo),
             bq=bias_col(lw.bq), bk=bias_col(lw.bk), bv=bias_col(lw.bv),
             w_gate=col(lw.w_gate), w_up=col(lw.w_up), w_down=row(lw.w_down),
+            # NOTE: fused qkv concatenates uneven q/k/v blocks; column
+            # sharding still works (GSPMD reshards the split) but
+            # multi-chip deployments should prefer fuse=False
+            wqkv=col(lw.wqkv), bqkv=bias_col(lw.bqkv), wgu=col(lw.wgu),
         )
 
     if isinstance(params.layers, (tuple, list)):

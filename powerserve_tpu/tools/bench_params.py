@@ -59,14 +59,14 @@ def make_device_params(preset: str = "llama-8b", quant: str = "q4_k",
         return LayerWeights(
             attn_norm=jnp.ones(dim, jnp.float32),
             ffn_norm=jnp.ones(dim, jnp.float32),
-            wq=_rand_qlinear(ks[0], dim, H * hd, quant),
-            wk=_rand_qlinear(ks[1], dim, Hkv * hd, quant),
-            wv=_rand_qlinear(ks[2], dim, Hkv * hd, quant),
+            wq=None, wk=None, wv=None,
             wo=_rand_qlinear(ks[3], H * hd, dim, quant),
             bq=None, bk=None, bv=None,
-            w_gate=_rand_qlinear(ks[4], dim, ffn, quant),
-            w_up=_rand_qlinear(ks[5], dim, ffn, quant),
+            w_gate=None, w_up=None,
             w_down=_rand_qlinear(ks[6], ffn, dim, quant),
+            wqkv=_rand_qlinear(ks[0], dim, (H + 2 * Hkv) * hd, quant),
+            bqkv=None,
+            wgu=_rand_qlinear(ks[4], dim, 2 * ffn, quant),
         )
 
     @jax.jit

@@ -72,7 +72,7 @@ def test_nib4_pack_roundtrip(signed):
     rng = np.random.default_rng(4)
     if signed:
         q = rng.integers(-8, 8, (64, 16)).astype(np.int8)
-        out = Q.unpack_nib4_signed(Q.pack_nib4(q))
+        out = Q.unpack_nib4_signed(Q.pack_nib4(q, signed_bias=True))
     else:
         q = rng.integers(0, 16, (64, 16)).astype(np.int8)
         out = Q.unpack_nib4_unsigned(Q.pack_nib4(q))

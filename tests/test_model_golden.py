@@ -179,3 +179,33 @@ def test_unrolled_matches_scan():
     assert np.abs(outs[0][0] - outs[1][0]).max() / denom < 0.02
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-2, atol=1e-2)
     np.testing.assert_array_equal(outs[0][2], outs[1][2])
+
+
+def test_fused_matches_unfused():
+    """fuse_layer (QKV + gate/up concat) must not change logits."""
+    from powerserve_tpu.models.loader import fuse_layer, stack_layers
+
+    torch.manual_seed(7)
+    model, cfg = _mk_hf_llama(qwen=True)  # qwen: exercises fused bias
+    sd = _to_sd(model)
+    p_plain = params_from_hf_state_dict(sd, cfg, fmt=GGMLType.Q8_0,
+                                        stacked=False)
+    import dataclasses
+    p_fused = dataclasses.replace(
+        p_plain, layers=tuple(fuse_layer(lw) for lw in p_plain.layers))
+    assert p_fused.layers[0].wqkv is not None
+    assert p_fused.layers[0].bqkv is not None
+    T = 6
+    tokens = jnp.asarray(np.random.default_rng(7).integers(
+        0, cfg.llm.vocab_size, (1, T)))
+    pos = jnp.arange(T)[None, :]
+    outs = []
+    for p in (p_plain, p_fused):
+        kv = KVCache.create(cfg.llm.n_layers, 1, 16, cfg.llm.n_kv_heads,
+                            cfg.llm.head_size, dtype="bf16")
+        logits, _ = forward(p, cfg.llm, kv, tokens, pos, backend="xla",
+                            logits_mode="all")
+        outs.append(np.asarray(logits))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-2, atol=2e-2)
+    corr = np.corrcoef(outs[0].ravel(), outs[1].ravel())[0, 1]
+    assert corr > 0.9999
