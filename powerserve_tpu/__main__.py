@@ -1,0 +1,57 @@
+"""Unified CLI: `python -m powerserve_tpu <command>` (counterpart of
+the reference's app binaries + `powerserve` script).
+
+Commands:
+  run          generate from a prompt (app/run)
+  serve        OpenAI-compatible HTTP server (app/server)
+  perplexity   perplexity eval (app/perplexity)
+  mmlu         MMLU harness over the HTTP API (tools/mmlu)
+  convert      HF checkpoint -> workspace (tools/gguf_export + converter)
+  workspace    assemble a workspace (powerserve create)
+  synthetic    random-weight workspace for testing
+  param-search speculative knob grid search (tools/parameter_search)
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 1
+    cmd, argv = sys.argv[1], sys.argv[2:]
+    if cmd == "run":
+        from .run import main as m
+        return m(argv) or 0
+    if cmd == "serve":
+        from .serving.server import main as m
+        m(argv)
+        return 0
+    if cmd == "perplexity":
+        from .tools.perplexity import main as m
+        return m(argv)
+    if cmd == "mmlu":
+        from .tools.mmlu import main as m
+        return m(argv)
+    if cmd == "convert":
+        from .tools.convert_hf import main as m
+        return m(argv)
+    if cmd == "workspace":
+        from .tools.workspace import main as m
+        return m(argv)
+    if cmd == "synthetic":
+        from .tools.synthetic import main as m
+        sys.argv = [sys.argv[0]] + argv
+        m()
+        return 0
+    if cmd == "param-search":
+        from .tools.param_search import main as m
+        return m(argv)
+    print(f"unknown command '{cmd}'\n{__doc__}")
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

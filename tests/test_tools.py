@@ -1,0 +1,79 @@
+"""Tool-layer tests: workspace assembly, param search, CLI dispatch,
+MMLU prompt building."""
+
+import json
+
+import numpy as np
+import pytest
+
+from powerserve_tpu.core.gguf import GGMLType
+from powerserve_tpu.tools.mmlu import build_prompt, parse_choice
+from powerserve_tpu.tools.synthetic import make_synthetic_gguf
+from powerserve_tpu.tools.workspace import create_workspace
+
+
+def test_workspace_create_from_gguf(tmp_path):
+    src = tmp_path / "src"
+    make_synthetic_gguf(src, "tiny", GGMLType.Q8_0)
+    out = create_workspace(tmp_path / "ws", src / "model",
+                           draft_model=src / "model")
+    ws = json.loads((out / "workspace.json").read_text())
+    assert ws["model_main"] == "model_main"
+    assert ws["model_draft"] == "model_draft"
+    assert (out / "model_main" / "weights.gguf").exists()
+    assert (out / "model_draft" / "weights.gguf").exists()
+    assert (out / "hparams.json").exists()
+
+    # loadable end to end
+    from powerserve_tpu.core.config import WorkspaceConfig
+
+    cfg = WorkspaceConfig.load(out)
+    assert cfg.draft_model_dir is not None
+
+
+def test_param_search_grid(tmp_path):
+    """Small grid over the tiny HF model pair."""
+    from tests.test_speculative import _mk_model
+    from powerserve_tpu.speculative.engine import SpeculativeEngine
+    from powerserve_tpu.tools.param_search import run_search
+
+    t_params, t_cfg = _mk_model(0)
+    d_params, d_cfg = _mk_model(1, layers=1)
+
+    def make_engine(cfg):
+        return SpeculativeEngine(t_params, t_cfg, d_params, d_cfg, cfg,
+                                 max_seq=128, kv_dtype="bf16",
+                                 backend="xla")
+
+    grid = {"draft_batch_size": [4, 6], "draft_top_k": [3],
+            "draft_temperature": [1.0], "p_base": [0.9],
+            "max_fan_out": [2], "min_prob": [0.1]}
+    out = tmp_path / "search.jsonl"
+    results = run_search(make_engine, [1, 5, 9], 6, grid, out)
+    assert len(results) == 2
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert "tokens_per_step" in rec and "accept_rate" in rec
+
+
+def test_mmlu_prompt_and_parse():
+    p = build_prompt("What is 2+2?", ["3", "4", "5", "6"],
+                     example=("What is 1+1?", ["1", "2", "3", "4"], "B"))
+    assert "Answer: B" in p
+    assert p.endswith("Answer:")
+    assert parse_choice(" B. because...") == "B"
+    assert parse_choice("the answer is C") == "C"
+    assert parse_choice("unclear") is None
+
+
+def test_cli_dispatch_unknown():
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "-m", "powerserve_tpu", "nope"],
+                       capture_output=True, text=True, cwd="/root/repo",
+                       env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                            "HOME": "/root"})
+    assert r.returncode == 1
+    assert "unknown command" in r.stdout
