@@ -99,7 +99,8 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             cache_positions: jax.Array | None = None,
             vis_override: jax.Array | None = None,
             backend: str = "auto",
-            logits_mode: str = "last") -> tuple[jax.Array, KVCache]:
+            logits_mode: str = "last",
+            embeds: jax.Array | None = None) -> tuple[jax.Array, KVCache]:
     """One forward pass over a batch of slots.
 
     tokens/positions: [S, Tq] int32 (positions drive RoPE). active: [S]
@@ -125,7 +126,12 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     if cache_positions is None:
         cache_positions = positions
 
-    x = params.embed.lookup(tokens).astype(jnp.bfloat16)  # [S, Tq, dim]
+    # embeds: precomputed input embeddings (VLM paths inject projected
+    # image features at image-token positions; reference qnn_forward_vl)
+    if embeds is not None:
+        x = embeds.astype(jnp.bfloat16)
+    else:
+        x = params.embed.lookup(tokens).astype(jnp.bfloat16)  # [S, Tq, dim]
     cos, sin = rope_cos_sin(positions, llm.rope, D)  # [S, Tq, D/2]
     if vis_override is not None:
         vis = vis_override
