@@ -55,4 +55,6 @@ def test_convert_qwen_bias(tmp_path):
     ws = convert_hf_model(hf_dir, tmp_path / "ws", quant="q8_0")
     cfg, params = load_gguf_model(ws / "model", stacked=False)
     assert cfg.arch == "qwen2"
-    assert params.layers[0].bq is not None  # qkv bias survived
+    lw = params.layers[0]
+    # qkv bias survived (fused by default)
+    assert (lw.bqkv is not None) or (lw.bq is not None)
