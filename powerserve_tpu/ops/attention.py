@@ -47,11 +47,23 @@ def build_visibility(cache_mask: jax.Array, positions: jax.Array,
 
 
 def gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                  visibility: jax.Array, scale: float) -> jax.Array:
+                  visibility: jax.Array, scale: float,
+                  chunk: int = 1024) -> jax.Array:
     """q: [S, Tq, H, D]; k/v: [S, T, Hkv, D]; visibility: [S, Tq, T].
 
+    Dense for short caches; online-softmax over KV chunks beyond
+    `chunk` so score memory stays O(Tq * chunk) regardless of context
+    length (the reference's context is hard-capped by static NPU graph
+    shapes, SURVEY §5 — here long context just streams).
     Returns [S, Tq, H * D] float32.
     """
+    T = k.shape[1]
+    if T <= chunk:
+        return _gqa_dense(q, k, v, visibility, scale)
+    return _gqa_chunked(q, k, v, visibility, scale, chunk)
+
+
+def _gqa_dense(q, k, v, visibility, scale):
     S, Tq, H, D = q.shape
     Hkv = k.shape[2]
     G = H // Hkv
@@ -66,3 +78,48 @@ def gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      v.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
     return out.reshape(S, Tq, H * D)
+
+
+def _gqa_chunked(q, k, v, visibility, scale, chunk):
+    """Flash-style streaming softmax over KV chunks (lax.scan)."""
+    S, Tq, H, D = q.shape
+    T = k.shape[1]
+    Hkv = k.shape[2]
+    G = H // Hkv
+    pad = (-T) % chunk
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        visibility = jnp.pad(visibility, ((0, 0), (0, 0), (0, pad)))
+    n_chunks = k.shape[1] // chunk
+    qg = q.reshape(S, Tq, Hkv, G, D).astype(jnp.bfloat16)
+    # chunked views: [C, S, chunk, ...]
+    kc = k.reshape(S, n_chunks, chunk, Hkv, D).transpose(1, 0, 2, 3, 4)
+    vc = v.reshape(S, n_chunks, chunk, Hkv, D).transpose(1, 0, 2, 3, 4)
+    visc = visibility.reshape(S, Tq, n_chunks, chunk).transpose(2, 0, 1, 3)
+
+    m0 = jnp.full((S, Hkv, G, Tq), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((S, Hkv, G, Tq), jnp.float32)
+    o0 = jnp.zeros((S, Hkv, G, Tq, D), jnp.float32)
+
+    def body(carry, inputs):
+        m, l, o = carry
+        k_i, v_i, vis_i = inputs
+        s_i = jnp.einsum("sqhgd,skhd->shgqk", qg, k_i.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32) * scale
+        s_i = jnp.where(vis_i[:, None, None, :, :], s_i, NEG_INF)
+        m_new = jnp.maximum(m, s_i.max(axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s_i - m_new[..., None])
+        l = l * alpha + p.sum(axis=-1)
+        pv = jnp.einsum("shgqk,skhd->shgqd", p.astype(jnp.bfloat16),
+                        v_i.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        o = o * alpha[..., None] + pv
+        return (m_new, l, o), None
+
+    (m, l, o), _ = jax.lax.scan(body, (m0, l0, o0), (kc, vc, visc))
+    safe_l = jnp.where(l > 0, l, 1.0)
+    o = o / safe_l[..., None]
+    # [S, Hkv, G, Tq, D] -> [S, Tq, H*D]
+    return o.transpose(0, 3, 1, 2, 4).reshape(S, Tq, H * D)
