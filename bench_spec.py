@@ -61,7 +61,7 @@ def main() -> None:
             (kv, _), _ = jax.lax.scan(body, (kv, jnp.int32(0)), None,
                                       length=n_steps)
             return kv.pos
-        run(params, kv)  # compile
+        np.asarray(run(params, kv))  # compile + sync (host fetch)
         t0 = time.perf_counter()
         np.asarray(run(params, kv))
         return (time.perf_counter() - t0) / n_steps

@@ -91,6 +91,7 @@ class InternVLModel:
     cfg: ModelConfig
     image_token_id: int
     tokens_per_tile: int  # image_seq_length (e.g. 256 for 448/14 ds 0.5)
+    image_size: int = 448  # native tile resolution of the vision tower
 
     def expand_image_tokens(self, token_ids: list[int], n_tiles: int,
                             img_placeholder_id: int | None = None
@@ -175,7 +176,10 @@ def internvl_from_hf(model, cfg_text: ModelConfig | None = None
     vision = vision_params_from_hf(
         sd, vc.num_hidden_layers, vc.num_attention_heads, patch,
         vc.layer_norm_eps, hf.downsample_ratio)
+    img_size = vc.image_size[0] if isinstance(vc.image_size, (list, tuple)) \
+        else vc.image_size
     return InternVLModel(
         vision=vision, llm_params=llm_params, cfg=cfg_text,
         image_token_id=hf.image_token_id,
-        tokens_per_tile=hf.image_seq_length)
+        tokens_per_tile=hf.image_seq_length,
+        image_size=img_size)

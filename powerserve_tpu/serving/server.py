@@ -66,10 +66,12 @@ class IncrementalDecoder:
 @dataclass
 class ModelContext:
     name: str
-    scheduler: BatchScheduler
+    scheduler: BatchScheduler | None
     tokenizer: Tokenizer
     spec: SpeculativeEngine | None = None
     spec_lock: asyncio.Lock | None = None
+    vlm: object | None = None  # VLMEngine for InternVL-style models
+    vlm_lock: asyncio.Lock | None = None
 
 
 class ServerContext:
@@ -96,10 +98,43 @@ class ServerContext:
             return self.root
         raise web.HTTPNotFound(text=f"unknown model '{name}'")
 
+    def _is_vlm_dir(self, d: Path) -> bool:
+        cfg = d / "config.json"
+        if not cfg.exists():
+            return False
+        try:
+            archs = json.loads(cfg.read_text()).get("architectures", [])
+        except json.JSONDecodeError:
+            return False
+        return any("InternVL" in a for a in archs)
+
+    def _load_vlm(self, name: str, d: Path) -> ModelContext:
+        """InternVL HF checkpoint dir -> VLM engine (reference loads its
+        VLM from NPU context binaries; here from the HF checkpoint)."""
+        import torch
+        from transformers import InternVLForConditionalGeneration
+
+        from ..engine.vlm import VLMEngine
+        from ..models.internvl import internvl_from_hf
+
+        m = InternVLForConditionalGeneration.from_pretrained(
+            d, torch_dtype=torch.float32)
+        ivl = internvl_from_hf(m)
+        del m
+        tok = Tokenizer.from_model_dir(d)
+        eng = VLMEngine(ivl, self.hp, self.backend)
+        return ModelContext(name, None, tok, vlm=eng, vlm_lock=asyncio.Lock())
+
     def get(self, name: str) -> ModelContext:
         name = name or self.default_model or "default"
         if name in self.models:
             return self.models[name]
+        if "+" not in name:
+            d = self.resolve_dir(name)
+            if self._is_vlm_dir(d):
+                ctx = self._load_vlm(name, d)
+                self.models[name] = ctx
+                return ctx
         if "+" in name:
             main_name, draft_name = name.split("+", 1)
             t_cfg, t_params = load_gguf_model(self.resolve_dir(main_name))
@@ -181,7 +216,65 @@ async def _run_speculative(ctx: ModelContext, prompt_ids: list[int],
             else "length"
 
 
-def _runner(ctx: ModelContext, prompt_ids, sampling, stop_ids):
+def _decode_data_image(url: str):
+    """data: URI -> PIL image (the reference's MMMU path ships images to
+    the server the same way)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    if not url.startswith("data:"):
+        raise web.HTTPBadRequest(text="only data: image URIs supported")
+    _, _, b64 = url.partition(",")
+    return Image.open(io.BytesIO(base64.b64decode(b64)))
+
+
+def _split_multimodal(messages: list[dict]) -> tuple[list[dict], list]:
+    """Normalize OpenAI content arrays: returns (text-only messages,
+    images in order of appearance)."""
+    images = []
+    out = []
+    for m in messages:
+        content = m.get("content", "")
+        if isinstance(content, list):
+            parts = []
+            for p in content:
+                if p.get("type") == "text":
+                    parts.append(p.get("text", ""))
+                elif p.get("type") == "image_url":
+                    u = p.get("image_url")
+                    u = u.get("url") if isinstance(u, dict) else u
+                    images.append(_decode_data_image(u))
+            content = "".join(parts)
+        out.append({"role": m.get("role", "user"), "content": content})
+    return out, images
+
+
+async def _run_vlm(ctx: ModelContext, prompt_ids: list[int], images: list,
+                   sampling: dict, stop_ids: set[int]):
+    assert ctx.vlm is not None and ctx.vlm_lock is not None
+    loop = asyncio.get_running_loop()
+    async with ctx.vlm_lock:
+        ctx.vlm.reset()
+        req = Request(prompt_ids=prompt_ids, **sampling)
+
+        def gen():
+            return list(ctx.vlm.generate(
+                prompt_ids, images, sampling["max_tokens"],
+                stop_fn=lambda t: t in stop_ids))
+
+        tokens = await loop.run_in_executor(None, gen)
+        for t in tokens:
+            req.n_generated += 1
+            yield t, req
+        req.finish_reason = "stop" if (tokens and tokens[-1] in stop_ids) \
+            else "length"
+
+
+def _runner(ctx: ModelContext, prompt_ids, sampling, stop_ids, images=None):
+    if ctx.vlm is not None:
+        return _run_vlm(ctx, prompt_ids, images or [], sampling, stop_ids)
     if ctx.spec is not None:
         return _run_speculative(ctx, prompt_ids, sampling, stop_ids)
     return _run_batched(ctx, prompt_ids, sampling, stop_ids)
@@ -189,7 +282,8 @@ def _runner(ctx: ModelContext, prompt_ids, sampling, stop_ids):
 
 async def _respond(request: web.Request, ctx: ModelContext,
                    prompt_ids: list[int], sampling: dict, chat: bool,
-                   stream: bool, model_name: str) -> web.StreamResponse:
+                   stream: bool, model_name: str,
+                   images: list | None = None) -> web.StreamResponse:
     tok = ctx.tokenizer
     stop_ids = set(tok.stop_ids)
     rid = _now_id("chatcmpl" if chat else "cmpl")
@@ -213,7 +307,8 @@ async def _respond(request: web.Request, ctx: ModelContext,
                                   "delta": {"role": "assistant"},
                                   "finish_reason": None}]}
             await resp.write(f"data: {json.dumps(first)}\n\n".encode())
-        async for t, req in _runner(ctx, prompt_ids, sampling, stop_ids):
+        async for t, req in _runner(ctx, prompt_ids, sampling, stop_ids,
+                                    images):
             last_req = req
             piece = dec.push(t) if t not in stop_ids else ""
             if piece:
@@ -255,7 +350,7 @@ async def _respond(request: web.Request, ctx: ModelContext,
     ids: list[int] = []
     finish = "stop"
     last_req = None
-    async for t, req in _runner(ctx, prompt_ids, sampling, stop_ids):
+    async for t, req in _runner(ctx, prompt_ids, sampling, stop_ids, images):
         last_req = req
         if t not in stop_ids:
             ids.append(t)
@@ -304,13 +399,14 @@ def build_app(server_ctx: ServerContext) -> web.Application:
         model_name = body.get("model", server_ctx.default_model)
         loop = asyncio.get_running_loop()
         ctx = await loop.run_in_executor(None, server_ctx.get, model_name)
-        messages = body.get("messages", [])
+        messages, images = _split_multimodal(body.get("messages", []))
         prompt = ctx.tokenizer.apply_chat_template(messages)
         prompt_ids = ctx.tokenizer.tokenize(prompt)
         sampling = _sampling_from_body(body)
         return await _respond(request, ctx, prompt_ids, sampling,
                               chat=True, stream=bool(body.get("stream")),
-                              model_name=model_name or ctx.name)
+                              model_name=model_name or ctx.name,
+                              images=images)
 
     async def handle_models(request: web.Request) -> web.Response:
         names = list(server_ctx.models) or [server_ctx.default_model or "default"]
