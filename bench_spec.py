@@ -46,7 +46,7 @@ def main() -> None:
         """Repeated forward at fixed Tq; returns avg seconds/step."""
 
         @jax.jit
-        def run(params, kv):
+        def run(params, kv, salt):
             def body(carry, _):
                 kv, tok = carry
                 pos = kv.pos[:, None] * 0  # fixed position: cost-model only
@@ -58,12 +58,16 @@ def main() -> None:
                 kv2 = kv2.rollback(Tq)  # keep cache size constant
                 nxt = jnp.argmax(logits[:, :100], -1).astype(jnp.int32)[0]
                 return (kv2, nxt), ()
-            (kv, _), _ = jax.lax.scan(body, (kv, jnp.int32(0)), None,
-                                      length=n_steps)
-            return kv.pos
-        np.asarray(run(params, kv))  # compile + sync (host fetch)
+            (kv, tok), _ = jax.lax.scan(body, (kv, salt), None,
+                                        length=n_steps)
+            # return the token chain — returning only bookkeeping lets
+            # XLA dead-code-eliminate the whole model
+            return tok
+        # NOTE: vary `salt` between calls — identical inputs can be
+        # served from an execution cache on remote-TPU links
+        np.asarray(run(params, kv, jnp.int32(0)))  # compile + sync
         t0 = time.perf_counter()
-        np.asarray(run(params, kv))
+        np.asarray(run(params, kv, jnp.int32(1)))
         return (time.perf_counter() - t0) / n_steps
 
     t_cfg, t_params = make_device_params(args.target, "q4_k")

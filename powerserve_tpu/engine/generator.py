@@ -20,6 +20,7 @@ import numpy as np
 
 from ..core.config import HyperParams, ModelConfig, SamplerConfig
 from ..core.logging import Timer, get_logger
+from ..core.trace import Trace
 from ..kv.cache import KVCache
 from ..models.llama import LlamaParams, forward
 from ..sampling.sampler import PenaltyState, sample_logits
@@ -137,8 +138,10 @@ class InferenceEngine:
             batch_p = np.full((self.n_slots, use), -1, np.int32)
             batch_t[slot] = part
             batch_p[slot] = start + off + np.arange(use)
-            logits, self.kv = fn(self.params, self.kv, jnp.asarray(batch_t),
-                                 jnp.asarray(batch_p), active)
+            with Trace.span(Trace.SPAN_PREFILL):
+                logits, self.kv = fn(self.params, self.kv,
+                                     jnp.asarray(batch_t),
+                                     jnp.asarray(batch_p), active)
         if logits is not None:
             logits = np.asarray(logits)  # host fetch = real sync point
         if stats is not None:
@@ -175,9 +178,10 @@ class InferenceEngine:
             positions = jnp.where(
                 jnp.arange(self.n_slots)[:, None] == slot,
                 pos[None, None].astype(jnp.int32), -1)
-            next_tok, self.kv, self.penalty, self.rng = decode(
-                self.params, self.kv, tokens, positions, self.penalty,
-                self.rng, active)
+            with Trace.span(Trace.SPAN_DECODE):
+                next_tok, self.kv, self.penalty, self.rng = decode(
+                    self.params, self.kv, tokens, positions, self.penalty,
+                    self.rng, active)
             cur = int(np.asarray(next_tok)[slot])
             stats.decode_tokens += 1
             stats.decode_ms = timer.elapsed_time_ms()

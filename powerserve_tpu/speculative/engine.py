@@ -30,6 +30,7 @@ import numpy as np
 
 from ..core.config import ModelConfig
 from ..core.logging import Timer, get_logger
+from ..core.trace import Trace
 from ..kv.cache import KVCache
 from ..models.llama import LlamaParams, forward
 from ..sampling.sampler import draft_probs
@@ -185,7 +186,8 @@ class SpeculativeEngine:
         toks = np.zeros(Fpad, np.int32)
         toks[:F] = frontier_tokens
         fn = self._draft_fn(Fpad)
-        probs, ids, self.d_kv = fn(
+        with Trace.span(Trace.SPAN_DRAFT_FORWARD):
+            probs, ids, self.d_kv = fn(
             self.dp, self.d_kv, jnp.asarray(toks[None, :]),
             jnp.asarray(rope_pos[None, :]), jnp.asarray(cache_pos[None, :]),
             jnp.asarray(vis[None, :, :]))
@@ -213,7 +215,8 @@ class SpeculativeEngine:
         np.fill_diagonal(intra, True)  # padded rows see themselves
 
         fn = self._verify_fn(npad)
-        sampled, self.t_kv = fn(self.tp, self.t_kv,
+        with Trace.span(Trace.SPAN_VERIFY):
+            sampled, self.t_kv = fn(self.tp, self.t_kv,
                                 jnp.asarray(tokens[None, :]),
                                 jnp.asarray(rope_pos[None, :]),
                                 jnp.asarray(cache_pos[None, :]),
