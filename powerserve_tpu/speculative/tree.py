@@ -31,6 +31,10 @@ class SpeculativeConfig:
     max_fan_out: int = 3
     min_prob: float = 0.2
     early_stop: bool = True
+    # TPU-specific: bound tree depth — each level is one draft forward,
+    # and the device cost model (bench_spec.py) shows levels, not nodes,
+    # dominate speculation overhead
+    max_depth: int = 6
 
 
 @dataclass
@@ -118,7 +122,10 @@ def grow_tree(
     tree = TokenTree()
     tree.add(root_token, -1, 1.0)
     frontier = [0]
-    while tree.size < cfg.draft_batch_size and frontier:
+    depth = 0
+    while (tree.size < cfg.draft_batch_size and frontier
+           and depth < cfg.max_depth):
+        depth += 1
         toks = np.asarray([tree.nodes[i].token for i in frontier], np.int32)
         depths = np.asarray([tree.nodes[i].depth for i in frontier], np.int32)
         probs, ids = draft_step(toks, depths, tree, list(frontier))
