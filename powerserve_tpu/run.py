@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["auto", "pallas", "xla"])
     ap.add_argument("--use-chat-template", action="store_true")
     ap.add_argument("--no-progress", action="store_true")
+    ap.add_argument("--load-kv", default=None,
+                    help="persistent system-prompt KV (.npz) to preload")
+    ap.add_argument("--save-kv", default=None,
+                    help="save the prompt's KV prefix after prefill")
     args = ap.parse_args(argv)
 
     root = Path(args.work_folder)
@@ -72,6 +76,12 @@ def main(argv: list[str] | None = None) -> int:
     ids = tok.tokenize(prompt)
     log.info(f"prompt tokens: {len(ids)}")
 
+    if args.load_kv:
+        from .kv import load_prefix
+
+        engine.kv, n_prefix = load_prefix(engine.kv, args.load_kv)
+        log.info(f"loaded {n_prefix}-token KV prefix from {args.load_kv}")
+
     stats = GenerationStats()
     out_ids: list[int] = []
     print(prompt, end="", flush=True)
@@ -81,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
         piece = tok.to_string([t])
         print(piece, end="", flush=True)
     print()
+    if args.save_kv:
+        from .kv import save_prefix
+
+        n = save_prefix(engine.kv, args.save_kv)
+        log.info(f"saved {n}-token KV prefix to {args.save_kv}")
     log.info(f"prefill speed: {stats.prefill_speed:.2f} tokens/s")
     log.info(f"decode speed: {stats.decode_speed:.2f} tokens/s")
 

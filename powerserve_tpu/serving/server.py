@@ -377,8 +377,28 @@ async def _respond(request: web.Request, ctx: ModelContext,
     return web.json_response(body)
 
 
+def _error_response(exc: Exception, status: int = 500) -> web.Response:
+    """OpenAI-style error body (reference converts exceptions to HTTP
+    error JSON, openai_api.hpp:286-300)."""
+    return web.json_response(
+        {"error": {"message": str(exc), "type": type(exc).__name__}},
+        status=status)
+
+
 def build_app(server_ctx: ServerContext) -> web.Application:
     app = web.Application()
+
+    @web.middleware
+    async def error_middleware(request, handler):
+        try:
+            return await handler(request)
+        except web.HTTPException:
+            raise
+        except Exception as exc:  # noqa: BLE001
+            log.exception("request failed")
+            return _error_response(exc)
+
+    app.middlewares.append(error_middleware)
 
     async def handle_completion(request: web.Request) -> web.StreamResponse:
         body = await request.json()

@@ -136,3 +136,47 @@ def test_append_out_of_range_dropped():
     # by the clipped oob write)
     k3 = np.asarray(kv.k)[:, :, 3]
     assert np.abs(k3).max() > 0
+
+
+def test_kv_prefix_save_load(tmp_path):
+    """Persistent system-prompt KV (reference load_kv semantics):
+    generation continuing from a loaded prefix must equal generation
+    with the prompt prefilled."""
+    import jax.numpy as jnp
+    from powerserve_tpu.kv import load_prefix, save_prefix
+
+    kv = _mk(slots=2, T=16, dtype="int8")
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.standard_normal((2, 5, 2, 4)), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(5)[None, :], (2, 5))
+    for layer in range(2):
+        kv = kv.append(layer, vals, vals * 2, pos)
+    kv = kv.advance(pos)
+
+    path = tmp_path / "prefix.npz"
+    n = save_prefix(kv, path, slot=0)
+    assert n == 5
+
+    fresh = _mk(slots=2, T=16, dtype="int8")
+    fresh, m = load_prefix(fresh, path, slot=1)
+    assert m == 5
+    assert np.asarray(fresh.pos).tolist() == [0, 5]
+    np.testing.assert_array_equal(np.asarray(fresh.k)[:, 1, :5],
+                                  np.asarray(kv.k)[:, 0, :5])
+    np.testing.assert_array_equal(np.asarray(fresh.k_scale)[:, 1, :5],
+                                  np.asarray(kv.k_scale)[:, 0, :5])
+    assert np.asarray(fresh.mask)[1, :5].all()
+    assert not np.asarray(fresh.mask)[1, 5:].any()
+
+
+def test_kv_prefix_shape_mismatch(tmp_path):
+    from powerserve_tpu.kv import load_prefix, save_prefix
+
+    kv = _mk(slots=1, T=8, dtype="bf16")
+    kv = kv.advance(jnp.arange(3)[None, :])
+    path = tmp_path / "p.npz"
+    save_prefix(kv, path)
+    other = KVCache.create(3, 1, 8, 2, 4, dtype="bf16")  # wrong layers
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        load_prefix(other, path)
