@@ -135,6 +135,7 @@ class HyperParams:
     kv_dtype: str = "int8"  # int8 | bf16
     mesh_shape: dict[str, int] = field(default_factory=dict)  # e.g. {"tp": 4}
     kernel_backend: str = "auto"  # auto | pallas | xla
+    decode_horizon: int = 4  # decode steps per device dispatch (scheduler)
 
     @classmethod
     def from_json(cls, d: dict[str, Any]) -> "HyperParams":

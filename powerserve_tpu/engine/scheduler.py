@@ -94,22 +94,37 @@ class BatchScheduler:
             return forward(params, llm, kv, tokens, positions, active=active,
                            backend=backend, logits_mode="none")
 
-        @functools.partial(jax.jit, donate_argnums=(1, 4))
-        def decode_all(params, kv, tokens, positions, penalty, rng, active,
+        horizon = max(int(getattr(self.hp, "decode_horizon", 1)), 1)
+
+        @functools.partial(jax.jit, donate_argnums=(1, 3))
+        def decode_all(params, kv, tokens, penalty, rng, active,
                        temp, top_k, top_p, pen_rep):
-            logits, kv = forward(params, llm, kv, tokens, positions,
-                                 active=active, backend=backend,
-                                 logits_mode="last")
-            rng, sub = jax.random.split(rng)
-            nxt = sample_logits_batched(sub, logits, temp, top_k, top_p,
-                                        state=penalty, penalty_repeat=pen_rep,
-                                        vocab_size=vocab)
-            nxt = nxt.astype(jnp.int32)
-            penalty = penalty.push(nxt, active)
-            return nxt, kv, penalty, rng
+            """`horizon` decode steps in one device dispatch; tokens past
+            a slot's stop are discarded host-side (the slot resets, so no
+            KV fixup is needed)."""
+
+            def body(carry, _):
+                tok, kv, penalty, rng = carry
+                positions = jnp.where(active[:, None],
+                                      kv.pos[:, None].astype(jnp.int32), -1)
+                logits, kv = forward(params, llm, kv, tok[:, None],
+                                     positions, active=active,
+                                     backend=backend, logits_mode="last")
+                rng, sub = jax.random.split(rng)
+                nxt = sample_logits_batched(
+                    sub, logits, temp, top_k, top_p, state=penalty,
+                    penalty_repeat=pen_rep, vocab_size=vocab
+                ).astype(jnp.int32)
+                penalty = penalty.push(nxt, active)
+                return (nxt, kv, penalty, rng), nxt
+
+            (_, kv, penalty, rng), toks = jax.lax.scan(
+                body, (tokens, kv, penalty, rng), None, length=horizon)
+            return toks.T, kv, penalty, rng  # [S, horizon]
 
         self._prefill_chunk = prefill_chunk
         self._decode_all = decode_all
+        self.horizon = horizon
 
     # -- public API ---------------------------------------------------------
 
@@ -189,8 +204,7 @@ class BatchScheduler:
                     if s.req is not None and not s.prefilling]
         if not decoding:
             return False
-        tokens = np.zeros((self.S, 1), np.int32)
-        positions = np.full((self.S, 1), -1, np.int32)
+        tokens = np.zeros(self.S, np.int32)
         active = np.zeros(self.S, bool)
         temp = np.zeros(self.S, np.float32)
         top_k = np.zeros(self.S, np.int32)
@@ -199,34 +213,36 @@ class BatchScheduler:
         pos_host = np.asarray(self.kv.pos)
         for i in decoding:
             s = self.slots[i]
-            tokens[i, 0] = s.cur_token
-            positions[i, 0] = pos_host[i]
+            tokens[i] = s.cur_token
             active[i] = True
             temp[i] = s.req.temperature
             top_k[i] = s.req.top_k
             top_p[i] = s.req.top_p
             pen[i] = s.req.penalty_repeat
-        nxt, self.kv, self.penalty, self.rng = self._decode_all(
-            self.params, self.kv, jnp.asarray(tokens), jnp.asarray(positions),
+        toks, self.kv, self.penalty, self.rng = self._decode_all(
+            self.params, self.kv, jnp.asarray(tokens),
             self.penalty, self.rng, jnp.asarray(active), jnp.asarray(temp),
             jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(pen))
-        nxt = np.asarray(nxt)
+        toks = np.asarray(toks)  # [S, horizon]
         for i in decoding:
             s = self.slots[i]
-            tok = int(nxt[i])
-            s.cur_token = tok
-            s.req.n_generated += 1
-            s.req.sink(tok)
             done = False
-            if tok in s.req.stop_ids:
-                s.req.finish_reason = "stop"
-                done = True
-            elif s.req.n_generated >= s.req.max_tokens:
-                s.req.finish_reason = "length"
-                done = True
-            elif int(pos_host[i]) + 1 >= self.max_seq - 1:
-                s.req.finish_reason = "length"
-                done = True
+            for h in range(self.horizon):
+                tok = int(toks[i, h])
+                s.cur_token = tok
+                s.req.n_generated += 1
+                s.req.sink(tok)
+                if tok in s.req.stop_ids:
+                    s.req.finish_reason = "stop"
+                    done = True
+                elif s.req.n_generated >= s.req.max_tokens:
+                    s.req.finish_reason = "length"
+                    done = True
+                elif int(pos_host[i]) + h + 1 >= self.max_seq - 1:
+                    s.req.finish_reason = "length"
+                    done = True
+                if done:
+                    break
             if done:
                 s.req.sink(None)
                 self.slots[i] = _Slot()

@@ -34,9 +34,12 @@ def bench_qmatmul(fmt: int, K: int, N: int, M: int, iters: int,
     def run(x, lin, salt):
         x = x + salt * 1e-6
 
+        w_dim = min(K, N)
+
         def body(c, _):
             y = qmatmul(c, lin, backend=backend)
-            return (c + y[:, :K] * 1e-6).astype(c.dtype), ()
+            c = c.at[:, :w_dim].add(y[:, :w_dim].astype(c.dtype) * 1e-6)
+            return c, ()
 
         out, _ = jax.lax.scan(body, x, None, length=iters)
         return out
