@@ -136,8 +136,35 @@ def _qmatmul_xla(x: jax.Array, lin: QLinear, compute_dtype: Any) -> jax.Array:
 # Pallas fused kernel (K-tiled, f32 accumulator)
 # ---------------------------------------------------------------------------
 
+def _unpack_nibbles_tile(q_ref, groups_per_tile: int, group_rows: int,
+                         unpack_mode: str):
+    """uint8 tile [(g*G/2), bn] -> f32 nibble values [(g*G), bn] in
+    natural k order. Each pack group's halves are split with STATIC
+    slices, so multi-group tiles need no sublane reshapes."""
+    pieces = []
+    half = group_rows // 2
+    for g in range(groups_per_tile):
+        part = q_ref[g * half : (g + 1) * half, :]
+        if unpack_mode == "i16":
+            p16 = part.astype(jnp.int16)
+            lo = (p16 & 0xF).astype(jnp.float32)
+            hi = (p16 >> 4).astype(jnp.float32)
+        elif unpack_mode == "i32":
+            p32 = part.astype(jnp.int32)
+            lo = (p32 & 0xF).astype(jnp.float32)
+            hi = (p32 >> 4).astype(jnp.float32)
+        else:  # "float": u8 -> f32 once, split with mul/floor/fma
+            qf = part.astype(jnp.int32).astype(jnp.float32)
+            hi = jnp.floor(qf * (1.0 / 16.0))
+            lo = qf - hi * 16.0
+        pieces.append(lo)
+        pieces.append(hi)
+    return jnp.concatenate(pieces, axis=0)
+
+
 def _make_kernel(unsigned: bool, packed: bool, has_bias: bool, compute_dtype,
-                 n_k_tiles: int, prefetch: bool):
+                 n_k_tiles: int, prefetch: bool, groups_per_tile: int,
+                 group_rows: int, unpack_mode: str):
     def kernel(*refs):
         if prefetch:  # scalar-prefetch layer index comes first
             refs = refs[1:]
@@ -159,15 +186,10 @@ def _make_kernel(unsigned: bool, packed: bool, has_bias: bool, compute_dtype,
 
         s = jnp.repeat(s_ref[...].astype(jnp.float32), QK, axis=0)
         if packed:
-            # float-arithmetic unpack: u8 -> f32 once, then split the two
-            # nibbles with mul/floor/fma — fewer VPU ops than integer
-            # widen+shift+mask, and the 4-bit zero point folds into the
-            # per-block additive term (w = nib * s + off)
-            # (Mosaic has no direct u8->f32 cast; widen via i32 first)
-            qf = q_ref[...].astype(jnp.int32).astype(jnp.float32)
-            hi = jnp.floor(qf * (1.0 / 16.0))
-            lo = qf - hi * 16.0
-            nib = jnp.concatenate([lo, hi], axis=0)
+            # 4-bit zero point folds into the per-block additive term
+            # (w = nib * s + off); nibbles are stored biased (+8)
+            nib = _unpack_nibbles_tile(q_ref, groups_per_tile, group_rows,
+                                       unpack_mode)
             if unsigned:
                 off = (-jnp.repeat(b_ref[...].astype(jnp.float32), QK, axis=0)
                        if b_ref is not None else 0.0)
@@ -200,20 +222,35 @@ def _pick_bn(n: int, prefer: int) -> int | None:
     return None
 
 
+import os as _os
+
+# tuning knobs (see tools/bench_kernels.py sweeps)
+_ENV_BN = int(_os.environ.get("POWERSERVE_QMM_BN", "512"))
+_ENV_GROUPS = int(_os.environ.get("POWERSERVE_QMM_GROUPS", "1"))
+_ENV_UNPACK = _os.environ.get("POWERSERVE_QMM_UNPACK", "float")
+
+
 def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
-                    block_n: int = 512, block_m: int = 256,
+                    block_n: int | None = None, block_m: int = 256,
                     block_k: int = 2048, layer: jax.Array | None = None,
                     interpret: bool = False) -> jax.Array:
     m, k = x.shape
     n = lin.out_features
     prefetch = layer is not None  # weights stacked [L, ...], index via SMEM
     bm = min(_round_up(m, 16), block_m)
-    bn = _pick_bn(n, block_n)
-    # K tile: exactly one pack group when packed (a tile must cover one
-    # whole group for the single-concat unpack); else the largest
-    # 64-aligned divisor of K
+    bn = _pick_bn(n, block_n or _ENV_BN)
+    # K tile: whole pack groups when packed (each group's halves split
+    # with static slices in-kernel); else the largest 64-aligned divisor
     try:
-        bk = lin.pack_group if lin.packed else choose_pack_group(k, block_k)
+        group = lin.pack_group if lin.packed else 0
+        if lin.packed:
+            gpt = max(_ENV_GROUPS, 1)
+            while k % (group * gpt) != 0 and gpt > 1:
+                gpt -= 1
+            bk = group * gpt
+        else:
+            gpt = 1
+            bk = choose_pack_group(k, block_k)
     except ValueError:
         return _qmatmul_xla(x, _slice_layer(lin, layer), compute_dtype)
     if bn is None or k % bk != 0:
@@ -244,7 +281,8 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
         in_specs.append(s_spec)
         inputs.append(lin.bias)
     kernel = _make_kernel(lin.unsigned, lin.packed, lin.bias is not None,
-                          compute_dtype, n_k_tiles, prefetch)
+                          compute_dtype, n_k_tiles, prefetch,
+                          gpt, group, _ENV_UNPACK)
     q_bytes = k * n * lin.q.dtype.itemsize // (2 if lin.packed else 1)
     cost = pl.CostEstimate(
         flops=2 * m * n * k,
