@@ -224,9 +224,10 @@ def _pick_bn(n: int, prefer: int) -> int | None:
 
 import os as _os
 
-# tuning knobs (see tools/bench_kernels.py sweeps)
+# tuning knobs (see tools/bench_kernels.py sweeps; defaults from the
+# v5e sweep: groups=2 + float unpack won at 4096x14336 decode shapes)
 _ENV_BN = int(_os.environ.get("POWERSERVE_QMM_BN", "512"))
-_ENV_GROUPS = int(_os.environ.get("POWERSERVE_QMM_GROUPS", "1"))
+_ENV_GROUPS = int(_os.environ.get("POWERSERVE_QMM_GROUPS", "2"))
 _ENV_UNPACK = _os.environ.get("POWERSERVE_QMM_UNPACK", "float")
 
 
