@@ -184,22 +184,23 @@ def _make_kernel(unsigned: bool, packed: bool, has_bias: bool, compute_dtype,
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        s = jnp.repeat(s_ref[...].astype(jnp.float32), QK, axis=0)
+        ar_dtype = jnp.float32
+        s = jnp.repeat(s_ref[...].astype(ar_dtype), QK, axis=0)
         if packed:
             # 4-bit zero point folds into the per-block additive term
             # (w = nib * s + off); nibbles are stored biased (+8)
             nib = _unpack_nibbles_tile(q_ref, groups_per_tile, group_rows,
                                        unpack_mode)
             if unsigned:
-                off = (-jnp.repeat(b_ref[...].astype(jnp.float32), QK, axis=0)
-                       if b_ref is not None else 0.0)
+                off = (-jnp.repeat(b_ref[...].astype(ar_dtype), QK, axis=0)
+                       if b_ref is not None else ar_dtype(0.0))
             else:
-                off = -8.0 * s
+                off = ar_dtype(-8.0) * s
             w = (nib * s + off).astype(compute_dtype)
         else:
-            w = q_ref[...].astype(jnp.float32) * s
+            w = q_ref[...].astype(ar_dtype) * s
             if b_ref is not None:
-                w = w - jnp.repeat(b_ref[...].astype(jnp.float32), QK, axis=0)
+                w = w - jnp.repeat(b_ref[...].astype(ar_dtype), QK, axis=0)
             w = w.astype(compute_dtype)
         acc[...] += jnp.dot(x_ref[...].astype(compute_dtype), w,
                             preferred_element_type=jnp.float32)
