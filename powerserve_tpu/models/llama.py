@@ -21,7 +21,11 @@ import numpy as np
 from ..core.config import LLMConfig, ModelConfig
 from ..core.quant import QK
 from ..kv.cache import KVCache
-from ..ops.attention import build_visibility, gqa_attention
+from ..ops.attention import (
+    build_visibility,
+    gqa_attention,
+    gqa_attention_quant,
+)
 from ..ops.elementwise import apply_rope, rms_norm, rope_cos_sin, silu_hadamard
 from ..ops.qmatmul import QLinear, qmatmul
 
@@ -186,14 +190,13 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             v_l = jax.vmap(scat)(v_l, vq, safe_pos)
             ks_l = jax.vmap(scat)(ks_l, ks, safe_pos)
             vs_l = jax.vmap(scat)(vs_l, vsc, safe_pos)
-            kf = k_l.astype(jnp.float32) * ks_l[..., None]
-            vf = v_l.astype(jnp.float32) * vs_l[..., None]
+            # attention reads int8 KV directly; per-token scales fold
+            # into the score/prob tensors (no dequantized cache copies)
+            attn = gqa_attention_quant(q, k_l, ks_l, v_l, vs_l, vis, scale)
         else:
             k_l = jax.vmap(scat)(k_l, knew, safe_pos)
             v_l = jax.vmap(scat)(v_l, vnew, safe_pos)
-            kf, vf = k_l, v_l
-
-        attn = gqa_attention(q, kf, vf, vis, scale)  # [S, Tq, H*D]
+            attn = gqa_attention(q, k_l, v_l, vis, scale)  # [S, Tq, H*D]
         attn_out = lin(attn.reshape(S * Tq, -1).astype(jnp.bfloat16),
                        lw.wo, None)
         x = x + attn_out.reshape(S, Tq, -1).astype(x.dtype)

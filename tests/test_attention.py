@@ -72,3 +72,25 @@ def test_build_visibility_tree_mask():
     vis = np.asarray(build_visibility(cache_mask, positions, intra))
     assert vis[0, 1].tolist() == [True, True, True, False]  # sees root+self
     assert vis[0, 2].tolist() == [True, True, False, True]  # sibling hidden
+
+
+def test_quant_attention_matches_dequant():
+    """Scale-folded int8 attention must match dequantize-then-attend."""
+    from powerserve_tpu.ops.attention import gqa_attention_quant
+
+    rng = np.random.default_rng(7)
+    S, Tq, T, H, Hkv, D = 2, 3, 64, 4, 2, 16
+    q = jnp.asarray(rng.standard_normal((S, Tq, H, D)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (S, T, Hkv, D)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (S, T, Hkv, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (S, T, Hkv)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (S, T, Hkv)), jnp.float32)
+    vis = jnp.asarray(rng.uniform(size=(S, Tq, T)) < 0.8)
+    vis = vis.at[..., 0].set(True)
+    kf = kq.astype(jnp.float32) * ks[..., None]
+    vf = vq.astype(jnp.float32) * vs[..., None]
+    ref = np.asarray(_gqa_dense(q, kf, vf, vis, 0.25))
+    for chunk in (64, 32):  # dense path and chunked path
+        got = np.asarray(gqa_attention_quant(q, kq, ks, vq, vs, vis, 0.25,
+                                             chunk=chunk))
+        np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
