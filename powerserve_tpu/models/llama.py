@@ -104,7 +104,8 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             vis_override: jax.Array | None = None,
             backend: str = "auto",
             logits_mode: str = "last",
-            embeds: jax.Array | None = None) -> tuple[jax.Array, KVCache]:
+            embeds: jax.Array | None = None,
+            return_hidden: bool = False):
     """One forward pass over a batch of slots.
 
     tokens/positions: [S, Tq] int32 (positions drive RoPE). active: [S]
@@ -122,7 +123,10 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     logits_mode: "last" -> [S, vocab] for the final position;
                  "all" -> [S, Tq, vocab] (perplexity / verification);
                  "none" -> zeros [S, 0] (prefill chunks before the last).
-    Returns (logits f32, updated KVCache with pos/mask advanced).
+    return_hidden: also return per-layer hidden states [L, S, Tq, dim]
+                 (numerics debugging — the reference's
+                 POWERSERVE_DUMP_TENSORS role, executor.cpp:52-75).
+    Returns (logits f32, updated KVCache) or (logits, kv, hidden).
     """
     S, Tq = tokens.shape
     llm = cfg
@@ -217,6 +221,7 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
 
     import dataclasses as _dc
 
+    hidden = []
     if isinstance(params.layers, (tuple, list)):
         # unrolled layer loop: weights are separate arrays, so Pallas
         # kernels read them directly from HBM — lax.scan over stacked
@@ -232,8 +237,12 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             if quantized:
                 ks_all = ks_all.at[i].set(ks_l)
                 vs_all = vs_all.at[i].set(vs_l)
+            if return_hidden:
+                hidden.append(x)
         kv = _dc.replace(kv, k=k_all, v=v_all, k_scale=ks_all,
                          v_scale=vs_all)
+        if return_hidden:
+            hidden = jnp.stack(hidden, axis=0)
     else:
         # scan over the layer index; stacked weights stay OUTSIDE the
         # scan as a closure constant, indexed inside the Pallas kernels
@@ -242,14 +251,19 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
 
         def layer_step(carry, inputs):
             idx, k_l, v_l, ks_l, vs_l = inputs
-            return layer_body(carry, stacked, k_l, v_l, ks_l, vs_l,
-                              layer=idx)
+            out, cache = layer_body(carry, stacked, k_l, v_l, ks_l, vs_l,
+                                    layer=idx)
+            ys = cache + ((out,) if return_hidden else ())
+            return out, ys
 
         n_layers = kv.k.shape[0]
-        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+        x, ys = jax.lax.scan(
             layer_step, x,
             (jnp.arange(n_layers), kv.k, kv.v, kv.k_scale, kv.v_scale),
         )
+        k_new, v_new, ks_new, vs_new = ys[:4]
+        if return_hidden:
+            hidden = ys[4]
         kv = _dc.replace(kv, k=k_new, v=v_new,
                          k_scale=ks_new if quantized else kv.k_scale,
                          v_scale=vs_new if quantized else kv.v_scale)
@@ -257,10 +271,14 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
 
     xf = rms_norm(x, params.out_norm, llm.norm_eps).astype(jnp.bfloat16)
     if logits_mode == "none":
-        return jnp.zeros((S, 0), jnp.float32), kv
-    if logits_mode == "last":
-        xf = xf[:, -1, :]
-        logits = qmatmul(xf, params.lm_head, backend=backend)
-        return logits.astype(jnp.float32), kv
-    logits = qmatmul(xf.reshape(S * Tq, -1), params.lm_head, backend=backend)
-    return logits.reshape(S, Tq, -1).astype(jnp.float32), kv
+        logits = jnp.zeros((S, 0), jnp.float32)
+    elif logits_mode == "last":
+        logits = qmatmul(xf[:, -1, :], params.lm_head,
+                         backend=backend).astype(jnp.float32)
+    else:
+        logits = qmatmul(xf.reshape(S * Tq, -1), params.lm_head,
+                         backend=backend).reshape(S, Tq, -1
+                                                  ).astype(jnp.float32)
+    if return_hidden:
+        return logits, kv, hidden
+    return logits, kv

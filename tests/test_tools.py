@@ -77,3 +77,20 @@ def test_cli_dispatch_unknown():
                             "HOME": "/root"})
     assert r.returncode == 1
     assert "unknown command" in r.stdout
+
+
+def test_dump_activations_and_cos_sim(tmp_path):
+    from powerserve_tpu.models.loader import load_gguf_model
+    from powerserve_tpu.tools.cos_sim import compare
+    from powerserve_tpu.tools.dump_activations import dump_forward
+
+    src = tmp_path / "m"
+    make_synthetic_gguf(src, "tiny", GGMLType.Q8_0)
+    cfg, params = load_gguf_model(src / "model")
+    out1 = dump_forward(params, cfg, [1, 5, 9], tmp_path / "d1")
+    out2 = dump_forward(params, cfg, [1, 5, 9], tmp_path / "d2")
+    assert (out1 / "layer_00.npy").exists()
+    assert (out1 / "logits.npy").exists()
+    rows = compare(out1, out2)
+    assert len(rows) == cfg.llm.n_layers + 1
+    assert all(abs(cs - 1.0) < 1e-5 for _, cs, _ in rows)
