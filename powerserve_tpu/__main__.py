@@ -10,6 +10,10 @@ Commands:
   workspace    assemble a workspace (powerserve create)
   synthetic    random-weight workspace for testing
   param-search speculative knob grid search (tools/parameter_search)
+  mmmu         multimodal eval harness over the HTTP API
+  cos-sim      compare activation dumps (numerics debugging)
+  dump-activations  per-layer hidden-state dumps
+  bench-kernels     quantized-matmul microbenchmarks
 """
 
 from __future__ import annotations
@@ -48,6 +52,18 @@ def main() -> int:
         return 0
     if cmd == "param-search":
         from .tools.param_search import main as m
+        return m(argv)
+    if cmd == "mmmu":
+        from .tools.mmmu import main as m
+        return m(argv)
+    if cmd == "cos-sim":
+        from .tools.cos_sim import main as m
+        return m(argv)
+    if cmd == "dump-activations":
+        from .tools.dump_activations import main as m
+        return m(argv)
+    if cmd == "bench-kernels":
+        from .tools.bench_kernels import main as m
         return m(argv)
     print(f"unknown command '{cmd}'\n{__doc__}")
     return 1
