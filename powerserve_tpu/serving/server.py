@@ -469,7 +469,12 @@ def main(argv: list[str] | None = None) -> None:
     ctx = ServerContext(root_dir, default, hp, args.backend)
     app = build_app(ctx)
     log.info(f"serving on http://{args.host}:{args.port}")
-    web.run_app(app, host=args.host, port=args.port, print=None)
+    try:
+        web.run_app(app, host=args.host, port=args.port, print=None)
+    finally:
+        for m in ctx.models.values():
+            if m.scheduler is not None:
+                m.scheduler.stop()
 
 
 if __name__ == "__main__":
