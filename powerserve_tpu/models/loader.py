@@ -75,10 +75,21 @@ def fuse_layer(lw: LayerWeights) -> LayerWeights:
         w_gate=None, w_up=None)
 
 
+# llama-family architectures sharing the same forward (QKV bias and
+# rope style vary per-model; the reference's headline list maps to:
+# llama / qwen2 (SmallThinker, Qwen-2.x) / internlm3 (InternLM-3) /
+# DeepSeek-R1-Distill-Llama = llama)
+LLAMA_FAMILY = {"llama", "qwen2", "qwen3", "internlm2", "internlm3",
+                "smallthinker", "internvl"}
+
+
 def config_from_gguf_metadata(md: dict[str, Any]) -> ModelConfig:
     """Mirror of the reference's gguf_config_to_json (tools/
     gguf_config_to_json/main.cpp): GGUF metadata -> ModelConfig."""
     arch = md.get("general.architecture", "llama")
+    if arch not in LLAMA_FAMILY:
+        raise ValueError(f"unsupported architecture '{arch}' "
+                         f"(supported: {sorted(LLAMA_FAMILY)})")
 
     def key(suffix: str, default=None):
         return md.get(f"{arch}.{suffix}", default)
@@ -90,7 +101,9 @@ def config_from_gguf_metadata(md: dict[str, Any]) -> ModelConfig:
     rope_dims = int(key("rope.dimension_count", head_size))
     vocab = md.get("tokenizer.ggml.tokens")
     vocab_size = int(key("vocab_size", len(vocab) if vocab is not None else 32000))
-    default_rope = (ROPE_TYPE_NEOX if arch in ("qwen2", "qwen3", "internvl")
+    default_rope = (ROPE_TYPE_NEOX
+                    if arch in ("qwen2", "qwen3", "internvl", "internlm2",
+                                "internlm3")
                     else ROPE_TYPE_NORM)
     rope = RopeConfig(
         n_dims=rope_dims,
