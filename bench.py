@@ -26,7 +26,7 @@ def main() -> None:
     ap.add_argument("--preset", default="llama-8b")
     ap.add_argument("--quant", default="q4_k")
     ap.add_argument("--steps", type=int, default=64)
-    ap.add_argument("--prefill", type=int, default=128)
+    ap.add_argument("--prefill", type=int, default=512)
     ap.add_argument("--max-seq", type=int, default=1024)
     ap.add_argument("--backend", default="auto")
     args = ap.parse_args()
