@@ -242,20 +242,36 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
     bm = min(_round_up(m, 16), block_m)
     bn = _pick_bn(n, block_n or _ENV_BN)
     # K tile: whole pack groups when packed (each group's halves split
-    # with static slices in-kernel); else the largest 64-aligned divisor
+    # with static slices in-kernel); else the largest 64-aligned divisor.
+    # Mosaic constraint: the scales block's sublane dim (bk/32) must be
+    # divisible by 8 OR span the whole array (bk == K).
+    def _tile_ok(bk_: int) -> bool:
+        return k % bk_ == 0 and ((bk_ // QK) % 8 == 0 or bk_ == k)
+
     try:
         group = lin.pack_group if lin.packed else 0
         if lin.packed:
-            gpt = max(_ENV_GROUPS, 1)
-            while k % (group * gpt) != 0 and gpt > 1:
-                gpt -= 1
-            bk = group * gpt
+            bk = 0
+            for gpt in range(max(_ENV_GROUPS, 1), 0, -1):
+                if _tile_ok(group * gpt):
+                    bk, n_groups = group * gpt, gpt
+                    break
+            if not bk and k <= 8192 and k % group == 0:
+                bk, n_groups = k, k // group  # single full-K tile
+            if not bk:
+                return _qmatmul_xla(x, _slice_layer(lin, layer),
+                                    compute_dtype)
         else:
-            gpt = 1
+            n_groups = 1
             bk = choose_pack_group(k, block_k)
+            if not _tile_ok(bk):
+                bk = k if k <= 8192 else 0
+            if not bk:
+                return _qmatmul_xla(x, _slice_layer(lin, layer),
+                                    compute_dtype)
     except ValueError:
         return _qmatmul_xla(x, _slice_layer(lin, layer), compute_dtype)
-    if bn is None or k % bk != 0:
+    if bn is None:
         return _qmatmul_xla(x, _slice_layer(lin, layer), compute_dtype)
     pad_m = _round_up(m, bm) - m
     if pad_m:
@@ -284,7 +300,7 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
         inputs.append(lin.bias)
     kernel = _make_kernel(lin.unsigned, lin.packed, lin.bias is not None,
                           compute_dtype, n_k_tiles, prefetch,
-                          gpt, group, _ENV_UNPACK)
+                          n_groups, group, _ENV_UNPACK)
     q_bytes = k * n * lin.q.dtype.itemsize // (2 if lin.packed else 1)
     cost = pl.CostEstimate(
         flops=2 * m * n * k,
