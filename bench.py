@@ -18,7 +18,13 @@ import argparse
 import json
 import time
 
-BASELINE_DECODE_8B = 12.48  # tok/s, 8G4 (BASELINE.md)
+# reference decode tok/s on Snapdragon 8 Elite (BASELINE.md, README.md:23-29)
+BASELINES = {
+    "llama-8b": 12.48,
+    "llama-1b": 59.00,
+    "qwen2-0.5b": 109.49,
+    "qwen2.5-3b": 22.19,
+}
 
 
 def main() -> None:
@@ -71,11 +77,12 @@ def main() -> None:
     dt = time.perf_counter() - t0
     decode_tok_s = args.steps / dt
 
+    baseline = BASELINES.get(args.preset, BASELINES["llama-8b"])
     print(json.dumps({
         "metric": f"decode_tok_s_{args.preset}_{args.quant}",
         "value": round(decode_tok_s, 2),
         "unit": "tokens/s",
-        "vs_baseline": round(decode_tok_s / BASELINE_DECODE_8B, 2),
+        "vs_baseline": round(decode_tok_s / baseline, 2),
         "extra": {"prefill_tok_s": round(prefill_s, 1),
                   "steps": args.steps, "backend": args.backend,
                   "device": str(jax.devices()[0])},
