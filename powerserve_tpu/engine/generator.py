@@ -147,14 +147,8 @@ class InferenceEngine:
         if stats is not None:
             stats.prefill_tokens += n
             stats.prefill_ms += timer.elapsed_time_ms()
-        # seed the penalty window with the prompt tail
-        P = self.penalty.recent.shape[1]
-        av = np.zeros(self.n_slots, bool)
-        av[slot] = True
-        av = jnp.asarray(av)
-        for t in toks[-P:]:
-            self.penalty = self.penalty.push(
-                jnp.full(self.n_slots, int(t), jnp.int32), av)
+        # seed the penalty window with the prompt tail (bulk upload)
+        self.penalty = self.penalty.seed_slot(slot, toks.tolist())
         return None if logits is None else logits[slot]
 
     def generate(self, prompt_tokens: list[int], n_predict: int,

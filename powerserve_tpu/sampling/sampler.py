@@ -16,6 +16,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.config import SamplerConfig
 
@@ -55,6 +56,17 @@ class PenaltyState:
     def reset_slot(self, slot) -> "PenaltyState":
         return PenaltyState(self.recent.at[slot].set(-1),
                             self.count.at[slot].set(0))
+
+    def seed_slot(self, slot: int, tokens: list[int]) -> "PenaltyState":
+        """Bulk-fill a slot's window with a prompt tail (one device
+        upload instead of one push per token)."""
+        P = self.recent.shape[1]
+        tail = list(tokens)[-P:]
+        row = np.full(P, -1, np.int32)
+        row[: len(tail)] = tail
+        return PenaltyState(
+            self.recent.at[slot].set(jnp.asarray(row)),
+            self.count.at[slot].set(len(tail)))
 
 
 def apply_repeat_penalty(logits: jax.Array, state: PenaltyState,

@@ -99,3 +99,12 @@ def test_draft_probs_topk_softmax():
     ref = np.exp(np.array([3.0, 2.0]) / 1.5)
     ref /= ref.sum()
     np.testing.assert_allclose(probs[0], ref, rtol=1e-5)
+
+
+def test_seed_slot_bulk():
+    state = PenaltyState.create(2, 4)
+    state = state.seed_slot(0, [10, 11, 12, 13, 14, 15])  # 6 > window 4
+    r = np.asarray(state.recent)
+    assert set(r[0].tolist()) == {12, 13, 14, 15}
+    assert r[1].tolist() == [-1] * 4
+    assert np.asarray(state.count).tolist() == [4, 0]
