@@ -15,11 +15,13 @@ Semantics preserved from the reference interface:
   - truncate(n)                  == truncate_tokens (reset to a prefix,
                                     e.g. a persistent system-prompt KV)
 
-Layout: [n_layers, n_slots, max_seq, n_kv_heads, head_dim] with the
-sequence dim third so per-token scatter/gather updates index a leading
-batch of (layer, slot) and attention kernels see [T, H, D] per slot.
-K/V quantize per (token, head) to int8 with an f32 scale, halving HBM
-traffic vs the reference's fp16 NPU KV (causal_models.hpp:121-131).
+Layout: [n_layers, n_slots, n_kv_heads, max_seq, head_dim] — the
+sequence dim sits inside each head so a (slot, head)'s K/V slab is
+CONTIGUOUS [T, D]: attention kernels (XLA today, Pallas flash-decode
+next) stream it without strided gathers, and per-token scatters index
+axis -2. K/V quantize per (token, head) to int8 with an f32 scale,
+halving HBM traffic vs the reference's fp16 NPU KV
+(causal_models.hpp:121-131).
 """
 
 from __future__ import annotations
@@ -43,9 +45,9 @@ NEG_INF = -1e30
 class KVCache:
     """Per-model KV state (all arrays batched over layers and slots)."""
 
-    k: jax.Array  # [L, S, T, H, D] int8 (quantized) or bf16
-    v: jax.Array  # [L, S, T, H, D]
-    k_scale: jax.Array  # [L, S, T, H] f32 ([1,1,1,1] dummy when not quantized)
+    k: jax.Array  # [L, S, H, T, D] int8 (quantized) or bf16
+    v: jax.Array  # [L, S, H, T, D]
+    k_scale: jax.Array  # [L, S, H, T] f32 (dummy when not quantized)
     v_scale: jax.Array
     mask: jax.Array  # [S, T] bool — position visible to attention
     pos: jax.Array  # [S] int32 — number of stored tokens (next write index)
@@ -58,7 +60,7 @@ class KVCache:
                n_kv_heads: int, head_dim: int,
                dtype: str = "int8") -> "KVCache":
         quantized = dtype == "int8"
-        shape = (n_layers, n_slots, max_seq, n_kv_heads, head_dim)
+        shape = (n_layers, n_slots, n_kv_heads, max_seq, head_dim)
         if quantized:
             k = jnp.zeros(shape, jnp.int8)
             v = jnp.zeros(shape, jnp.int8)
@@ -87,7 +89,7 @@ class KVCache:
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     # -- quantization -------------------------------------------------------
 
@@ -101,14 +103,6 @@ class KVCache:
                      -127, 127).astype(jnp.int8)
         return q, scale
 
-    def gather_layer(self, layer: jax.Array | int) -> tuple[jax.Array, jax.Array]:
-        """Dequantized (k, v) for one layer: [S, T, H, D] bf16."""
-        k, v = self.k[layer], self.v[layer]
-        if self.quantized:
-            k = (k.astype(jnp.float32) * self.k_scale[layer][..., None])
-            v = (v.astype(jnp.float32) * self.v_scale[layer][..., None])
-        return k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
-
     # -- mutation (functional; donate self for in-place) --------------------
 
     def append(self, layer: jax.Array | int, k_new: jax.Array,
@@ -116,6 +110,7 @@ class KVCache:
         """Write new tokens' K/V for one layer at explicit positions.
 
         k_new/v_new: [S, T_new, H, D] float; positions: [S, T_new] int32.
+        (Values transpose internally to the [H, T, D] cache layout.)
         Positions >= max_seq are dropped (mirrors the reference's capacity
         assert, kv_cache.hpp:233-236, but jit-safely). Does NOT advance
         pos/mask — call `advance` once after all layers are written.
@@ -126,16 +121,19 @@ class KVCache:
         idx = jnp.where((positions >= 0) & (positions < T), positions, T)
 
         def per_slot(cache_s, new_s, idx_s):
-            return cache_s.at[idx_s].set(new_s.astype(cache_s.dtype),
-                                         mode="drop")
+            # cache_s [H, T, ...]; new_s [H, Tn, ...]; scatter axis 1
+            return cache_s.at[:, idx_s].set(new_s.astype(cache_s.dtype),
+                                            mode="drop")
 
         if self.quantized:
             kq, ks = self.quantize_kv(k_new)
             vq, vs = self.quantize_kv(v_new)
-            k_l = jax.vmap(per_slot)(self.k[layer], kq, idx)
-            v_l = jax.vmap(per_slot)(self.v[layer], vq, idx)
-            ks_l = jax.vmap(per_slot)(self.k_scale[layer], ks, idx)
-            vs_l = jax.vmap(per_slot)(self.v_scale[layer], vs, idx)
+            k_l = jax.vmap(per_slot)(self.k[layer], kq.transpose(0, 2, 1, 3), idx)
+            v_l = jax.vmap(per_slot)(self.v[layer], vq.transpose(0, 2, 1, 3), idx)
+            ks_l = jax.vmap(per_slot)(self.k_scale[layer],
+                                      ks.transpose(0, 2, 1), idx)
+            vs_l = jax.vmap(per_slot)(self.v_scale[layer],
+                                      vs.transpose(0, 2, 1), idx)
             return replace(
                 self,
                 k=self.k.at[layer].set(k_l),
@@ -143,8 +141,8 @@ class KVCache:
                 k_scale=self.k_scale.at[layer].set(ks_l),
                 v_scale=self.v_scale.at[layer].set(vs_l),
             )
-        k_l = jax.vmap(per_slot)(self.k[layer], k_new, idx)
-        v_l = jax.vmap(per_slot)(self.v[layer], v_new, idx)
+        k_l = jax.vmap(per_slot)(self.k[layer], k_new.transpose(0, 2, 1, 3), idx)
+        v_l = jax.vmap(per_slot)(self.v[layer], v_new.transpose(0, 2, 1, 3), idx)
         return replace(self, k=self.k.at[layer].set(k_l),
                        v=self.v.at[layer].set(v_l))
 
@@ -213,14 +211,16 @@ class KVCache:
                    src: jax.Array) -> "KVCache":
         """Copy a cached entry src -> dst within a slot, all layers
         (verify's compaction: token_tree.cpp:190-210 copy + advance)."""
-        k = self.k.at[:, slot, dst].set(self.k[:, slot, src])
-        v = self.v.at[:, slot, dst].set(self.v[:, slot, src])
+        k = self.k.at[:, slot, :, dst].set(self.k[:, slot, :, src])
+        v = self.v.at[:, slot, :, dst].set(self.v[:, slot, :, src])
         out = replace(self, k=k, v=v)
         if self.quantized:
             out = replace(
                 out,
-                k_scale=self.k_scale.at[:, slot, dst].set(self.k_scale[:, slot, src]),
-                v_scale=self.v_scale.at[:, slot, dst].set(self.v_scale[:, slot, src]),
+                k_scale=self.k_scale.at[:, slot, :, dst].set(
+                    self.k_scale[:, slot, :, src]),
+                v_scale=self.v_scale.at[:, slot, :, dst].set(
+                    self.v_scale[:, slot, :, src]),
             )
         return out
 
@@ -236,9 +236,9 @@ class KVCache:
         safe_dst = jnp.clip(dst, 0, self.max_seq - 1)
 
         def per_layer_slot(arr_ls, src_s, dst_s):
-            # arr_ls: [T, ...]
-            vals = arr_ls[src_s]
-            return arr_ls.at[dst_s].set(vals)
+            # arr_ls: [H, T, ...]; gather/scatter along the T axis
+            vals = arr_ls[:, src_s]
+            return arr_ls.at[:, dst_s].set(vals)
 
         def per_layer(arr_l):
             return jax.vmap(per_layer_slot)(arr_l, safe_src, safe_dst)
@@ -287,7 +287,3 @@ class KVCache:
             pos=self.pos.at[slot].set(0),
         )
 
-
-def cache_l_gather(cache_l: jax.Array, pos: jax.Array) -> jax.Array:
-    """[S, T, ...] gathered at [S, Tn] -> [S, Tn, ...]."""
-    return jax.vmap(lambda c, p: c[p])(cache_l, pos)

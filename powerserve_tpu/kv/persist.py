@@ -23,14 +23,14 @@ def save_prefix(kv: KVCache, path: str | os.PathLike, slot: int = 0,
     """Write slot's first `length` (default: pos) tokens of KV to disk."""
     n = int(np.asarray(kv.pos)[slot]) if length is None else int(length)
     data = {
-        "k": np.asarray(kv.k[:, slot, :n]),
-        "v": np.asarray(kv.v[:, slot, :n]),
+        "k": np.asarray(kv.k[:, slot, :, :n]),
+        "v": np.asarray(kv.v[:, slot, :, :n]),
         "quantized": np.asarray(kv.quantized),
         "n": np.asarray(n),
     }
     if kv.quantized:
-        data["k_scale"] = np.asarray(kv.k_scale[:, slot, :n])
-        data["v_scale"] = np.asarray(kv.v_scale[:, slot, :n])
+        data["k_scale"] = np.asarray(kv.k_scale[:, slot, :, :n])
+        data["v_scale"] = np.asarray(kv.v_scale[:, slot, :, :n])
     np.savez_compressed(path, **data)
     return n
 
@@ -45,21 +45,26 @@ def load_prefix(kv: KVCache, path: str | os.PathLike,
     n = int(z["n"])
     if bool(z["quantized"]) != kv.quantized:
         raise ValueError("KV quantization mode mismatch")
-    if z["k"].shape[0] != kv.n_layers or z["k"].shape[2:] != kv.k.shape[3:]:
+    # saved prefix is [L, H, n, D]; cache is [L, S, H, T, D]
+    if (z["k"].shape[0] != kv.n_layers
+            or z["k"].shape[1] != kv.k.shape[2]
+            or z["k"].shape[3:] != kv.k.shape[4:]):
         raise ValueError(f"KV shape mismatch: {z['k'].shape} vs cache "
                          f"{kv.k.shape}")
     if n > kv.max_seq:
         raise ValueError(f"prefix ({n}) exceeds cache ({kv.max_seq})")
     kv = dataclasses.replace(
         kv,
-        k=kv.k.at[:, slot, :n].set(jnp.asarray(z["k"])),
-        v=kv.v.at[:, slot, :n].set(jnp.asarray(z["v"])),
+        k=kv.k.at[:, slot, :, :n].set(jnp.asarray(z["k"])),
+        v=kv.v.at[:, slot, :, :n].set(jnp.asarray(z["v"])),
     )
     if kv.quantized:
         kv = dataclasses.replace(
             kv,
-            k_scale=kv.k_scale.at[:, slot, :n].set(jnp.asarray(z["k_scale"])),
-            v_scale=kv.v_scale.at[:, slot, :n].set(jnp.asarray(z["v_scale"])),
+            k_scale=kv.k_scale.at[:, slot, :, :n].set(
+                jnp.asarray(z["k_scale"])),
+            v_scale=kv.v_scale.at[:, slot, :, :n].set(
+                jnp.asarray(z["v_scale"])),
         )
     mask = kv.mask.at[slot].set(False)
     mask = mask.at[slot, :n].set(True)

@@ -177,29 +177,31 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         q = apply_rope(q, cos, sin, rope_type)
         knew = apply_rope(knew, cos, sin, rope_type)
 
-        # scatter new K/V into this layer's cache rows; out-of-range
-        # positions redirect past the end and are dropped (jit-safe)
+        # scatter new K/V into this layer's cache slabs ([H, T, D] per
+        # slot, seq on axis -2); out-of-range positions redirect past
+        # the end and are dropped (jit-safe)
         safe_pos = jnp.where(
             (cache_positions >= 0) & (cache_positions < kv.max_seq),
             cache_positions, kv.max_seq)
 
         def scat(cache_s, new_s, pos_s):
-            return cache_s.at[pos_s].set(new_s.astype(cache_s.dtype),
-                                         mode="drop")
+            # cache_s [H, T, ...]; new_s [H, Tq, ...]
+            return cache_s.at[:, pos_s].set(new_s.astype(cache_s.dtype),
+                                            mode="drop")
 
         if quantized:
             kq, ks = KVCache.quantize_kv(knew)
             vq, vsc = KVCache.quantize_kv(vnew)
-            k_l = jax.vmap(scat)(k_l, kq, safe_pos)
-            v_l = jax.vmap(scat)(v_l, vq, safe_pos)
-            ks_l = jax.vmap(scat)(ks_l, ks, safe_pos)
-            vs_l = jax.vmap(scat)(vs_l, vsc, safe_pos)
+            k_l = jax.vmap(scat)(k_l, kq.transpose(0, 2, 1, 3), safe_pos)
+            v_l = jax.vmap(scat)(v_l, vq.transpose(0, 2, 1, 3), safe_pos)
+            ks_l = jax.vmap(scat)(ks_l, ks.transpose(0, 2, 1), safe_pos)
+            vs_l = jax.vmap(scat)(vs_l, vsc.transpose(0, 2, 1), safe_pos)
             # attention reads int8 KV directly; per-token scales fold
             # into the score/prob tensors (no dequantized cache copies)
             attn = gqa_attention_quant(q, k_l, ks_l, v_l, vs_l, vis, scale)
         else:
-            k_l = jax.vmap(scat)(k_l, knew, safe_pos)
-            v_l = jax.vmap(scat)(v_l, vnew, safe_pos)
+            k_l = jax.vmap(scat)(k_l, knew.transpose(0, 2, 1, 3), safe_pos)
+            v_l = jax.vmap(scat)(v_l, vnew.transpose(0, 2, 1, 3), safe_pos)
             attn = gqa_attention(q, k_l, v_l, vis, scale)  # [S, Tq, H*D]
         attn_out = lin(attn.reshape(S * Tq, -1).astype(jnp.bfloat16),
                        lw.wo, None)

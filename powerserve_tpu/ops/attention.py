@@ -19,6 +19,12 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _attn_dtype():
+    """bf16 operands on TPU; f32 on CPU (the CPU dot thunk can't do
+    BF16xBF16=F32 for some contraction layouts)."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
 def build_visibility(cache_mask: jax.Array, positions: jax.Array,
                      intra_mask: jax.Array | None) -> jax.Array:
     """Combine cache visibility with the new batch's intra-mask.
@@ -49,7 +55,8 @@ def build_visibility(cache_mask: jax.Array, positions: jax.Array,
 def gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                   visibility: jax.Array, scale: float,
                   chunk: int = 1024) -> jax.Array:
-    """q: [S, Tq, H, D]; k/v: [S, T, Hkv, D]; visibility: [S, Tq, T].
+    """q: [S, Tq, H, D]; k/v: [S, Hkv, T, D] (cache layout);
+    visibility: [S, Tq, T].
 
     Dense for short caches; online-softmax over KV chunks beyond
     `chunk` so score memory stays O(Tq * chunk) regardless of context
@@ -57,7 +64,7 @@ def gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     shapes, SURVEY §5 — here long context just streams).
     Returns [S, Tq, H * D] float32.
     """
-    T = k.shape[1]
+    T = k.shape[2]
     if T <= chunk:
         return _gqa_dense(q, k, v, visibility, scale)
     return _gqa_chunked(q, k, v, visibility, scale, chunk)
@@ -69,56 +76,54 @@ def gqa_attention_quant(q: jax.Array, kq: jax.Array, ks: jax.Array,
                         chunk: int = 1024) -> jax.Array:
     """Attention directly over the INT8 KV cache.
 
-    kq/vq: [S, T, Hkv, D] int8; ks/vs: [S, T, Hkv] f32 per-(token,head)
-    scales. Instead of materializing dequantized K/V ([S,T,H,D] float
-    writes+reads per layer — the batched-decode bottleneck), the
-    per-token scales fold into the small score/prob tensors:
+    kq/vq: [S, Hkv, T, D] int8 (cache layout: contiguous per-head
+    slabs); ks/vs: [S, Hkv, T] f32 per-(token,head) scales. Instead of
+    materializing dequantized K/V (float writes+reads per layer — the
+    batched-decode bottleneck), the per-token scales fold into the
+    small score/prob tensors:
 
       scores[.., t] = (q . kq[t]) * ks[t]
       out = sum_t (p[t] * vs[t]) . vq[t]
     """
-    T = kq.shape[1]
     S, Tq, H, D = q.shape
-    Hkv = kq.shape[2]
+    Hkv, T = kq.shape[1], kq.shape[2]
     G = H // Hkv
     if T > chunk:
         # stream via the generic chunked path on scale-folded chunks
         return _gqa_chunked_quant(q, kq, ks, vq, vs, visibility, scale,
                                   chunk)
-    qg = q.reshape(S, Tq, Hkv, G, D).astype(jnp.bfloat16)
-    scores = jnp.einsum("sqhgd,skhd->shgqk", qg, kq.astype(jnp.bfloat16),
+    qg = q.reshape(S, Tq, Hkv, G, D).astype(_attn_dtype())
+    scores = jnp.einsum("sqhgd,shkd->shgqk", qg, kq.astype(_attn_dtype()),
                         preferred_element_type=jnp.float32)
-    ksb = ks.transpose(0, 2, 1)[:, :, None, None, :]  # [S,Hkv,1,1,T]
-    scores = scores * (ksb * scale)
+    scores = scores * (ks[:, :, None, None, :] * scale)
     vis = visibility[:, None, None, :, :]
     scores = jnp.where(vis, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    vsb = vs.transpose(0, 2, 1)[:, :, None, None, :]
-    pf = (probs * vsb).astype(jnp.bfloat16)
-    out = jnp.einsum("shgqk,skhd->sqhgd", pf, vq.astype(jnp.bfloat16),
+    pf = (probs * vs[:, :, None, None, :]).astype(_attn_dtype())
+    out = jnp.einsum("shgqk,shkd->sqhgd", pf, vq.astype(_attn_dtype()),
                      preferred_element_type=jnp.float32)
     return out.reshape(S, Tq, H * D)
 
 
 def _gqa_chunked_quant(q, kq, ks, vq, vs, visibility, scale, chunk):
-    """Online-softmax streaming over int8 KV chunks with scale folding."""
+    """Online-softmax streaming over int8 KV chunks with scale folding
+    ([S, Hkv, T, D] cache layout)."""
     S, Tq, H, D = q.shape
-    T = kq.shape[1]
-    Hkv = kq.shape[2]
+    Hkv, T = kq.shape[1], kq.shape[2]
     G = H // Hkv
     pad = (-T) % chunk
     if pad:
-        kq = jnp.pad(kq, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        vq = jnp.pad(vq, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        ks = jnp.pad(ks, ((0, 0), (0, pad), (0, 0)))
-        vs = jnp.pad(vs, ((0, 0), (0, pad), (0, 0)))
+        kq = jnp.pad(kq, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vq = jnp.pad(vq, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad)))
+        vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad)))
         visibility = jnp.pad(visibility, ((0, 0), (0, 0), (0, pad)))
-    n_chunks = kq.shape[1] // chunk
-    qg = q.reshape(S, Tq, Hkv, G, D).astype(jnp.bfloat16)
-    kc = kq.reshape(S, n_chunks, chunk, Hkv, D).transpose(1, 0, 2, 3, 4)
-    vc = vq.reshape(S, n_chunks, chunk, Hkv, D).transpose(1, 0, 2, 3, 4)
-    ksc = ks.reshape(S, n_chunks, chunk, Hkv).transpose(1, 0, 2, 3)
-    vsc = vs.reshape(S, n_chunks, chunk, Hkv).transpose(1, 0, 2, 3)
+    n_chunks = kq.shape[2] // chunk
+    qg = q.reshape(S, Tq, Hkv, G, D).astype(_attn_dtype())
+    kc = kq.reshape(S, Hkv, n_chunks, chunk, D).transpose(2, 0, 1, 3, 4)
+    vc = vq.reshape(S, Hkv, n_chunks, chunk, D).transpose(2, 0, 1, 3, 4)
+    ksc = ks.reshape(S, Hkv, n_chunks, chunk).transpose(2, 0, 1, 3)
+    vsc = vs.reshape(S, Hkv, n_chunks, chunk).transpose(2, 0, 1, 3)
     visc = visibility.reshape(S, Tq, n_chunks, chunk).transpose(2, 0, 1, 3)
 
     m0 = jnp.full((S, Hkv, G, Tq), NEG_INF, jnp.float32)
@@ -128,17 +133,16 @@ def _gqa_chunked_quant(q, kq, ks, vq, vs, visibility, scale, chunk):
     def body(carry, inputs):
         m, l, o = carry
         k_i, v_i, ks_i, vs_i, vis_i = inputs
-        s_i = jnp.einsum("sqhgd,skhd->shgqk", qg, k_i.astype(jnp.bfloat16),
+        s_i = jnp.einsum("sqhgd,shkd->shgqk", qg, k_i.astype(_attn_dtype()),
                          preferred_element_type=jnp.float32)
-        s_i = s_i * (ks_i.transpose(0, 2, 1)[:, :, None, None, :] * scale)
+        s_i = s_i * (ks_i[:, :, None, None, :] * scale)
         s_i = jnp.where(vis_i[:, None, None, :, :], s_i, NEG_INF)
         m_new = jnp.maximum(m, s_i.max(axis=-1))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s_i - m_new[..., None])
         l = l * alpha + p.sum(axis=-1)
-        pf = (p * vs_i.transpose(0, 2, 1)[:, :, None, None, :]
-              ).astype(jnp.bfloat16)
-        pv = jnp.einsum("shgqk,skhd->shgqd", pf, v_i.astype(jnp.bfloat16),
+        pf = (p * vs_i[:, :, None, None, :]).astype(_attn_dtype())
+        pv = jnp.einsum("shgqk,shkd->shgqd", pf, v_i.astype(_attn_dtype()),
                         preferred_element_type=jnp.float32)
         o = o * alpha[..., None] + pv
         return (m_new, l, o), None
@@ -152,37 +156,37 @@ def _gqa_chunked_quant(q, kq, ks, vq, vs, visibility, scale, chunk):
 
 def _gqa_dense(q, k, v, visibility, scale):
     S, Tq, H, D = q.shape
-    Hkv = k.shape[2]
+    Hkv = k.shape[1]
     G = H // Hkv
-    qg = q.reshape(S, Tq, Hkv, G, D).astype(jnp.bfloat16)
-    scores = jnp.einsum("sqhgd,skhd->shgqk", qg, k.astype(jnp.bfloat16),
+    qg = q.reshape(S, Tq, Hkv, G, D).astype(_attn_dtype())
+    scores = jnp.einsum("sqhgd,shkd->shgqk", qg, k.astype(_attn_dtype()),
                         preferred_element_type=jnp.float32)
     scores = scores * scale
     vis = visibility[:, None, None, :, :]
     scores = jnp.where(vis, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("shgqk,skhd->sqhgd", probs.astype(jnp.bfloat16),
-                     v.astype(jnp.bfloat16),
+    out = jnp.einsum("shgqk,shkd->sqhgd", probs.astype(_attn_dtype()),
+                     v.astype(_attn_dtype()),
                      preferred_element_type=jnp.float32)
     return out.reshape(S, Tq, H * D)
 
 
 def _gqa_chunked(q, k, v, visibility, scale, chunk):
-    """Flash-style streaming softmax over KV chunks (lax.scan)."""
+    """Flash-style streaming softmax over KV chunks (lax.scan),
+    [S, Hkv, T, D] layout."""
     S, Tq, H, D = q.shape
-    T = k.shape[1]
-    Hkv = k.shape[2]
+    Hkv, T = k.shape[1], k.shape[2]
     G = H // Hkv
     pad = (-T) % chunk
     if pad:
-        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
         visibility = jnp.pad(visibility, ((0, 0), (0, 0), (0, pad)))
-    n_chunks = k.shape[1] // chunk
-    qg = q.reshape(S, Tq, Hkv, G, D).astype(jnp.bfloat16)
-    # chunked views: [C, S, chunk, ...]
-    kc = k.reshape(S, n_chunks, chunk, Hkv, D).transpose(1, 0, 2, 3, 4)
-    vc = v.reshape(S, n_chunks, chunk, Hkv, D).transpose(1, 0, 2, 3, 4)
+    n_chunks = k.shape[2] // chunk
+    qg = q.reshape(S, Tq, Hkv, G, D).astype(_attn_dtype())
+    # chunked views: [C, S, Hkv, chunk, D]
+    kc = k.reshape(S, Hkv, n_chunks, chunk, D).transpose(2, 0, 1, 3, 4)
+    vc = v.reshape(S, Hkv, n_chunks, chunk, D).transpose(2, 0, 1, 3, 4)
     visc = visibility.reshape(S, Tq, n_chunks, chunk).transpose(2, 0, 1, 3)
 
     m0 = jnp.full((S, Hkv, G, Tq), NEG_INF, jnp.float32)
@@ -192,15 +196,15 @@ def _gqa_chunked(q, k, v, visibility, scale, chunk):
     def body(carry, inputs):
         m, l, o = carry
         k_i, v_i, vis_i = inputs
-        s_i = jnp.einsum("sqhgd,skhd->shgqk", qg, k_i.astype(jnp.bfloat16),
+        s_i = jnp.einsum("sqhgd,shkd->shgqk", qg, k_i.astype(_attn_dtype()),
                          preferred_element_type=jnp.float32) * scale
         s_i = jnp.where(vis_i[:, None, None, :, :], s_i, NEG_INF)
         m_new = jnp.maximum(m, s_i.max(axis=-1))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s_i - m_new[..., None])
         l = l * alpha + p.sum(axis=-1)
-        pv = jnp.einsum("shgqk,skhd->shgqd", p.astype(jnp.bfloat16),
-                        v_i.astype(jnp.bfloat16),
+        pv = jnp.einsum("shgqk,shkd->shgqd", p.astype(_attn_dtype()),
+                        v_i.astype(_attn_dtype()),
                         preferred_element_type=jnp.float32)
         o = o * alpha[..., None] + pv
         return (m_new, l, o), None

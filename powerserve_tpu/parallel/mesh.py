@@ -151,11 +151,11 @@ def shard_kv(kv: KVCache, mesh: Mesh) -> KVCache:
 
     tp = mesh.shape["tp"]
     dp = mesh.shape["dp"]
-    L, S, T, H, D = kv.k.shape
+    L, S, H, T, D = kv.k.shape
     s_ax = "dp" if _shardable(S, dp) and dp > 1 else None
     h_ax = "tp" if _shardable(H, tp) else None
-    kvspec = P(None, s_ax, None, h_ax, None)
-    scspec = P(None, s_ax, None, h_ax)
+    kvspec = P(None, s_ax, h_ax, None, None)
+    scspec = P(None, s_ax, h_ax, None)
     quant = kv.quantized
     return dataclasses.replace(
         kv,

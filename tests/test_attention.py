@@ -15,8 +15,8 @@ from powerserve_tpu.ops.attention import (
 def _rand_case(S=2, Tq=4, T=96, H=4, Hkv=2, D=16, seed=0, frac_visible=0.7):
     rng = np.random.default_rng(seed)
     q = rng.standard_normal((S, Tq, H, D)).astype(np.float32)
-    k = rng.standard_normal((S, T, Hkv, D)).astype(np.float32)
-    v = rng.standard_normal((S, T, Hkv, D)).astype(np.float32)
+    k = rng.standard_normal((S, Hkv, T, D)).astype(np.float32)
+    v = rng.standard_normal((S, Hkv, T, D)).astype(np.float32)
     vis = rng.uniform(size=(S, Tq, T)) < frac_visible
     vis[..., 0] = True  # keep every query defined
     return (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
@@ -81,10 +81,10 @@ def test_quant_attention_matches_dequant():
     rng = np.random.default_rng(7)
     S, Tq, T, H, Hkv, D = 2, 3, 64, 4, 2, 16
     q = jnp.asarray(rng.standard_normal((S, Tq, H, D)), jnp.float32)
-    kq = jnp.asarray(rng.integers(-127, 128, (S, T, Hkv, D)), jnp.int8)
-    vq = jnp.asarray(rng.integers(-127, 128, (S, T, Hkv, D)), jnp.int8)
-    ks = jnp.asarray(rng.uniform(0.005, 0.02, (S, T, Hkv)), jnp.float32)
-    vs = jnp.asarray(rng.uniform(0.005, 0.02, (S, T, Hkv)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (S, Hkv, T, D)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (S, Hkv, T, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (S, Hkv, T)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (S, Hkv, T)), jnp.float32)
     vis = jnp.asarray(rng.uniform(size=(S, Tq, T)) < 0.8)
     vis = vis.at[..., 0].set(True)
     kf = kq.astype(jnp.float32) * ks[..., None]

@@ -57,12 +57,12 @@ def test_copy_token_compaction():
         kv = kv.append(layer, vals, vals, pos)
     kv = kv.advance(pos)
     kv = kv.copy_token(0, dst=jnp.asarray(1), src=jnp.asarray(3))
-    k = np.asarray(kv.k)
-    np.testing.assert_array_equal(k[:, 0, 1], k[:, 0, 3])
+    k = np.asarray(kv.k)  # [L, S, H, T, D]
+    np.testing.assert_array_equal(k[:, 0, :, 1], k[:, 0, :, 3])
     sc = np.asarray(kv.k_scale)
-    np.testing.assert_array_equal(sc[:, 0, 1], sc[:, 0, 3])
+    np.testing.assert_array_equal(sc[:, 0, :, 1], sc[:, 0, :, 3])
     # other slot untouched
-    assert not np.array_equal(k[:, 1, 1], k[:, 1, 3])
+    assert not np.array_equal(k[:, 1, :, 1], k[:, 1, :, 3])
 
 
 def test_gather_tokens_batched_compaction():
@@ -79,11 +79,11 @@ def test_gather_tokens_batched_compaction():
     # slot 0: accepted tree nodes at cache positions [2, 4, 5] -> dst 0..2
     src = jnp.asarray([[2, 4, 5], [0, 1, 2]])
     kv2 = kv.gather_tokens(jnp.arange(2), src, jnp.zeros(2, jnp.int32))
-    after = np.asarray(kv2.k)
-    np.testing.assert_array_equal(after[:, 0, 0], before[:, 0, 2])
-    np.testing.assert_array_equal(after[:, 0, 1], before[:, 0, 4])
-    np.testing.assert_array_equal(after[:, 0, 2], before[:, 0, 5])
-    np.testing.assert_array_equal(after[:, 1, :3], before[:, 1, :3])
+    after = np.asarray(kv2.k)  # [L, S, H, T, D]
+    np.testing.assert_array_equal(after[:, 0, :, 0], before[:, 0, :, 2])
+    np.testing.assert_array_equal(after[:, 0, :, 1], before[:, 0, :, 4])
+    np.testing.assert_array_equal(after[:, 0, :, 2], before[:, 0, :, 5])
+    np.testing.assert_array_equal(after[:, 1, :, :3], before[:, 1, :, :3])
 
 
 def test_truncate_to_system_prompt():
@@ -134,7 +134,7 @@ def test_append_out_of_range_dropped():
     assert m[:, 2:4].all()
     # nothing visible out of bounds; position 3 value intact (not clobbered
     # by the clipped oob write)
-    k3 = np.asarray(kv.k)[:, :, 3]
+    k3 = np.asarray(kv.k)[:, :, :, 3]
     assert np.abs(k3).max() > 0
 
 
@@ -161,10 +161,10 @@ def test_kv_prefix_save_load(tmp_path):
     fresh, m = load_prefix(fresh, path, slot=1)
     assert m == 5
     assert np.asarray(fresh.pos).tolist() == [0, 5]
-    np.testing.assert_array_equal(np.asarray(fresh.k)[:, 1, :5],
-                                  np.asarray(kv.k)[:, 0, :5])
-    np.testing.assert_array_equal(np.asarray(fresh.k_scale)[:, 1, :5],
-                                  np.asarray(kv.k_scale)[:, 0, :5])
+    np.testing.assert_array_equal(np.asarray(fresh.k)[:, 1, :, :5],
+                                  np.asarray(kv.k)[:, 0, :, :5])
+    np.testing.assert_array_equal(np.asarray(fresh.k_scale)[:, 1, :, :5],
+                                  np.asarray(kv.k_scale)[:, 0, :, :5])
     assert np.asarray(fresh.mask)[1, :5].all()
     assert not np.asarray(fresh.mask)[1, 5:].any()
 

@@ -71,7 +71,8 @@ def test_shardings_applied(model):
     llm = cfg.llm
     kv = shard_kv(KVCache.create(llm.n_layers, 4, 16, llm.n_kv_heads,
                                  llm.head_size), mesh)
-    assert kv.k.sharding.spec[3] == "tp"
+    # [L, S, H, T, D]: heads axis 2 over tp, slots axis 1 over dp
+    assert kv.k.sharding.spec[2] == "tp"
     assert kv.k.sharding.spec[1] == "dp"
 
 
