@@ -121,6 +121,7 @@ class SamplerConfig:
     penalty_freq: float = 0.0
     penalty_present: float = 0.0
     penalize_nl: bool = False
+    ignore_eos: bool = False
 
 
 @dataclass

@@ -55,12 +55,16 @@ class InferenceEngine:
 
     def __init__(self, params: LlamaParams, cfg: ModelConfig,
                  hp: HyperParams | None = None, backend: str = "auto",
-                 mesh=None):
+                 mesh=None, eos_id: int = -1, nl_id: int = -1):
         self.params = params
         self.cfg = cfg
         self.hp = hp or HyperParams()
         self.backend = backend
         self.mesh = mesh
+        # special-token ids for reference sampler semantics (ignore_eos
+        # masking / penalize_nl restore, sampler.cpp:88-168); -1 disables
+        self.eos_id = eos_id
+        self.nl_id = nl_id
         llm = cfg.llm
         self.max_seq = self.hp.max_seq_len or llm.seq_len
         self.n_slots = self.hp.max_slots
@@ -95,6 +99,8 @@ class InferenceEngine:
             backend = self.backend
             scfg = self.hp.sampler
             vocab = llm.vocab_size
+            eos_id = self.eos_id if self.eos_id >= 0 else None
+            nl_id = self.nl_id if self.nl_id >= 0 else None
 
             @functools.partial(jax.jit, donate_argnums=(1, 4))
             def decode(params, kv, tokens, positions, penalty, rng, active):
@@ -103,7 +109,8 @@ class InferenceEngine:
                                      logits_mode="last")
                 rng, sub = jax.random.split(rng)
                 next_tok = sample_logits(sub, logits, scfg, penalty,
-                                         vocab_size=vocab)
+                                         vocab_size=vocab,
+                                         eos_id=eos_id, nl_id=nl_id)
                 penalty = penalty.push(next_tok, active)
                 return next_tok, kv, penalty, rng
 

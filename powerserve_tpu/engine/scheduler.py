@@ -161,8 +161,13 @@ class BatchScheduler:
                 req = self.pending.get_nowait()
             except queue.Empty:
                 return
+            # clamp client-supplied max_tokens; an unclamped value could
+            # flip the truncation slice positive (or empty it entirely)
+            # and crash the scheduler thread on prompt_ids[-1]
+            req.max_tokens = max(1, min(req.max_tokens, self.max_seq - 1))
             if len(req.prompt_ids) >= self.max_seq:
-                req.prompt_ids = req.prompt_ids[-(self.max_seq - req.max_tokens - 1):]
+                keep = max(1, self.max_seq - req.max_tokens - 1)
+                req.prompt_ids = req.prompt_ids[-keep:]
             slot.req = req
             slot.prefill_off = 0
             slot.prefilling = True

@@ -172,8 +172,12 @@ class KVCache:
             return mask_s.at[clear_s].set(False, mode="drop")
 
         mask = jax.vmap(per_slot)(self.mask, idx_set, idx_clear)
-        new_pos = self.pos + jnp.where(active, T_new, 0).astype(jnp.int32)
-        return replace(self, mask=mask, pos=new_pos)
+        # bump pos by the per-slot count of REAL stored positions, not the
+        # static T_new: batched prefill pads the final chunk with -1 lanes
+        # (engine/scheduler.py) and counting those shifted every later
+        # token's RoPE position / write index
+        n_real = jnp.sum(write, axis=1).astype(jnp.int32)
+        return replace(self, mask=mask, pos=self.pos + n_real)
 
     def rollback(self, n: jax.Array | int,
                  active: jax.Array | None = None) -> "KVCache":
@@ -231,14 +235,20 @@ class KVCache:
         single gather+scatter instead of a per-node loop."""
         # src_positions: [S, n]; dst positions are dst_start[:, None] + arange(n)
         S, n = src_positions.shape
+        T = self.max_seq
         dst = dst_start[:, None] + jnp.arange(n)[None, :]
-        safe_src = jnp.clip(src_positions, 0, self.max_seq - 1)
-        safe_dst = jnp.clip(dst, 0, self.max_seq - 1)
+        # padded (-1) sources and over-capacity destinations are redirected
+        # out of bounds and dropped by the scatter — clipping instead made
+        # them collapse onto T-1/position 0 and clobber live entries when a
+        # speculative commit ran near cache capacity
+        src_ok = (src_positions >= 0) & (src_positions < T)
+        safe_src = jnp.clip(src_positions, 0, T - 1)
+        safe_dst = jnp.where(src_ok & (dst < T), dst, T)
 
         def per_layer_slot(arr_ls, src_s, dst_s):
             # arr_ls: [H, T, ...]; gather/scatter along the T axis
             vals = arr_ls[:, src_s]
-            return arr_ls.at[:, dst_s].set(vals)
+            return arr_ls.at[:, dst_s].set(vals, mode="drop")
 
         def per_layer(arr_l):
             return jax.vmap(per_layer_slot)(arr_l, safe_src, safe_dst)

@@ -28,7 +28,12 @@ def build_engine(model_dir: str, hp: HyperParams,
                  backend: str = "auto") -> tuple[InferenceEngine, Tokenizer]:
     cfg, params = load_gguf_model(model_dir)
     tok = Tokenizer.from_model_dir(model_dir)
-    engine = InferenceEngine(params, cfg, hp, backend=backend)
+    try:
+        nl_id = tok.tokenize("\n", add_bos=False)[-1]
+    except Exception:
+        nl_id = -1
+    engine = InferenceEngine(params, cfg, hp, backend=backend,
+                             eos_id=tok.eos_id, nl_id=nl_id)
     return engine, tok
 
 

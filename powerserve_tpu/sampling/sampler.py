@@ -70,33 +70,48 @@ class PenaltyState:
 
 
 def apply_repeat_penalty(logits: jax.Array, state: PenaltyState,
-                         cfg: SamplerConfig) -> jax.Array:
-    """Reference sampler.cpp:76-150 semantics, vectorized.
+                         cfg: SamplerConfig,
+                         eos_id: int | None = None,
+                         nl_id: int | None = None) -> jax.Array:
+    """Reference sampler.cpp:76-168 semantics, vectorized.
 
-    For every token in the last-n window: positive logits are divided by
-    penalty_repeat, negative multiplied; then freq/presence penalties
-    subtract counts.
+    ignore_eos masks the special EOS logit to -inf; for every token in
+    the last-n window positive logits are divided by penalty_repeat,
+    negative multiplied, then freq/presence penalties subtract counts;
+    with penalize_nl=False the newline logit is restored to its
+    pre-penalty value afterwards.
     """
+    lf = logits.astype(jnp.float32)
+    if cfg.ignore_eos and eos_id is not None and eos_id >= 0:
+        lf = lf.at[:, eos_id].set(NEG_INF)
     if (cfg.penalty_repeat == 1.0 and cfg.penalty_freq == 0.0
             and cfg.penalty_present == 0.0):
-        return logits
-    S, V = logits.shape
+        return lf
+    S, V = lf.shape
     P = state.recent.shape[1]
     window = min(cfg.penalty_last_n, P) if cfg.penalty_last_n > 0 else 0
     if window == 0:
-        return logits
+        return lf
 
-    # occurrence counts of window tokens: scatter-add ones (dropping -1)
-    idx = jnp.where(state.recent >= 0, state.recent, V)
+    # occurrence counts of window tokens: scatter-add ones, dropping -1
+    # lanes and ring entries older than the last `window` pushes (ring
+    # slot j's most recent push index is count-1-((count-1-j) mod P))
+    j = jnp.arange(P)[None, :]
+    cnt = state.count[:, None]
+    push_idx = cnt - 1 - jnp.mod(cnt - 1 - j, P)
+    in_window = push_idx >= (cnt - window)
+    idx = jnp.where((state.recent >= 0) & in_window, state.recent, V)
     counts = jnp.zeros((S, V), jnp.float32)
     counts = jax.vmap(lambda c, i: c.at[i].add(1.0, mode="drop"))(counts, idx)
     present = counts > 0
 
-    lf = logits.astype(jnp.float32)
+    pre = lf
     penalized = jnp.where(lf > 0, lf / cfg.penalty_repeat,
                           lf * cfg.penalty_repeat)
     lf = jnp.where(present, penalized, lf)
     lf = lf - counts * cfg.penalty_freq - present * cfg.penalty_present
+    if not cfg.penalize_nl and nl_id is not None and nl_id >= 0:
+        lf = lf.at[:, nl_id].set(pre[:, nl_id])
     return lf
 
 
@@ -129,7 +144,9 @@ def apply_top_p(probs: jax.Array, p: float, min_keep: int = 1) -> jax.Array:
 
 def sample_logits(key: jax.Array, logits: jax.Array, cfg: SamplerConfig,
                   state: PenaltyState | None = None,
-                  vocab_size: int | None = None) -> jax.Array:
+                  vocab_size: int | None = None,
+                  eos_id: int | None = None,
+                  nl_id: int | None = None) -> jax.Array:
     """Full chain -> sampled token ids [S] (order: sampler_chain.cpp:18-37)."""
     lf = logits.astype(jnp.float32)
     if vocab_size is not None and vocab_size < lf.shape[-1]:
@@ -138,7 +155,7 @@ def sample_logits(key: jax.Array, logits: jax.Array, cfg: SamplerConfig,
             [lf[..., :vocab_size], jnp.full(lf.shape[:-1] + (pad,), NEG_INF)],
             axis=-1)
     if state is not None:
-        lf = apply_repeat_penalty(lf, state, cfg)
+        lf = apply_repeat_penalty(lf, state, cfg, eos_id=eos_id, nl_id=nl_id)
     if cfg.temperature <= 0.0:
         return jnp.argmax(lf, axis=-1)
     lf = apply_top_k(lf, cfg.top_k)

@@ -129,7 +129,10 @@ def test_append_out_of_range_dropped():
     for layer in range(2):
         kv = kv.append(layer, k, k, pos)
     kv = kv.advance(pos)
-    assert np.asarray(kv.pos).tolist() == [3, 3]  # pos still advances
+    # pos advances only by the tokens actually stored: the out-of-range
+    # position 4 was dropped, so counting it would desync pos from the
+    # cache contents (same rule drops the scheduler's -1 pad lanes)
+    assert np.asarray(kv.pos).tolist() == [2, 2]
     m = np.asarray(kv.mask)
     assert m[:, 2:4].all()
     # nothing visible out of bounds; position 3 value intact (not clobbered
@@ -180,3 +183,35 @@ def test_kv_prefix_shape_mismatch(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         load_prefix(other, path)
+
+
+def test_advance_padded_lanes_do_not_count():
+    """Batched prefill pads the last chunk with -1 position lanes; pos
+    must advance by the real token count only (ADVICE r1 high)."""
+    kv = _mk(T=32)
+    pos = jnp.asarray([[0, 1, 2, -1, -1], [0, 1, 2, 3, 4]])
+    kv = kv.advance(pos)
+    assert np.asarray(kv.pos).tolist() == [3, 5]
+    m = np.asarray(kv.mask)
+    assert m[0, :4].tolist() == [True, True, True, False]
+    assert m[1, :5].all()
+
+
+def test_gather_tokens_near_capacity_no_clobber():
+    """Speculative commit near cache capacity: over-capacity dst and
+    padded (-1) src entries are dropped, not clipped onto live entries
+    (ADVICE r1 low)."""
+    kv = _mk(T=8)
+    k = jnp.arange(2 * 8 * 2 * 4, dtype=jnp.float32).reshape(2, 8, 2, 4)
+    pos = jnp.broadcast_to(jnp.arange(8)[None, :], (2, 8))
+    for layer in range(2):
+        kv = kv.append(layer, k, k, pos)
+    kv = kv.advance(pos[:, :6])  # 6 committed tokens
+    before = np.asarray(kv.k).copy()
+    # commit 4 nodes from positions 6,7 (+padding): dst 6..9 overflows at 8
+    src = jnp.asarray([[6, 7, -1, -1], [6, 7, -1, -1]])
+    out = kv.gather_tokens(jnp.arange(2), src, jnp.asarray([6, 6]))
+    after = np.asarray(out.k)
+    # in-range moves happened (src==dst here, values unchanged), and the
+    # padded/-1 sources did NOT clobber any live entry
+    np.testing.assert_array_equal(after, before)

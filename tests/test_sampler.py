@@ -108,3 +108,60 @@ def test_seed_slot_bulk():
     assert set(r[0].tolist()) == {12, 13, 14, 15}
     assert r[1].tolist() == [-1] * 4
     assert np.asarray(state.count).tolist() == [4, 0]
+
+
+def test_penalty_window_narrower_than_ring():
+    """penalty_last_n smaller than the ring capacity must only count the
+    most recent `window` pushes (ADVICE r1: window was computed but
+    unused)."""
+    cfg = SamplerConfig(penalty_repeat=2.0, penalty_last_n=2)
+    state = PenaltyState.create(1, 4)  # ring holds 4, window is 2
+    for t in [0, 1, 2, 3]:
+        state = state.push(jnp.asarray([t]))
+    logits = jnp.asarray([[4.0, 4.0, 4.0, 4.0, 4.0]])
+    out = np.asarray(apply_repeat_penalty(logits, state, cfg))
+    # only tokens 2 and 3 are inside the last-2 window
+    np.testing.assert_allclose(out[0], [4.0, 4.0, 2.0, 2.0, 4.0], rtol=1e-6)
+
+
+def test_penalty_window_after_wrap():
+    cfg = SamplerConfig(penalty_repeat=2.0, penalty_last_n=2)
+    state = PenaltyState.create(1, 3)
+    for t in [0, 1, 2, 3, 4]:  # ring now holds {2,3,4}; window = {3,4}
+        state = state.push(jnp.asarray([t]))
+    logits = jnp.asarray([[4.0, 4.0, 4.0, 4.0, 4.0]])
+    out = np.asarray(apply_repeat_penalty(logits, state, cfg))
+    np.testing.assert_allclose(out[0], [4.0, 4.0, 4.0, 2.0, 2.0], rtol=1e-6)
+
+
+def test_ignore_eos_masks_eos():
+    """Reference RepeatPenaltySampler ignore_eos (sampler.cpp:88-101)."""
+    cfg = SamplerConfig(penalty_repeat=2.0, penalty_last_n=4, ignore_eos=True)
+    state = PenaltyState.create(1, 4)
+    logits = jnp.asarray([[1.0, 5.0, 2.0]])
+    out = np.asarray(apply_repeat_penalty(logits, state, cfg, eos_id=1))
+    assert out[0, 1] < -1e20
+    # and greedy sampling can never pick EOS
+    toks = sample_logits(jax.random.PRNGKey(0), logits,
+                         SamplerConfig(temperature=0.0, ignore_eos=True,
+                                       penalty_repeat=2.0),
+                         state, eos_id=1)
+    assert int(toks[0]) == 2
+
+
+def test_penalize_nl_false_restores_newline():
+    """Reference saves the newline logit before penalties and restores it
+    when penalize_nl=false (sampler.cpp:110-168)."""
+    cfg = SamplerConfig(penalty_repeat=2.0, penalty_last_n=4,
+                        penalize_nl=False)
+    state = PenaltyState.create(1, 4)
+    for t in [1, 2]:  # both in window; token 1 is "newline"
+        state = state.push(jnp.asarray([t]))
+    logits = jnp.asarray([[3.0, 6.0, 4.0]])
+    out = np.asarray(apply_repeat_penalty(logits, state, cfg, nl_id=1))
+    np.testing.assert_allclose(out[0], [3.0, 6.0, 2.0], rtol=1e-6)
+    # penalize_nl=True penalizes it like any other token
+    cfg2 = SamplerConfig(penalty_repeat=2.0, penalty_last_n=4,
+                         penalize_nl=True)
+    out2 = np.asarray(apply_repeat_penalty(logits, state, cfg2, nl_id=1))
+    np.testing.assert_allclose(out2[0], [3.0, 3.0, 2.0], rtol=1e-6)

@@ -83,3 +83,17 @@ def test_stop_ids(sched):
     assert done2.wait(timeout=120)
     assert out2[0] == first and len(out2) == 1
     assert req2.finish_reason == "stop"
+
+
+def test_huge_max_tokens_does_not_kill_scheduler(sched):
+    """An unclamped client max_tokens used to flip the prompt-truncation
+    slice positive and crash the scheduler thread (ADVICE r1 medium)."""
+    sched.start()
+    long_prompt = list(range(1, 200))  # longer than max_seq=128
+    req, out, done = _collect(sched, long_prompt, 10_000_000)
+    assert done.wait(timeout=120), "scheduler thread died on huge max_tokens"
+    assert len(out) >= 1
+    # scheduler still serves subsequent requests
+    req2, out2, done2 = _collect(sched, [1, 2, 3], 4)
+    assert done2.wait(timeout=120)
+    assert len(out2) == 4
