@@ -43,6 +43,14 @@ class RopeConfig:
     beta_fast: float = 32.0
     beta_slow: float = 1.0
     rope_type: int = 0  # 0 = NORM (rotate pairs), 2 = NEOX (rotate halves)
+    # frequency-factor scaling (HF `rope_scaling` / ggml freq_factors):
+    # "none" | "llama3"; llama3 divides per-dim frequencies following
+    # Llama-3.1's wavelength-banded recipe. "linear" maps to freq_scale
+    # and "yarn" to ext_factor/beta_* above (ggml.c:15319-15365).
+    scaling_type: str = "none"
+    scaling_factor: float = 1.0
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
 
 
 @dataclass

@@ -163,6 +163,9 @@ def internvl_from_hf(model, cfg_text: ModelConfig | None = None
         llm.rope.n_dims = llm.head_size
         llm.rope.freq_base = float(getattr(tc, "rope_theta", 10000.0))
         llm.norm_eps = float(getattr(tc, "rms_norm_eps", 1e-5))
+        from .loader import apply_hf_rope_scaling
+        apply_hf_rope_scaling(llm.rope, getattr(tc, "rope_scaling", None),
+                              tc.max_position_embeddings)
     # text weights use the language_model.* prefix; strip to match loader
     tsd = {}
     for k, v in sd.items():

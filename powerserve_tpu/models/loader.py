@@ -83,6 +83,37 @@ LLAMA_FAMILY = {"llama", "qwen2", "qwen3", "internlm2", "internlm3",
                 "smallthinker", "internvl"}
 
 
+def apply_hf_rope_scaling(rope: RopeConfig, rope_scaling: dict | None,
+                          max_pos: int | None = None) -> None:
+    """Apply a HuggingFace `rope_scaling` config dict to a RopeConfig in
+    place (same mapping as config_from_gguf_metadata's rope.scaling.*
+    keys; reference carries these into ggml's YaRN rope,
+    config.hpp:88-97)."""
+    rs = rope_scaling or {}
+    rs_type = rs.get("rope_type", rs.get("type", "none")) or "none"
+    if rs_type in ("none", "default"):
+        return
+    factor = float(rs.get("factor", 1.0))
+    rope.scaling_factor = factor
+    rope.n_ctx_orig = int(rs.get("original_max_position_embeddings",
+                                 max_pos or rope.n_ctx_orig))
+    if rs_type == "llama3":
+        rope.scaling_type = "llama3"
+        rope.low_freq_factor = float(rs.get("low_freq_factor", 1.0))
+        rope.high_freq_factor = float(rs.get("high_freq_factor", 4.0))
+    elif rs_type == "linear":
+        rope.freq_scale = 1.0 / factor if factor else 1.0
+    elif rs_type == "yarn":
+        rope.freq_scale = 1.0 / factor if factor else 1.0
+        rope.ext_factor = 1.0
+        if rs.get("attention_factor"):
+            rope.attn_factor = float(rs["attention_factor"])
+        rope.beta_fast = float(rs.get("beta_fast", 32.0))
+        rope.beta_slow = float(rs.get("beta_slow", 1.0))
+    else:
+        raise ValueError(f"unsupported rope scaling type '{rs_type}'")
+
+
 def config_from_gguf_metadata(md: dict[str, Any]) -> ModelConfig:
     """Mirror of the reference's gguf_config_to_json (tools/
     gguf_config_to_json/main.cpp): GGUF metadata -> ModelConfig."""
@@ -105,13 +136,40 @@ def config_from_gguf_metadata(md: dict[str, Any]) -> ModelConfig:
                     if arch in ("qwen2", "qwen3", "internvl", "internlm2",
                                 "internlm3")
                     else ROPE_TYPE_NORM)
+    # rope scaling: llama.cpp-standard keys (rope.scaling.*, written by
+    # gguf-py and by our convert_hf) — reference carries these into
+    # ggml's YaRN rope (config.hpp:88-97, ggml.c:15319-15365)
+    scaling_type = str(key("rope.scaling.type", "none") or "none")
+    if scaling_type not in ("none", "linear", "yarn", "llama3"):
+        raise ValueError(f"unsupported rope scaling type '{scaling_type}'")
+    scaling_factor = float(key("rope.scaling.factor", 1.0) or 1.0)
+    n_ctx_orig = int(key("rope.scaling.original_context_length",
+                         key("context_length", 2048)))
+    freq_scale = 1.0 / float(key("rope.scale_linear", 1.0) or 1.0)
+    ext_factor = 0.0
+    if scaling_type == "linear" and scaling_factor != 0:
+        freq_scale = 1.0 / scaling_factor
+    elif scaling_type == "yarn" and scaling_factor != 0:
+        freq_scale = 1.0 / scaling_factor
+        ext_factor = 1.0
     rope = RopeConfig(
         n_dims=rope_dims,
-        n_ctx_orig=int(key("context_length", 2048)),
+        n_ctx_orig=n_ctx_orig,
         freq_base=float(key("rope.freq_base", 10000.0)),
-        freq_scale=1.0 / float(key("rope.scale_linear", 1.0) or 1.0),
+        freq_scale=freq_scale,
+        ext_factor=ext_factor,
+        attn_factor=float(key("rope.scaling.attn_factor", 1.0) or 1.0),
+        beta_fast=float(key("rope.scaling.beta_fast", 32.0) or 32.0),
+        beta_slow=float(key("rope.scaling.beta_slow", 1.0) or 1.0),
         # our own converter writes unpermuted HF weights and marks it
         rope_type=int(md.get("powerserve.rope_type", default_rope)),
+        # linear/yarn fold into freq_scale/ext_factor above; only llama3
+        # needs per-dim frequency factors at angle-computation time
+        scaling_type="llama3" if scaling_type == "llama3" else "none",
+        scaling_factor=scaling_factor,
+        low_freq_factor=float(key("rope.scaling.low_freq_factor", 1.0) or 1.0),
+        high_freq_factor=float(key("rope.scaling.high_freq_factor", 4.0)
+                               or 4.0),
     )
     llm = LLMConfig(
         dim=dim,

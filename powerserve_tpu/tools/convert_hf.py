@@ -116,6 +116,31 @@ def convert_hf_model(model_dir: str | Path, out_dir: str | Path,
     md[f"{arch}.context_length"] = hf_cfg.get("max_position_embeddings", 4096)
     md[f"{arch}.rope.dimension_count"] = head_dim
     md[f"{arch}.rope.freq_base"] = float(hf_cfg.get("rope_theta", 10000.0))
+    # rope scaling -> llama.cpp-standard rope.scaling.* keys (the
+    # reference carries these into ggml's YaRN rope, config.hpp:88-97;
+    # Llama-3.1 checkpoints need llama3 scaling for positions past the
+    # original context window)
+    rs = hf_cfg.get("rope_scaling") or {}
+    rs_type = rs.get("rope_type", rs.get("type", "none")) or "none"
+    if rs_type not in ("none", "default"):
+        md[f"{arch}.rope.scaling.type"] = rs_type
+        md[f"{arch}.rope.scaling.factor"] = float(rs.get("factor", 1.0))
+        md[f"{arch}.rope.scaling.original_context_length"] = int(
+            rs.get("original_max_position_embeddings",
+                   hf_cfg.get("max_position_embeddings", 4096)))
+        if rs_type == "llama3":
+            md[f"{arch}.rope.scaling.low_freq_factor"] = float(
+                rs.get("low_freq_factor", 1.0))
+            md[f"{arch}.rope.scaling.high_freq_factor"] = float(
+                rs.get("high_freq_factor", 4.0))
+        if rs_type == "yarn":
+            if "attention_factor" in rs and rs["attention_factor"]:
+                md[f"{arch}.rope.scaling.attn_factor"] = float(
+                    rs["attention_factor"])
+            md[f"{arch}.rope.scaling.beta_fast"] = float(
+                rs.get("beta_fast", 32.0))
+            md[f"{arch}.rope.scaling.beta_slow"] = float(
+                rs.get("beta_slow", 1.0))
     md[f"{arch}.attention.layer_norm_rms_epsilon"] = float(
         hf_cfg.get("rms_norm_eps", 1e-5))
     md[f"{arch}.vocab_size"] = hf_cfg["vocab_size"]

@@ -58,3 +58,39 @@ def test_convert_qwen_bias(tmp_path):
     lw = params.layers[0]
     # qkv bias survived (fused by default)
     assert (lw.bqkv is not None) or (lw.bq is not None)
+
+
+def test_convert_rope_scaling_roundtrip(tmp_path):
+    """HF rope_scaling must survive convert -> GGUF metadata -> loader
+    (VERDICT r1 item 2: previously silently dropped)."""
+    from tests.test_model_golden import _mk_hf_llama_scaled
+
+    torch.manual_seed(5)
+    rs = {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+          "high_freq_factor": 4.0, "original_max_position_embeddings": 64}
+    model, _ = _mk_hf_llama_scaled(rs, seq=1024)
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(hf_dir, safe_serialization=True)
+
+    ws = convert_hf_model(hf_dir, tmp_path / "ws", quant="q8_0")
+    cfg, params = load_gguf_model(ws / "model")
+    rope = cfg.llm.rope
+    assert rope.scaling_type == "llama3"
+    assert rope.scaling_factor == 8.0
+    assert rope.n_ctx_orig == 64
+    assert rope.low_freq_factor == 1.0 and rope.high_freq_factor == 4.0
+
+    # logits past the original context window match transformers
+    T, start = 6, 150
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, 256, (1, start + T))
+    with torch.no_grad():
+        ref = model(torch.tensor(tokens)).logits.numpy()[0, start:]
+    kv = KVCache.create(cfg.llm.n_layers, 1, 256, cfg.llm.n_kv_heads,
+                        cfg.llm.head_size, dtype="bf16")
+    logits, _ = forward(params, cfg.llm, kv, jnp.asarray(tokens),
+                        jnp.arange(start + T)[None, :], backend="xla",
+                        logits_mode="all")
+    got = np.asarray(logits)[0, start:]
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999, f"corr {corr}"

@@ -209,3 +209,60 @@ def test_fused_matches_unfused():
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-2, atol=2e-2)
     corr = np.corrcoef(outs[0].ravel(), outs[1].ravel())[0, 1]
     assert corr > 0.9999
+
+
+def _mk_hf_llama_scaled(rope_scaling, seq=1024, orig_ctx=64):
+    """Tiny llama whose rope_scaling kicks in for positions > orig_ctx."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=seq, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, rope_scaling=rope_scaling,
+    )
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    model.eval()
+    cfg = ModelConfig(arch="llama")
+    llm = cfg.llm
+    llm.dim, llm.hidden_dim, llm.n_layers = 64, 128, 2
+    llm.n_heads, llm.n_kv_heads, llm.head_size = 4, 2, 16
+    llm.seq_len, llm.vocab_size, llm.kv_dim = seq, 256, 32
+    llm.norm_eps = 1e-5
+    llm.rope.n_dims = 16
+    llm.rope.freq_base = 10000.0
+    from powerserve_tpu.models.loader import apply_hf_rope_scaling
+    apply_hf_rope_scaling(llm.rope, rope_scaling, seq)
+    return model, cfg
+
+
+@pytest.mark.parametrize("rope_scaling", [
+    {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+     "high_freq_factor": 4.0, "original_max_position_embeddings": 64},
+    {"rope_type": "yarn", "factor": 4.0,
+     "original_max_position_embeddings": 64},
+    {"rope_type": "linear", "factor": 4.0},
+], ids=["llama3", "yarn", "linear"])
+def test_rope_scaling_matches_hf_beyond_orig_ctx(rope_scaling):
+    """VERDICT r1 item 2: logits at positions past n_ctx_orig must match
+    transformers when llama3/yarn/linear rope_scaling is configured
+    (Llama-3.1 — the benchmark flagship — uses llama3 scaling)."""
+    torch.manual_seed(3)
+    model, cfg = _mk_hf_llama_scaled(rope_scaling)
+
+    T, start = 8, 200  # well past n_ctx_orig=64
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, cfg.llm.vocab_size, (1, start + T))
+    with torch.no_grad():
+        ref = model(torch.tensor(tokens)).logits.numpy()[0, start:]
+
+    kv = KVCache.create(cfg.llm.n_layers, 1, 256, cfg.llm.n_kv_heads,
+                        cfg.llm.head_size, dtype="bf16")
+    positions = jnp.arange(start + T)[None, :]
+    logits, kv = forward(params_from_hf_state_dict(_to_sd(model), cfg,
+                                                   fmt=GGMLType.Q8_0),
+                         cfg.llm, kv, jnp.asarray(tokens), positions,
+                         backend="xla", logits_mode="all")
+    got = np.asarray(logits)[0, start:]
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.08, f"logits rel err {rel}"
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999, f"logits correlation {corr}"
