@@ -177,6 +177,213 @@ def dequantize_q4_k(payload: np.ndarray) -> np.ndarray:
     return x.reshape(-1)
 
 
+def quantize_q4_1(x: np.ndarray) -> np.ndarray:
+    """float [..., K] -> Q4_1 payload (asymmetric: x = d*q + m)."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK)
+    nb = x.shape[0]
+    mn = x.min(axis=1)
+    mx = x.max(axis=1)
+    d = (mx - mn) / 15.0
+    inv = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    q = np.clip(np.round((x - mn[:, None]) * inv[:, None]), 0, 15).astype(np.uint8)
+    out = np.empty((nb, 20), dtype=np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = mn.astype(np.float16)[:, None].view(np.uint8).reshape(nb, 2)
+    out[:, 4:] = q[:, :16] | (q[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def dequantize_q4_1(payload: np.ndarray) -> np.ndarray:
+    """ggml-quants.c:1556 layout: d, m fp16; nibble j -> elems j, j+16."""
+    blocks = payload.reshape(-1, 20)
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
+    m = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    qs = blocks[:, 4:]
+    q = np.concatenate([qs & 0x0F, qs >> 4], axis=1).astype(np.float32)
+    return (q * d + m).reshape(-1)
+
+
+def quantize_q5_0(x: np.ndarray) -> np.ndarray:
+    """float -> Q5_0 (signed 5-bit, x = d*(q-16))."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK)
+    nb = x.shape[0]
+    idx = np.argmax(np.abs(x), axis=1)
+    amax = x[np.arange(nb), idx]
+    d = amax / -16.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    q = np.clip(np.round(x * inv[:, None]) + 16.0, 0, 31).astype(np.uint8)
+    lo, hi = q[:, :16], q[:, 16:]
+    qh = np.zeros(nb, np.uint32)
+    for j in range(16):
+        qh |= ((lo[:, j].astype(np.uint32) >> 4) & 1) << j
+        qh |= ((hi[:, j].astype(np.uint32) >> 4) & 1) << (j + 16)
+    out = np.empty((nb, 22), dtype=np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8).reshape(nb, 2)
+    out[:, 2:6] = qh[:, None].view(np.uint8).reshape(nb, 4)
+    out[:, 6:] = (lo & 0xF) | ((hi & 0xF) << 4)
+    return out.reshape(-1)
+
+
+def dequantize_q5_0(payload: np.ndarray) -> np.ndarray:
+    """ggml-quants.c:1577: 5th bits packed in a u32 (j and j+12<<... per
+    source: xh_0 = ((qh >> j) << 4) & 0x10, xh_1 = (qh >> (j+12)) & 0x10)."""
+    blocks = payload.reshape(-1, 22)
+    nb = blocks.shape[0]
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
+    qh = blocks[:, 2:6].copy().view(np.uint32)[:, 0]
+    qs = blocks[:, 6:]
+    j = np.arange(16)
+    xh0 = ((qh[:, None] >> j) << 4) & 0x10
+    xh1 = (qh[:, None] >> (j + 12)) & 0x10
+    x0 = ((qs & 0x0F) | xh0).astype(np.int32) - 16
+    x1 = ((qs >> 4) | xh1).astype(np.int32) - 16
+    q = np.concatenate([x0, x1], axis=1).astype(np.float32)
+    return (q * d).reshape(-1)
+
+
+def dequantize_q5_1(payload: np.ndarray) -> np.ndarray:
+    """Like Q5_0 with an additive fp16 min (ggml-quants.c:1604)."""
+    blocks = payload.reshape(-1, 24)
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
+    m = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    qh = blocks[:, 4:8].copy().view(np.uint32)[:, 0]
+    qs = blocks[:, 8:]
+    j = np.arange(16)
+    xh0 = ((qh[:, None] >> j) << 4) & 0x10
+    xh1 = (qh[:, None] >> (j + 12)) & 0x10
+    x0 = ((qs & 0x0F) | xh0).astype(np.float32)
+    x1 = ((qs >> 4) | xh1).astype(np.float32)
+    q = np.concatenate([x0, x1], axis=1)
+    return (q * d + m).reshape(-1)
+
+
+def quantize_q5_k(x: np.ndarray) -> np.ndarray:
+    """float -> Q5_K (min/max fit; layout-faithful, not ggml's search)."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    sub = x.reshape(nb, 8, 32)
+    smin = np.minimum(sub.min(axis=2), 0.0)
+    smax = sub.max(axis=2)
+    scale = (smax - smin) / 31.0
+    neg_min = -smin
+    d = scale.max(axis=1) / 63.0
+    dmin = neg_min.max(axis=1) / 63.0
+    inv_d = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    inv_dm = np.where(dmin > 0, 1.0 / np.where(dmin == 0, 1.0, dmin), 0.0)
+    sc6 = np.clip(np.round(scale * inv_d[:, None]), 0, 63).astype(np.uint8)
+    mn6 = np.clip(np.round(neg_min * inv_dm[:, None]), 0, 63).astype(np.uint8)
+    d16 = d.astype(np.float16)
+    dmin16 = dmin.astype(np.float16)
+    eff_s = d16.astype(np.float32)[:, None] * sc6
+    eff_m = dmin16.astype(np.float32)[:, None] * mn6
+    inv_s = np.where(eff_s > 0, 1.0 / np.where(eff_s == 0, 1.0, eff_s), 0.0)
+    q = np.clip(np.round((sub + eff_m[:, :, None]) * inv_s[:, :, None]),
+                0, 31).astype(np.uint8)  # [nb, 8, 32], 5-bit
+    # pack: per 64-chunk c, ql byte l = q[2c][l] low4 | q[2c+1][l] high<<4;
+    # qh bit (2c) of byte l = q[2c][l] bit4; bit (2c+1) = q[2c+1][l] bit4
+    ql = np.zeros((nb, 128), np.uint8)
+    qh = np.zeros((nb, 32), np.uint8)
+    for c in range(4):
+        lo_sub, hi_sub = q[:, 2 * c], q[:, 2 * c + 1]
+        ql[:, 32 * c:32 * (c + 1)] = (lo_sub & 0xF) | ((hi_sub & 0xF) << 4)
+        qh |= ((lo_sub >> 4) & 1) << (2 * c)
+        qh |= ((hi_sub >> 4) & 1) << (2 * c + 1)
+    out = np.empty((nb, 176), dtype=np.uint8)
+    out[:, 0:2] = d16[:, None].view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = dmin16[:, None].view(np.uint8).reshape(nb, 2)
+    out[:, 4:16] = _pack_k_scales(sc6, mn6)
+    out[:, 16:48] = qh
+    out[:, 48:] = ql
+    return out.reshape(-1)
+
+
+def dequantize_q5_k(payload: np.ndarray) -> np.ndarray:
+    """ggml-quants.c:2777: per 64-chunk, low nibbles + qh bit u1 for the
+    first 32, high nibbles + bit u2 for the second 32."""
+    blocks = payload.reshape(-1, 176)
+    nb = blocks.shape[0]
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)  # [nb,1]
+    dmin = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc6, mn6 = _unpack_k_scales(blocks[:, 4:16])  # [nb, 8]
+    qh = blocks[:, 16:48]  # [nb, 32]
+    ql = blocks[:, 48:].reshape(nb, 4, 32)
+    out = np.empty((nb, 8, 32), np.float32)
+    scale = d * sc6.astype(np.float32)  # [nb, 8]
+    minv = dmin * mn6.astype(np.float32)
+    for c in range(4):
+        lo = (ql[:, c] & 0x0F) + (((qh >> (2 * c)) & 1) << 4)
+        hi = (ql[:, c] >> 4) + (((qh >> (2 * c + 1)) & 1) << 4)
+        out[:, 2 * c] = lo * scale[:, 2 * c, None] - minv[:, 2 * c, None]
+        out[:, 2 * c + 1] = hi * scale[:, 2 * c + 1, None] - minv[:, 2 * c + 1, None]
+    return out.reshape(-1)
+
+
+def quantize_q6_k(x: np.ndarray) -> np.ndarray:
+    """float -> Q6_K: per-16 int8 scales vs fp16 superscale; x=d*sc*q,
+    q in [-32, 31]."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    sub = x.reshape(nb, 16, 16)
+    idx = np.argmax(np.abs(sub), axis=2)
+    amax = np.take_along_axis(sub, idx[:, :, None], axis=2)[:, :, 0]
+    s16 = amax / -32.0  # per-16 float scale
+    d = np.abs(s16).max(axis=1) / 127.0
+    inv_d = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    sc = np.clip(np.round(s16 * inv_d[:, None]), -127, 127).astype(np.int8)
+    d16 = d.astype(np.float16)
+    eff = d16.astype(np.float32)[:, None] * sc  # [nb, 16]
+    inv_s = np.where(eff != 0, 1.0 / np.where(eff == 0, 1.0, eff), 0.0)
+    q = np.clip(np.round(sub * inv_s[:, :, None]) + 32, 0, 63).astype(np.uint8)
+    q = q.reshape(nb, QK_K)  # elements in natural order, 6-bit codes
+    ql = np.zeros((nb, 128), np.uint8)
+    qh = np.zeros((nb, 64), np.uint8)
+    for half in range(2):  # 128-elem halves
+        base = 128 * half
+        ls = np.arange(32)
+        q1 = q[:, base + ls]
+        q2 = q[:, base + 32 + ls]
+        q3 = q[:, base + 64 + ls]
+        q4 = q[:, base + 96 + ls]
+        ql[:, 64 * half + ls] = (q1 & 0xF) | ((q3 & 0xF) << 4)
+        ql[:, 64 * half + 32 + ls] = (q2 & 0xF) | ((q4 & 0xF) << 4)
+        qh[:, 32 * half + ls] = ((q1 >> 4) | ((q2 >> 4) << 2)
+                                 | ((q3 >> 4) << 4) | ((q4 >> 4) << 6))
+    out = np.empty((nb, 210), dtype=np.uint8)
+    out[:, :128] = ql
+    out[:, 128:192] = qh
+    out[:, 192:208] = sc.view(np.uint8)
+    out[:, 208:210] = d16[:, None].view(np.uint8).reshape(nb, 2)
+    return out.reshape(-1)
+
+
+def dequantize_q6_k(payload: np.ndarray) -> np.ndarray:
+    """ggml-quants.c:2991: per 128-half, four 32-runs from low/high
+    nibbles of ql + 2-bit planes of qh; per-16 int8 scales."""
+    blocks = payload.reshape(-1, 210)
+    nb = blocks.shape[0]
+    ql = blocks[:, :128]
+    qh = blocks[:, 128:192]
+    sc = blocks[:, 192:208].view(np.int8).astype(np.float32)  # [nb, 16]
+    d = blocks[:, 208:210].copy().view(np.float16).astype(np.float32)  # [nb,1]
+    out = np.empty((nb, QK_K), np.float32)
+    ls = np.arange(32)
+    for half in range(2):
+        base = 128 * half
+        qlh = ql[:, 64 * half:64 * (half + 1)]
+        qhh = qh[:, 32 * half:32 * (half + 1)]
+        q1 = ((qlh[:, ls] & 0xF) | (((qhh >> 0) & 3) << 4)).astype(np.int32) - 32
+        q2 = ((qlh[:, 32 + ls] & 0xF) | (((qhh >> 2) & 3) << 4)).astype(np.int32) - 32
+        q3 = ((qlh[:, ls] >> 4) | (((qhh >> 4) & 3) << 4)).astype(np.int32) - 32
+        q4 = ((qlh[:, 32 + ls] >> 4) | (((qhh >> 6) & 3) << 4)).astype(np.int32) - 32
+        soff = 8 * half
+        for qi, (qv, srange) in enumerate(
+                [(q1, 0), (q2, 2), (q3, 4), (q4, 6)]):
+            s_idx = soff + srange + ls // 16  # is = l/16 -> 0 or 1
+            vals = qv * sc[np.arange(nb)[:, None], s_idx] * d
+            out[:, base + 32 * qi + ls] = vals
+    return out.reshape(-1)
+
+
 def dequantize(payload: np.ndarray, ggml_type: int) -> np.ndarray:
     """Dispatch dequant of a raw uint8 payload to float32 (flat)."""
     t = GGMLType(ggml_type)
@@ -189,10 +396,20 @@ def dequantize(payload: np.ndarray, ggml_type: int) -> np.ndarray:
         return u.view(np.float32)
     if t == GGMLType.Q4_0:
         return dequantize_q4_0(payload)
+    if t == GGMLType.Q4_1:
+        return dequantize_q4_1(payload)
+    if t == GGMLType.Q5_0:
+        return dequantize_q5_0(payload)
+    if t == GGMLType.Q5_1:
+        return dequantize_q5_1(payload)
     if t == GGMLType.Q8_0:
         return dequantize_q8_0(payload)
     if t == GGMLType.Q4_K:
         return dequantize_q4_k(payload)
+    if t == GGMLType.Q5_K:
+        return dequantize_q5_k(payload)
+    if t == GGMLType.Q6_K:
+        return dequantize_q6_k(payload)
     if t == GGMLType.I32:
         return payload.copy().view(np.int32).astype(np.float32)
     raise NotImplementedError(f"dequantize for ggml type {t}")
@@ -206,10 +423,18 @@ def quantize(x: np.ndarray, ggml_type: int) -> np.ndarray:
         return np.ascontiguousarray(x, dtype=np.float16).view(np.uint8).reshape(-1)
     if t == GGMLType.Q4_0:
         return quantize_q4_0(x)
+    if t == GGMLType.Q4_1:
+        return quantize_q4_1(x)
+    if t == GGMLType.Q5_0:
+        return quantize_q5_0(x)
     if t == GGMLType.Q8_0:
         return quantize_q8_0(x)
     if t == GGMLType.Q4_K:
         return quantize_q4_k(x)
+    if t == GGMLType.Q5_K:
+        return quantize_q5_k(x)
+    if t == GGMLType.Q6_K:
+        return quantize_q6_k(x)
     raise NotImplementedError(f"quantize for ggml type {t}")
 
 
@@ -280,9 +505,14 @@ def repack_gguf_tensor(payload: np.ndarray, ggml_type: int,
         scales = (d[:, :, None] * sc6).reshape(n_out, k_in // QK)  # per-32 scale
         bias = (dmin[:, :, None] * mn6).reshape(n_out, k_in // QK)
         return QuantizedTensor(q.T.copy(), scales.T.copy(), bias.T.copy(), ggml_type)
-    if t in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+    if t in (GGMLType.F32, GGMLType.F16, GGMLType.BF16, GGMLType.Q4_1,
+             GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q5_K, GGMLType.Q6_K):
+        # exact dequant + per-32 int8 requant on load so every format
+        # shares the Q8_0 kernel path. int8/32-block resolution sits well
+        # inside Q4_1/Q5/Q6's own quantization error (real llama.cpp
+        # Q4_K_M files carry Q6_K output/ffn_down tensors — reference
+        # decodes the full zoo, libs/ggml/include/ggml.h:398-412).
         w = dequantize(payload, t).reshape(n_out, k_in)
-        # quantize-on-load to Q8_0 blocks so everything shares one kernel path
         amax = np.abs(w.reshape(n_out, k_in // QK, QK)).max(axis=2)
         d = (amax / 127.0).astype(np.float32)
         inv = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
@@ -290,6 +520,33 @@ def repack_gguf_tensor(payload: np.ndarray, ggml_type: int,
                     -127, 127).astype(np.int8).reshape(n_out, k_in)
         return QuantizedTensor(q.T.copy(), d.T.copy(), None, GGMLType.Q8_0)
     raise NotImplementedError(f"repack for ggml type {t}")
+
+
+MXU_GROUP = 128  # W8A8 scale granularity == MXU contraction depth
+
+
+def requantize_w8(qt: QuantizedTensor,
+                  group: int = MXU_GROUP) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-dequant + symmetric int8 requantization with per-(group, n)
+    scales — the MXU-native weight format (reference numerics analogue:
+    the QNN converter's int4 per-channel recipe,
+    tools/qnn_converter/export_to_onnx.py:629-690, adapted to the MXU's
+    depth-128 int8 contraction).
+
+    Depth-`group` int8 MXU partial sums then need only one scale fma per
+    (group, m, n) — K/group fewer VPU ops than per-element dequant.
+    Returns (q8 int8 [K, N], scales f32 [K//group, N]).
+    """
+    w = qt.dequant()  # [K, N] f32, exact
+    k, n = w.shape
+    if k % group:
+        raise ValueError(f"K={k} not divisible by scale group {group}")
+    wg = w.reshape(k // group, group, n)
+    amax = np.abs(wg).max(axis=1)  # [K//group, N]
+    scales = (amax / 127.0).astype(np.float32)
+    inv = np.where(scales > 0, 1.0 / np.where(scales == 0, 1.0, scales), 0.0)
+    q8 = np.clip(np.round(wg * inv[:, None, :]), -127, 127)
+    return q8.astype(np.int8).reshape(k, n), scales
 
 
 def choose_pack_group(k: int, max_group: int = 2048) -> int:

@@ -42,6 +42,7 @@ def _concat_qlinear(parts: list[QLinear]) -> QLinear | None:
     for p in parts[1:]:
         if (p.packed != head.packed or p.unsigned != head.unsigned
                 or p.pack_group != head.pack_group
+                or p.scale_group != head.scale_group
                 or p.in_features != head.in_features
                 or (p.bias is None) != (head.bias is None)):
             return None
@@ -188,8 +189,14 @@ def config_from_gguf_metadata(md: dict[str, Any]) -> ModelConfig:
 
 
 def _qlinear_from_gguf(reader: GGUFReader, name: str,
-                       pack: bool = True) -> QLinear:
+                       pack: bool = True, mxu: bool = False) -> QLinear:
     info = reader.tensors[name]
+    if mxu:
+        qt = repack_gguf_tensor(reader.tensor_raw(name), info.ggml_type,
+                                info.shape)
+        if qt.k % 128 == 0:
+            return QLinear.from_quantized(qt, mxu=True)
+        return QLinear.from_quantized(qt, pack=pack)
     if pack:
         from ..core.native import native_repack
 
@@ -242,14 +249,20 @@ def _maybe_bias(reader: GGUFReader, name: str) -> jnp.ndarray | None:
 
 
 def load_gguf_model(path: str | os.PathLike, pack: bool = True,
-                    stacked: bool = True,
-                    fuse: bool = True) -> tuple[ModelConfig, LlamaParams]:
+                    stacked: bool = True, fuse: bool = True,
+                    mxu: bool | None = None) -> tuple[ModelConfig, LlamaParams]:
     """Load weights.gguf (or a model dir containing it).
 
     stacked=True (default) stacks per-layer weights for the lax.scan
     forward whose Pallas kernels index layers via scalar prefetch (small
     compiles, no slice copies); stacked=False keeps a tuple for the
-    unrolled forward."""
+    unrolled forward.
+
+    mxu=True requantizes weights at load to the MXU-native W8 format
+    (symmetric int8, per-128 scales — see ops/qmatmul.py W8 kernel);
+    default comes from POWERSERVE_WEIGHT_FORMAT=w8|gguf (gguf)."""
+    if mxu is None:
+        mxu = os.environ.get("POWERSERVE_WEIGHT_FORMAT", "gguf") == "w8"
     p = Path(path)
     if p.is_dir():
         p = p / "weights.gguf"
@@ -264,20 +277,20 @@ def load_gguf_model(path: str | os.PathLike, pack: bool = True,
         layers.append(LayerWeights(
             attn_norm=_norm_from_gguf(reader, pre + "attn_norm.weight"),
             ffn_norm=_norm_from_gguf(reader, pre + "ffn_norm.weight"),
-            wq=_qlinear_from_gguf(reader, pre + "attn_q.weight", pack),
-            wk=_qlinear_from_gguf(reader, pre + "attn_k.weight", pack),
-            wv=_qlinear_from_gguf(reader, pre + "attn_v.weight", pack),
-            wo=_qlinear_from_gguf(reader, pre + "attn_output.weight", pack),
+            wq=_qlinear_from_gguf(reader, pre + "attn_q.weight", pack, mxu),
+            wk=_qlinear_from_gguf(reader, pre + "attn_k.weight", pack, mxu),
+            wv=_qlinear_from_gguf(reader, pre + "attn_v.weight", pack, mxu),
+            wo=_qlinear_from_gguf(reader, pre + "attn_output.weight", pack, mxu),
             bq=_maybe_bias(reader, pre + "attn_q.bias"),
             bk=_maybe_bias(reader, pre + "attn_k.bias"),
             bv=_maybe_bias(reader, pre + "attn_v.bias"),
-            w_gate=_qlinear_from_gguf(reader, pre + "ffn_gate.weight", pack),
-            w_up=_qlinear_from_gguf(reader, pre + "ffn_up.weight", pack),
-            w_down=_qlinear_from_gguf(reader, pre + "ffn_down.weight", pack),
+            w_gate=_qlinear_from_gguf(reader, pre + "ffn_gate.weight", pack, mxu),
+            w_up=_qlinear_from_gguf(reader, pre + "ffn_up.weight", pack, mxu),
+            w_down=_qlinear_from_gguf(reader, pre + "ffn_down.weight", pack, mxu),
         ))
     out_norm = _norm_from_gguf(reader, "output_norm.weight")
     if "output.weight" in reader.tensors:
-        lm_head = _qlinear_from_gguf(reader, "output.weight", pack)
+        lm_head = _qlinear_from_gguf(reader, "output.weight", pack, mxu)
         cfg.llm.tie_embeddings = False
     else:
         lm_head = _lm_head_from_embedding(embed)

@@ -50,27 +50,46 @@ def _is_tpu() -> bool:
     jax.tree_util.register_dataclass,
     data_fields=["q", "scales", "bias"],
     meta_fields=["packed", "unsigned", "in_features", "out_features",
-                 "pack_group"],
+                 "pack_group", "scale_group"],
 )
 @dataclass
 class QLinear:
     """Quantized linear layer parameters (a jax pytree)."""
 
     q: jax.Array  # int8 [K, N] or uint8 [K//2, N] when packed
-    scales: jax.Array  # f32/bf16 [K//32, N]
+    scales: jax.Array  # f32/bf16 [K//scale_group, N]
     bias: jax.Array | None  # [K//32, N] (Q4_K additive min) or None
     packed: bool
     unsigned: bool  # True: nibbles are 0..15 (Q4_K); False: signed
     in_features: int
     out_features: int
     pack_group: int = 0  # nibble grouping (0 when not packed)
+    # scale granularity along K: 32 = GGUF block scales (dequant-to-float
+    # kernel); 128 = MXU-native W8 format (int8 MXU dots, scales applied
+    # to depth-128 partial sums — see from_quantized(mxu=True))
+    scale_group: int = QK
 
     @classmethod
     def from_quantized(cls, qt: QuantizedTensor, pack: bool = True,
-                       scale_dtype: Any = jnp.float32) -> "QLinear":
-        """Build device arrays from a repacked numpy QuantizedTensor."""
-        from ..core.gguf import GGMLType
+                       scale_dtype: Any = jnp.float32,
+                       mxu: bool = False) -> "QLinear":
+        """Build device arrays from a repacked numpy QuantizedTensor.
 
+        mxu=True: requantize to the MXU-native W8 format — symmetric
+        int8 with per-128 scales (core/quant.py:requantize_w8); the
+        Pallas path then runs int8 MXU dots instead of per-element
+        dequant (the reference's int-arithmetic NPU recipe,
+        tools/qnn_converter/export_to_onnx.py:629-690).
+        """
+        from ..core.gguf import GGMLType
+        from ..core.quant import MXU_GROUP, requantize_w8
+
+        if mxu and qt.k % MXU_GROUP == 0:
+            q8, scales = requantize_w8(qt)
+            return cls(jnp.asarray(q8), jnp.asarray(scales), None,
+                       packed=False, unsigned=False, in_features=qt.k,
+                       out_features=qt.n, pack_group=0,
+                       scale_group=MXU_GROUP)
         is4bit = qt.ggml_type in (GGMLType.Q4_0, GGMLType.Q4_K)
         packed = bool(pack and is4bit and qt.k % 128 == 0)
         unsigned = qt.ggml_type == GGMLType.Q4_K
@@ -120,7 +139,8 @@ def _dequant_full(lin: QLinear, dtype: Any) -> jax.Array:
             q = (q - 8).astype(jnp.int8)  # nibbles stored biased (+8)
     else:
         q = lin.q
-    w = q.astype(dtype) * jnp.repeat(lin.scales.astype(dtype), QK, axis=-2)
+    w = q.astype(dtype) * jnp.repeat(lin.scales.astype(dtype),
+                                     lin.scale_group, axis=-2)
     if lin.bias is not None:
         w = w - jnp.repeat(lin.bias.astype(dtype), QK, axis=-2)
     return w
@@ -130,6 +150,153 @@ def _qmatmul_xla(x: jax.Array, lin: QLinear, compute_dtype: Any) -> jax.Array:
     w = _dequant_full(lin, compute_dtype)
     return jnp.dot(x.astype(compute_dtype), w,
                    preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas MXU W8 kernel: int8 weights, per-128 scales on partial sums
+# ---------------------------------------------------------------------------
+
+def _make_mxu8_kernel(n_k_tiles: int, kb: int, a8: bool, prefetch: bool):
+    """Depth-128 dots with the scale applied to each partial sum.
+
+    a8=True: x int8, int8xint8 -> int32 MXU dots (2x MXU rate).
+    a8=False: x bf16, mixed bf16xint8 -> f32 dots (no activation quant).
+    Either way the VPU does one convert+fma per (128-block, m, n) — K/128
+    fewer elementwise ops than dequant-to-float kernels.
+    """
+
+    def kernel(*refs):
+        if prefetch:
+            refs = refs[1:]
+        x_ref, q_ref, s_ref, o_ref, acc = refs
+        if prefetch:
+            q_ref = q_ref.at[0]
+            s_ref = s_ref.at[0]
+        kt = pl.program_id(2)
+
+        @pl.when(kt == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        a = None
+        for t in range(kb):
+            xs = x_ref[:, t * 128:(t + 1) * 128]
+            ws = q_ref[t * 128:(t + 1) * 128, :]
+            if a8:
+                p = jnp.dot(xs, ws,
+                            preferred_element_type=jnp.int32
+                            ).astype(jnp.float32)
+            else:
+                p = jnp.dot(xs, ws, preferred_element_type=jnp.float32)
+            contrib = p * s_ref[t, :][None, :]
+            a = contrib if a is None else a + contrib
+        acc[...] += a
+
+        @pl.when(kt == n_k_tiles - 1)
+        def _():
+            o_ref[...] = acc[...]
+
+    return kernel
+
+
+def _quantize_activations(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-token symmetric int8: x [M, K] -> (x8, scale [M, 1])."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = absmax / 127.0
+    inv = jnp.where(sx > 0, 1.0 / jnp.where(sx == 0, 1.0, sx), 0.0)
+    x8 = jnp.clip(jnp.round(x.astype(jnp.float32) * inv),
+                  -127, 127).astype(jnp.int8)
+    return x8, sx
+
+
+def _qmatmul_pallas_mxu8(x: jax.Array, lin: QLinear, a8: bool,
+                         block_n: int | None = None, block_m: int = 256,
+                         block_k: int = 2048,
+                         layer: jax.Array | None = None,
+                         interpret: bool = False) -> jax.Array:
+    m, k = x.shape
+    n = lin.out_features
+    g = lin.scale_group  # 128
+    prefetch = layer is not None
+    min_bm = 32 if a8 else 16
+    bm = min(_round_up(m, min_bm), block_m)
+    bn = _pick_bn(n, block_n or _ENV_BN)
+    # K tile: multiple of the scale group dividing K; scales-block
+    # sublane dim (bk/g) must be 8-aligned or span the whole K
+    bk = 0
+    for cand in (block_k, 4096, 2048, 1024):
+        if cand <= k and k % cand == 0 and cand % g == 0 \
+                and ((cand // g) % 8 == 0 or cand == k):
+            bk = cand
+            break
+    if not bk and k % g == 0 and k <= 16384:
+        bk = k
+    if bn is None or not bk:
+        return _qmatmul_xla(x, _slice_layer(lin, layer),
+                            jnp.bfloat16)
+    if a8:
+        x8, sx = _quantize_activations(x)
+    else:
+        x8, sx = x.astype(jnp.bfloat16), None
+    pad_m = _round_up(m, bm) - m
+    if pad_m:
+        x8 = jnp.pad(x8, ((0, pad_m), (0, 0)))
+    n_k_tiles = k // bk
+    kb = bk // g
+    grid = (x8.shape[0] // bm, n // bn, n_k_tiles)
+
+    if prefetch:
+        q_spec = pl.BlockSpec((1, bk, bn), lambda i, j, t, L: (L[0], t, j))
+        s_spec = pl.BlockSpec((1, kb, bn), lambda i, j, t, L: (L[0], t, j))
+        x_spec = pl.BlockSpec((bm, bk), lambda i, j, t, L: (i, t))
+        o_spec = pl.BlockSpec((bm, bn), lambda i, j, t, L: (i, j))
+    else:
+        q_spec = pl.BlockSpec((bk, bn), lambda i, j, t: (t, j))
+        s_spec = pl.BlockSpec((kb, bn), lambda i, j, t: (t, j))
+        x_spec = pl.BlockSpec((bm, bk), lambda i, j, t: (i, t))
+        o_spec = pl.BlockSpec((bm, bn), lambda i, j, t: (i, j))
+
+    kernel = _make_mxu8_kernel(n_k_tiles, kb, a8, prefetch)
+    cost = pl.CostEstimate(
+        flops=2 * x8.shape[0] * n * k,
+        bytes_accessed=k * n + x8.size + 4 * x8.shape[0] * n + 4 * kb * n,
+        transcendentals=0,
+    )
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((x8.shape[0], n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+    scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
+    if prefetch:
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[x_spec, q_spec, s_spec],
+                out_specs=o_spec,
+                scratch_shapes=scratch,
+            ),
+            **common,
+        )(jnp.asarray(layer, jnp.int32).reshape(1), x8, lin.q, lin.scales)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[x_spec, q_spec, s_spec],
+            out_specs=o_spec,
+            scratch_shapes=scratch,
+            **common,
+        )(x8, lin.q, lin.scales)
+    if pad_m:
+        out = out[:m]
+    if sx is not None:
+        out = out * sx
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -230,6 +397,8 @@ import os as _os
 _ENV_BN = int(_os.environ.get("POWERSERVE_QMM_BN", "512"))
 _ENV_GROUPS = int(_os.environ.get("POWERSERVE_QMM_GROUPS", "2"))
 _ENV_UNPACK = _os.environ.get("POWERSERVE_QMM_UNPACK", "float")
+# W8 MXU kernel activations: int8 (2x MXU rate, per-token quant) or bf16
+_ENV_A8 = _os.environ.get("POWERSERVE_QMM_ACT", "a8") == "a8"
 
 
 def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
@@ -376,9 +545,15 @@ def qmatmul(x: jax.Array, lin: QLinear, *, backend: str = "auto",
     if backend == "pallas" and (lin.in_features < 512
                                 or lin.out_features % 128 != 0):
         backend = "xla"
+    mxu = lin.scale_group != QK  # W8 format: int8 MXU kernel
     if backend == "pallas":
+        if mxu:
+            return _qmatmul_pallas_mxu8(x, lin, _ENV_A8, layer=layer)
         return _qmatmul_pallas(x, lin, compute_dtype, layer=layer)
     if backend == "pallas_interpret":
+        if mxu:
+            return _qmatmul_pallas_mxu8(x, lin, _ENV_A8, layer=layer,
+                                        interpret=True)
         return _qmatmul_pallas(x, lin, compute_dtype, layer=layer,
                                interpret=True)
     return _qmatmul_xla(x, _slice_layer(lin, layer), compute_dtype)

@@ -22,10 +22,17 @@ from .synthetic import PRESETS
 
 
 def _rand_qlinear(key, k: int, n: int, quant: str) -> QLinear:
-    from ..core.quant import choose_pack_group
+    from ..core.quant import MXU_GROUP, choose_pack_group
 
     k1, k2, k3 = jax.random.split(key, 3)
     kb = k // 32
+    if quant == "w8":  # MXU-native int8 format (per-128 scales)
+        q = jax.random.bits(k1, (k, n), jnp.uint8).astype(jnp.int8)
+        s = (jax.random.uniform(k2, (k // MXU_GROUP, n), jnp.float32)
+             * 0.02 + 0.001)
+        return QLinear(q=q, scales=s, bias=None, packed=False,
+                       unsigned=False, in_features=k, out_features=n,
+                       scale_group=MXU_GROUP)
     scales = (jax.random.uniform(k2, (kb, n), jnp.float32) * 0.02 + 0.001
               ).astype(jnp.bfloat16)
     if quant in ("q4_0", "q4_k"):

@@ -136,3 +136,97 @@ def test_rope_dot_product_invariance():
 
     assert abs(dot_at(3, 1) - dot_at(7, 5)) < 1e-3
     assert abs(dot_at(3, 1) - dot_at(4, 1)) > 1e-4  # sanity: not constant
+
+
+# ---------------------------------------------------------------------------
+# W8 MXU format (int8 weights, per-128 scales on partial sums)
+# ---------------------------------------------------------------------------
+
+def _mk_w8(K=512, N=256, fmt=GGMLType.Q4_K, seed=0):
+    from powerserve_tpu.core.quant import repack_gguf_tensor
+
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+    payload = quantize(np.ascontiguousarray(w.T), fmt)
+    qt = repack_gguf_tensor(payload, fmt, (N, K))
+    return qt, QLinear.from_quantized(qt, mxu=True)
+
+
+def test_requantize_w8_accuracy():
+    """W8 requantization must stay well inside the source format's own
+    quantization error (q4k step ~ amax/7 per 32-block; w8 step =
+    amax/127 per 128-block)."""
+    qt, lin = _mk_w8()
+    assert lin.scale_group == 128
+    assert lin.q.dtype == jnp.int8 and lin.bias is None
+    wq = (np.asarray(lin.q).astype(np.float32)
+          * np.repeat(np.asarray(lin.scales), 128, axis=0))
+    wexact = qt.dequant()
+    rms = np.sqrt(((wq - wexact) ** 2).mean() / (wexact ** 2).mean())
+    assert rms < 0.02, rms
+
+
+@pytest.mark.parametrize("a8", [False, True])
+def test_qmatmul_mxu8_kernel_matches_xla(a8):
+    import importlib
+
+    qm = importlib.import_module("powerserve_tpu.ops.qmatmul")
+    _, lin = _mk_w8()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((3, 512)), jnp.bfloat16)
+    ref = np.asarray(qmatmul(x, lin, backend="xla"))
+    old = qm._ENV_A8
+    try:
+        qm._ENV_A8 = a8
+        got = np.asarray(qmatmul(x, lin, backend="pallas_interpret"))
+    finally:
+        qm._ENV_A8 = old
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    # a16 is exact vs the dequant matmul; a8 adds per-token int8 noise
+    assert rel < (0.03 if a8 else 0.01), rel
+
+
+def test_qmatmul_mxu8_stacked_prefetch():
+    """Stacked [L, ...] weights with a traced layer index (scan path)."""
+    import dataclasses
+    import importlib
+
+    qm = importlib.import_module("powerserve_tpu.ops.qmatmul")
+    _, l0 = _mk_w8(seed=0)
+    _, l1 = _mk_w8(seed=1)
+    stacked = dataclasses.replace(
+        l0, q=jnp.stack([l0.q, l1.q]), scales=jnp.stack([l0.scales, l1.scales]))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 512)), jnp.bfloat16)
+    for i, single in enumerate((l0, l1)):
+        ref = np.asarray(qmatmul(x, single, backend="xla"))
+        got = np.asarray(qmatmul(x, stacked, backend="pallas_interpret",
+                                 layer=jnp.asarray(i)))
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 0.03, (i, rel)
+
+
+def test_w8_gguf_load_logits_parity(tmp_path):
+    """Loading a workspace with mxu=True must reproduce the gguf-format
+    logits (requantization-level tolerance)."""
+    from powerserve_tpu.kv import KVCache
+    from powerserve_tpu.models import forward, load_gguf_model
+    from powerserve_tpu.tools.synthetic import make_synthetic_gguf
+
+    make_synthetic_gguf(tmp_path, "tiny", GGMLType.Q4_K, seed=0, seq_len=128)
+    cfg, p_ref = load_gguf_model(tmp_path / "model")
+    _, p_w8 = load_gguf_model(tmp_path / "model", mxu=True)
+    T = 6
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, 200, (1, T)))
+    pos = jnp.arange(T)[None, :]
+
+    def logits_of(params):
+        kv = KVCache.create(cfg.llm.n_layers, 1, 32, cfg.llm.n_kv_heads,
+                            cfg.llm.head_size, dtype="bf16")
+        lg, _ = forward(params, cfg.llm, kv, toks, pos, backend="xla",
+                        logits_mode="all")
+        return np.asarray(lg)[0]
+
+    a, b = logits_of(p_ref), logits_of(p_w8)
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.999, corr

@@ -114,10 +114,12 @@ def test_template_detection(template, family):
 
 
 def test_chatml_render():
+    # byte-exact vs the reference renderer (tokenizer.cpp:84-90: no
+    # newline after <|im_end|>)
     msgs = [ChatMessage("system", "be nice"), ChatMessage("user", "hi")]
     out = apply_chat_template(msgs, "chatml")
-    assert out == ("<|im_start|>system\nbe nice<|im_end|>\n"
-                   "<|im_start|>user\nhi<|im_end|>\n"
+    assert out == ("<|im_start|>system\nbe nice<|im_end|>"
+                   "<|im_start|>user\nhi<|im_end|>"
                    "<|im_start|>assistant\n")
 
 
@@ -130,11 +132,16 @@ def test_llama3_render():
 
 
 def test_llama2_system_folding():
+    # named "llama2" has no <<SYS>> in its (empty) raw template, so the
+    # system turn folds in bare (reference template_contains semantics,
+    # tokenizer.cpp:92-99); a raw template containing <<SYS>> wraps it
     msgs = [{"role": "system", "content": "sys"},
             {"role": "user", "content": "q"}]
     out = apply_chat_template(msgs, "llama2")
-    assert "<<SYS>>\nsys\n<</SYS>>\n\nq" in out
-    assert out.startswith("[INST] ")
+    assert out == "[INST] sys\nq [/INST]"
+    raw = "...[INST]...<<SYS>>..."  # llama2 variant with system support
+    out2 = apply_chat_template(msgs, raw)
+    assert out2 == "[INST] <<SYS>>\nsys\n<</SYS>>\n\nq [/INST]"
 
 
 def test_tokenizer_from_gguf_file(tmp_path):
@@ -156,3 +163,83 @@ def test_tokenizer_from_gguf_file(tmp_path):
     ids = tok.tokenize("hi")
     assert ids[0] == 1 and tok.vocab.tokens[ids[-1]] == "▁hi"
     assert tok.should_stop(2) and not tok.should_stop(3)
+
+
+# golden renders vs the reference engine (tokenizer.cpp:74-346); each
+# expected string is transcribed from the reference's fmt calls
+REFERENCE_GOLDEN = {
+    "llama3": "<|start_header_id|>system<|end_header_id|>\n\nS<|eot_id|>"
+              "<|start_header_id|>user<|end_header_id|>\n\nU<|eot_id|>"
+              "<|start_header_id|>assistant<|end_header_id|>\n\nA<|eot_id|>"
+              "<|start_header_id|>assistant<|end_header_id|>\n\n",
+    "phi3": "<|system|>\nS<|end|>\n<|user|>\nU<|end|>\n<|assistant|>\nA<|end|>\n"
+            "<|assistant|>\n",
+    "zephyr": "<|system|>\nS<|endoftext|>\n<|user|>\nU<|endoftext|>\n"
+              "<|assistant|>\nA<|endoftext|>\n<|assistant|>\n",
+    "gemma": "<start_of_turn>user\nS\n\nU<end_of_turn>\n"
+             "<start_of_turn>model\nA<end_of_turn>\n<start_of_turn>model\n",
+    "openchat": "S<|end_of_turn|>GPT4 Correct User: U<|end_of_turn|>"
+                "GPT4 Correct Assistant: A<|end_of_turn|>"
+                "GPT4 Correct Assistant:",
+    "vicuna": "S\n\nUSER: U\nASSISTANT: A</s>\nASSISTANT:",
+    "vicuna-orca": "SYSTEM: S\nUSER: U\nASSISTANT: A</s>\nASSISTANT:",
+    "deepseek": "S### Instruction:\nU\n### Response:\nA\n<|EOT|>\n"
+                "### Response:\n",
+    "command-r": "<|START_OF_TURN_TOKEN|><|SYSTEM_TOKEN|>S<|END_OF_TURN_TOKEN|>"
+                 "<|START_OF_TURN_TOKEN|><|USER_TOKEN|>U<|END_OF_TURN_TOKEN|>"
+                 "<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>A<|END_OF_TURN_TOKEN|>"
+                 "<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>",
+    "chatglm3": "[gMASK]<sop><|system|>\nS<|user|>\nU<|assistant|>\nA"
+                "<|assistant|>",
+    "deepseek2": "S\n\nUser: U\n\nAssistant: A<｜end▁of▁sentence｜>Assistant:",
+    "exaone3": "[|system|]S[|endofturn|]\n[|user|]U\n"
+               "[|assistant|]A[|endofturn|]\n[|assistant|]",
+}
+
+
+@pytest.mark.parametrize("family", sorted(REFERENCE_GOLDEN))
+def test_family_renders_match_reference(family):
+    msgs = [{"role": "system", "content": "S"},
+            {"role": "user", "content": "U"},
+            {"role": "assistant", "content": "A"}]
+    assert apply_chat_template(msgs, family) == REFERENCE_GOLDEN[family]
+
+
+def test_jinja_template_renders_exactly():
+    """Raw Jinja templates render through jinja2 (models outside the
+    family table stay correct instead of silently becoming chatml)."""
+    tpl = ("{% for message in messages %}<<{{ message.role }}>>"
+           "{{ message.content }}<end>{% endfor %}"
+           "{% if add_generation_prompt %}<<assistant>>{% endif %}")
+    msgs = [{"role": "user", "content": "hi"}]
+    out = apply_chat_template(msgs, tpl)
+    assert out == "<<user>>hi<end><<assistant>>"
+
+
+def test_jinja_matches_transformers_render():
+    """Our Jinja path must agree with transformers' own rendering of a
+    real chat template (Qwen2-style chatml with system default)."""
+    transformers = pytest.importorskip("transformers")
+    tpl = (
+        "{% for message in messages %}"
+        "{{'<|im_start|>' + message['role'] + '\n' + message['content'] "
+        "+ '<|im_end|>' + '\n'}}{% endfor %}"
+        "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n' }}"
+        "{% endif %}")
+    msgs = [{"role": "system", "content": "sys"},
+            {"role": "user", "content": "hello"}]
+    out = apply_chat_template(msgs, tpl)
+    from jinja2 import Environment
+    ref = Environment().from_string(tpl).render(
+        messages=msgs, add_generation_prompt=True)
+    assert out == ref
+    assert out.endswith("<|im_start|>assistant\n")
+
+
+def test_unknown_template_warns_and_falls_back(caplog):
+    import logging
+    msgs = [{"role": "user", "content": "x"}]
+    with caplog.at_level(logging.WARNING):
+        out = apply_chat_template(msgs, "totally-unknown-format !!!")
+    assert "<|im_start|>user" in out
+    assert any("unrecognized chat template" in r.message for r in caplog.records)
