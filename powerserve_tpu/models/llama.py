@@ -105,7 +105,8 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             backend: str = "auto",
             logits_mode: str = "last",
             embeds: jax.Array | None = None,
-            return_hidden: bool = False):
+            return_hidden: bool = False,
+            tp_axis: str | None = None):
     """One forward pass over a batch of slots.
 
     tokens/positions: [S, Tq] int32 (positions drive RoPE). active: [S]
@@ -126,6 +127,13 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     return_hidden: also return per-layer hidden states [L, S, Tq, dim]
                  (numerics debugging — the reference's
                  POWERSERVE_DUMP_TENSORS role, executor.cpp:52-75).
+    tp_axis: when called inside a shard_map over a mesh axis of that
+                 name (parallel/tp.py), params hold LOCAL tensor-
+                 parallel shards and cfg holds LOCAL head counts; the
+                 megatron-style collectives are inserted here: psum
+                 after the row-parallel wo / w_down projections, a
+                 masked-gather + psum for a vocab-sharded embedding,
+                 and an all-gather for a vocab-sharded lm_head.
     Returns (logits f32, updated KVCache) or (logits, kv, hidden).
     """
     S, Tq = tokens.shape
@@ -138,6 +146,17 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     # image features at image-token positions; reference qnn_forward_vl)
     if embeds is not None:
         x = embeds.astype(jnp.bfloat16)
+    elif tp_axis is not None and params.embed.q.shape[0] < llm.vocab_size:
+        # vocab-sharded embedding: gather the locally-owned rows, zero
+        # the rest, psum across the tp axis (exactly one shard owns
+        # each token id)
+        v_local = params.embed.q.shape[0]
+        off = jax.lax.axis_index(tp_axis) * v_local
+        local = tokens - off
+        ok = (local >= 0) & (local < v_local)
+        xg = params.embed.lookup(jnp.where(ok, local, 0))
+        xg = jnp.where(ok[..., None], xg, 0.0)
+        x = jax.lax.psum(xg, tp_axis).astype(jnp.bfloat16)
     else:
         x = params.embed.lookup(tokens).astype(jnp.bfloat16)  # [S, Tq, dim]
     cos, sin = rope_cos_sin(positions, llm.rope, D)  # [S, Tq, D/2]
@@ -205,6 +224,8 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             attn = gqa_attention(q, k_l, v_l, vis, scale)  # [S, Tq, H*D]
         attn_out = lin(attn.reshape(S * Tq, -1).astype(jnp.bfloat16),
                        lw.wo, None)
+        if tp_axis is not None:  # row-parallel wo: partial sums over K
+            attn_out = jax.lax.psum(attn_out, tp_axis)
         x = x + attn_out.reshape(S, Tq, -1).astype(x.dtype)
 
         h2 = rms_norm(x, sl(lw.ffn_norm), llm.norm_eps).astype(jnp.bfloat16)
@@ -218,6 +239,8 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             up = lin(h2f, lw.w_up, None)
         act = silu_hadamard(gate, up).astype(jnp.bfloat16)
         down = lin(act, lw.w_down, None)
+        if tp_axis is not None:  # row-parallel down proj
+            down = jax.lax.psum(down, tp_axis)
         x = x + down.reshape(S, Tq, -1).astype(x.dtype)
         return x, (k_l, v_l, ks_l, vs_l)
 
@@ -272,15 +295,23 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     kv = kv.advance(cache_positions, active=active, visible=visible)
 
     xf = rms_norm(x, params.out_norm, llm.norm_eps).astype(jnp.bfloat16)
+    vocab_sharded = (tp_axis is not None
+                     and params.lm_head.out_features < llm.vocab_size)
     if logits_mode == "none":
         logits = jnp.zeros((S, 0), jnp.float32)
     elif logits_mode == "last":
         logits = qmatmul(xf[:, -1, :], params.lm_head,
                          backend=backend).astype(jnp.float32)
+        if vocab_sharded:
+            logits = jax.lax.all_gather(logits, tp_axis, axis=-1,
+                                        tiled=True)
     else:
         logits = qmatmul(xf.reshape(S * Tq, -1), params.lm_head,
                          backend=backend).reshape(S, Tq, -1
                                                   ).astype(jnp.float32)
+        if vocab_sharded:
+            logits = jax.lax.all_gather(logits, tp_axis, axis=-1,
+                                        tiled=True)
     if return_hidden:
         return logits, kv, hidden
     return logits, kv

@@ -1,0 +1,352 @@
+"""Explicit tensor-parallel forward via shard_map (Pallas-capable).
+
+The GSPMD path (parallel/mesh.py) lets XLA partition the jitted forward
+— but Pallas calls are opaque to GSPMD, so the fused dequant-matmul
+kernel forces a full-replication fallback on a mesh. This module is the
+multichip path that keeps the kernel: the WHOLE forward runs inside a
+jax.shard_map over a (dp, tp) mesh, each device executes the Pallas
+kernel on its local weight shard, and the megatron collectives are
+explicit (models/llama.py forward(tp_axis=...)):
+
+  - wq/wk/wv (or fused wqkv), ffn gate/up (or fused wgu): column-
+    parallel — heads / ffn columns split over "tp", no collective
+  - wo, ffn down: row-parallel — psum over "tp" after the matmul
+  - embedding: vocab-sharded masked gather + psum
+  - lm_head: vocab-sharded matmul + all-gather
+  - KV cache: kv heads over "tp", slots over "dp"
+
+Two collectives per layer ([S*Tq, dim] psums over ICI), one psum + one
+all-gather at the ends — the standard megatron schedule ("How to Scale
+Your Model" recipe), replacing the reference's single-device NPU
+execution (SURVEY §2.3: scale-out is net-new design space).
+
+Fused projections need a host-side column permutation first
+(prepare_params_for_tp): the fused wqkv concat [q|k|v] must become
+[q_0|k_0|v_0 | q_1|k_1|v_1 | ...] so an equal contiguous split hands
+each shard its own heads in local concat order. Row-parallel packed
+weights are repacked so the nibble pack group divides the LOCAL K.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import LLMConfig
+from ..core.quant import QK, choose_pack_group
+from ..kv.cache import KVCache
+from ..models.llama import LayerWeights, LlamaParams, QEmbedding, forward
+from ..ops.qmatmul import QLinear
+
+
+# ---------------------------------------------------------------------------
+# host-side parameter re-layout
+# ---------------------------------------------------------------------------
+
+def _jnp_unpack_nib(p: jax.Array, group: int) -> jax.Array:
+    """uint8 [.., K/2, N] -> raw nibble values uint8 [.., K, N]."""
+    half = group // 2
+    lead, (kh, n) = p.shape[:-2], p.shape[-2:]
+    pg = p.reshape(*lead, kh // half, half, n)
+    lo = pg & 0xF
+    hi = pg >> 4
+    return jnp.concatenate([lo, hi], axis=-2).reshape(*lead, kh * 2, n)
+
+
+def _jnp_pack_nib(u: jax.Array, group: int) -> jax.Array:
+    """Inverse: raw nibbles uint8 [.., K, N] -> packed [.., K/2, N]."""
+    half = group // 2
+    lead, (k, n) = u.shape[:-2], u.shape[-2:]
+    ug = u.reshape(*lead, k // group, group, n)
+    return (ug[..., :half, :] | (ug[..., half:, :] << 4)).reshape(
+        *lead, k // 2, n)
+
+
+def _permute_cols(lin: QLinear | None, perm: np.ndarray) -> QLinear | None:
+    if lin is None:
+        return None
+    take = functools.partial(jnp.take, indices=jnp.asarray(perm), axis=-1)
+    return dataclasses.replace(
+        lin, q=take(lin.q), scales=take(lin.scales),
+        bias=None if lin.bias is None else take(lin.bias))
+
+
+def _qkv_perm(H: int, Hkv: int, D: int, tp: int) -> np.ndarray:
+    """Column order so shard s holds [q_s | k_s | v_s] contiguously."""
+    q_off, k_off, v_off = 0, H * D, (H + Hkv) * D
+    hq, hkv = H // tp * D, Hkv // tp * D
+    parts = []
+    for s in range(tp):
+        parts.append(np.arange(q_off + s * hq, q_off + (s + 1) * hq))
+        parts.append(np.arange(k_off + s * hkv, k_off + (s + 1) * hkv))
+        parts.append(np.arange(v_off + s * hkv, v_off + (s + 1) * hkv))
+    return np.concatenate(parts)
+
+
+def _gu_perm(F: int, tp: int) -> np.ndarray:
+    """Column order so shard s holds [gate_s | up_s] contiguously."""
+    f = F // tp
+    parts = []
+    for s in range(tp):
+        parts.append(np.arange(s * f, (s + 1) * f))
+        parts.append(np.arange(F + s * f, F + (s + 1) * f))
+    return np.concatenate(parts)
+
+
+def _repack_rows(lin: QLinear | None, tp: int) -> QLinear | None:
+    """Make a row-parallel QLinear splittable into tp K-shards: the
+    nibble pack group (and the 32-wide scale blocks) must divide the
+    local K. Runs as jnp ops so device arrays never round-trip the
+    host."""
+    if lin is None:
+        return None
+    k = lin.in_features
+    if k % tp or (k // tp) % QK:
+        raise ValueError(f"K={k} not row-shardable over tp={tp}")
+    if not lin.packed or (k // tp) % lin.pack_group == 0:
+        return lin
+    new_group = choose_pack_group(k // tp)
+    raw = _jnp_unpack_nib(lin.q, lin.pack_group)
+    return dataclasses.replace(lin, q=_jnp_pack_nib(raw, new_group),
+                               pack_group=new_group)
+
+
+def prepare_params_for_tp(params: LlamaParams, cfg: LLMConfig,
+                          tp: int) -> LlamaParams:
+    """Host-side re-layout before sharding (call once at load time):
+    permute fused wqkv/wgu columns per-shard, repack row-parallel
+    weights to a local-K-aligned pack group. No-op when tp == 1."""
+    if tp == 1:
+        return params
+    H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_size
+    if H % tp or Hkv % tp:
+        raise ValueError(f"heads {H}/{Hkv} not divisible by tp={tp}")
+
+    def fix_layer(lw: LayerWeights) -> LayerWeights:
+        out = lw
+        if lw.wqkv is not None:
+            perm = _qkv_perm(H, Hkv, D, tp)
+            out = dataclasses.replace(
+                out, wqkv=_permute_cols(lw.wqkv, perm),
+                bqkv=None if lw.bqkv is None
+                else jnp.take(lw.bqkv, jnp.asarray(perm), axis=-1))
+        if lw.wgu is not None:
+            F = lw.wgu.out_features // 2
+            out = dataclasses.replace(
+                out, wgu=_permute_cols(lw.wgu, _gu_perm(F, tp)))
+        return dataclasses.replace(
+            out, wo=_repack_rows(out.wo, tp),
+            w_down=_repack_rows(out.w_down, tp))
+
+    if isinstance(params.layers, (tuple, list)):
+        layers = tuple(fix_layer(lw) for lw in params.layers)
+    else:
+        layers = fix_layer(params.layers)
+    return dataclasses.replace(params, layers=layers)
+
+
+# ---------------------------------------------------------------------------
+# partition specs
+# ---------------------------------------------------------------------------
+
+def _divisible(n: int, by: int) -> bool:
+    return n % by == 0
+
+
+def param_specs(params: LlamaParams, tp: int) -> LlamaParams:
+    """PartitionSpec pytree matching params (each QLinear subtree gets
+    one spec — q/scales/bias all shard the same axis)."""
+    stacked = not isinstance(params.layers, (tuple, list))
+    lead = (None,) if stacked else ()
+
+    col = P(*lead, None, "tp")
+    row = P(*lead, "tp", None)
+    repl = P()
+
+    def spec_layer(lw: LayerWeights) -> LayerWeights:
+        def colspec(l):
+            return None if l is None else col
+
+        def rowspec(l):
+            return None if l is None else row
+
+        def bias(b):
+            return None if b is None else P(*lead, "tp")
+
+        return LayerWeights(
+            attn_norm=repl, ffn_norm=repl,
+            wq=colspec(lw.wq), wk=colspec(lw.wk), wv=colspec(lw.wv),
+            wo=rowspec(lw.wo),
+            bq=bias(lw.bq), bk=bias(lw.bk), bv=bias(lw.bv),
+            w_gate=colspec(lw.w_gate), w_up=colspec(lw.w_up),
+            w_down=rowspec(lw.w_down),
+            wqkv=colspec(lw.wqkv), bqkv=bias(lw.bqkv),
+            wgu=colspec(lw.wgu),
+        )
+
+    if stacked:
+        layers = spec_layer(params.layers)
+    else:
+        layers = tuple(spec_layer(lw) for lw in params.layers)
+
+    vocab = params.embed.q.shape[0]
+    espec = P("tp", None) if _divisible(vocab, tp) else P()
+    hspec = P(None, "tp") if _divisible(params.lm_head.out_features,
+                                        tp) else P()
+    return LlamaParams(
+        embed=QEmbedding(q=espec, scales=espec,
+                         bias=None if params.embed.bias is None else espec),
+        layers=layers, out_norm=repl,
+        lm_head=hspec,
+    )
+
+
+def kv_specs(kv: KVCache) -> KVCache:
+    """[L, S, H, T, D]: kv heads over tp, slots over dp."""
+    kvs = P(None, "dp", "tp", None, None)
+    scs = P(None, "dp", "tp", None) if kv.quantized else P()
+    return KVCache(k=kvs, v=kvs, k_scale=scs, v_scale=scs,
+                   mask=P("dp", None), pos=P("dp"), quantized=kv.quantized)
+
+
+# ---------------------------------------------------------------------------
+# shard_map forward
+# ---------------------------------------------------------------------------
+
+def _localize_qlinear(lin: QLinear | None) -> QLinear | None:
+    """Inside the shard_map body, array leaves are local shards but the
+    static meta still holds global sizes — rebuild them from shapes."""
+    if lin is None:
+        return None
+    k = lin.q.shape[-2] * (2 if lin.packed else 1)
+    return dataclasses.replace(lin, in_features=k,
+                               out_features=lin.q.shape[-1])
+
+
+def _localize_params(params: LlamaParams) -> LlamaParams:
+    def fix_layer(lw: LayerWeights) -> LayerWeights:
+        return dataclasses.replace(
+            lw,
+            wq=_localize_qlinear(lw.wq), wk=_localize_qlinear(lw.wk),
+            wv=_localize_qlinear(lw.wv), wo=_localize_qlinear(lw.wo),
+            w_gate=_localize_qlinear(lw.w_gate),
+            w_up=_localize_qlinear(lw.w_up),
+            w_down=_localize_qlinear(lw.w_down),
+            wqkv=_localize_qlinear(lw.wqkv),
+            wgu=_localize_qlinear(lw.wgu),
+        )
+
+    if isinstance(params.layers, (tuple, list)):
+        layers = tuple(fix_layer(lw) for lw in params.layers)
+    else:
+        layers = fix_layer(params.layers)
+    return dataclasses.replace(
+        params, layers=layers, lm_head=_localize_qlinear(params.lm_head))
+
+
+def local_llm_config(llm: LLMConfig, tp: int) -> LLMConfig:
+    """Per-shard head counts (vocab/dim stay global: the residual is
+    replicated and vocab sharding is detected from array shapes)."""
+    if tp == 1:
+        return llm
+    if llm.n_heads % tp or llm.n_kv_heads % tp:
+        raise ValueError(f"heads not divisible by tp={tp}")
+    return dataclasses.replace(
+        llm, n_heads=llm.n_heads // tp, n_kv_heads=llm.n_kv_heads // tp,
+        kv_dim=llm.n_kv_heads // tp * llm.head_size)
+
+
+def _put_by_specs(tree, specs, mesh: Mesh):
+    """device_put a pytree by a PREFIX tree of PartitionSpecs (a P leaf
+    at an interior position applies to that whole subtree)."""
+    is_leaf = lambda x: x is None or isinstance(x, P)  # noqa: E731
+    spec_leaves, treedef = jax.tree_util.tree_flatten(specs, is_leaf=is_leaf)
+    subtrees = treedef.flatten_up_to(tree)
+
+    def put(spec, sub):
+        if sub is None:
+            return None
+        return jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, spec)), sub)
+
+    return jax.tree_util.tree_unflatten(
+        treedef, [put(s, t) for s, t in zip(spec_leaves, subtrees)])
+
+
+def shard_params_tp(params: LlamaParams, mesh: Mesh,
+                    cfg: LLMConfig) -> LlamaParams:
+    """prepare + device_put with the tp shardings (load-time helper)."""
+    tp = mesh.shape["tp"]
+    params = prepare_params_for_tp(params, cfg, tp)
+    return _put_by_specs(params, param_specs(params, tp), mesh)
+
+
+def shard_kv_tp(kv: KVCache, mesh: Mesh) -> KVCache:
+    return _put_by_specs(kv, kv_specs(kv), mesh)
+
+
+def tp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
+               tokens: jax.Array, positions: jax.Array, *,
+               mesh: Mesh, active: jax.Array | None = None,
+               backend: str = "auto", logits_mode: str = "last"):
+    """Sharded forward: logits [S, vocab] (S over dp), updated kv.
+
+    params/kv must already be laid out by shard_params_tp/shard_kv_tp
+    (or carry equivalent NamedShardings). Works under jit and inside
+    lax.scan — shard_map stages into the surrounding trace.
+    """
+    tp = mesh.shape["tp"]
+    llm_local = local_llm_config(llm, tp)
+    pspecs = param_specs(params, tp)
+    kspecs = kv_specs(kv)
+    tok_spec = P("dp", None)
+    act_spec = None if active is None else P("dp")
+
+    def body(params, kv, tokens, positions, active):
+        params = _localize_params(params)
+        return forward(params, llm_local, kv, tokens, positions,
+                       active=active, backend=backend,
+                       logits_mode=logits_mode, tp_axis="tp")
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspecs, kspecs, tok_spec, tok_spec, act_spec),
+        out_specs=(P("dp", None), kspecs),
+        check_vma=False)
+    return f(params, kv, tokens, positions, active)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("llm", "n_steps", "backend", "mesh"),
+                   donate_argnums=(2,))
+def tp_decode_scan(params: LlamaParams, tokens: jax.Array, kv: KVCache,
+                   llm: LLMConfig, n_steps: int, mesh: Mesh,
+                   backend: str = "auto") -> tuple[jax.Array, KVCache]:
+    """Greedy multi-step decode over the mesh (engine/loops.py
+    decode_scan with the shard_map forward)."""
+
+    def body(carry, _):
+        tok, kv = carry
+        pos = kv.pos.astype(jnp.int32)
+        logits, kv = tp_forward(params, llm, kv, tok[:, None], pos[:, None],
+                                mesh=mesh, backend=backend,
+                                logits_mode="last")
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, kv), nxt
+
+    (_, kv), toks = jax.lax.scan(body, (tokens, kv), None, length=n_steps)
+    return toks.T, kv
+
+
+@functools.partial(jax.jit, static_argnames=("llm", "backend", "mesh"),
+                   donate_argnums=(3,))
+def tp_prefill(params: LlamaParams, tokens: jax.Array,
+               positions: jax.Array, kv: KVCache, llm: LLMConfig,
+               mesh: Mesh, backend: str = "auto"):
+    return tp_forward(params, llm, kv, tokens, positions, mesh=mesh,
+                      backend=backend, logits_mode="last")

@@ -80,3 +80,83 @@ def test_make_mesh_default():
     mesh = make_mesh()
     assert mesh.shape["tp"] == len(jax.devices())
     assert mesh.shape["dp"] == 1
+
+
+# ---------------------------------------------------------------------------
+# shard_map tensor-parallel path (parallel/tp.py) — the multichip path
+# that can run the Pallas kernel on local shards
+# ---------------------------------------------------------------------------
+
+PRESETS.setdefault("tptest", dict(dim=1024, ffn=2048, layers=2, heads=8,
+                                  kv_heads=8, vocab=1024, arch="llama",
+                                  bias=False))
+
+
+@pytest.fixture(scope="module")
+def tp_model():
+    cfg, params = make_device_params("tptest", quant="q4_k")
+    return cfg, params
+
+
+@pytest.fixture(scope="module")
+def tp_ref(tp_model):
+    cfg, params = tp_model
+    llm = cfg.llm
+    kv0 = KVCache.create(llm.n_layers, 4, 16, llm.n_kv_heads, llm.head_size)
+    tokens = jnp.broadcast_to(jnp.asarray([[3, 5, 7, 9]]), (4, 4))
+    pos = jnp.broadcast_to(jnp.arange(4)[None, :], (4, 4))
+    logits, kv = jax.jit(lambda p, kv: forward(
+        p, llm, kv, tokens, pos, backend="xla", logits_mode="last"))(
+            params, kv0)
+    return np.asarray(logits), kv, tokens, pos
+
+
+def _tp_setup(cfg, params, mesh):
+    from powerserve_tpu.parallel.tp import shard_kv_tp, shard_params_tp
+
+    llm = cfg.llm
+    p2 = shard_params_tp(params, mesh, llm)
+    kv2 = shard_kv_tp(
+        KVCache.create(llm.n_layers, 4, 16, llm.n_kv_heads, llm.head_size),
+        mesh)
+    return p2, kv2
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas_interpret"])
+def test_tp_forward_matches_single(tp_model, tp_ref, backend):
+    from powerserve_tpu.parallel.tp import tp_forward
+
+    cfg, params = tp_model
+    ref, _, tokens, pos = tp_ref
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    p2, kv2 = _tp_setup(cfg, params, mesh)
+    got, _ = jax.jit(lambda p, kv: tp_forward(
+        p, cfg.llm, kv, tokens, pos, mesh=mesh, backend=backend))(p2, kv2)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=3e-2, atol=3e-2)
+
+
+def test_tp_decode_scan_matches_single(tp_model, tp_ref):
+    from powerserve_tpu.engine.loops import decode_scan
+    from powerserve_tpu.parallel.tp import tp_decode_scan, tp_forward
+
+    cfg, params = tp_model
+    llm = cfg.llm
+    ref, kv_ref, tokens, pos = tp_ref
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    p2, kv2 = _tp_setup(cfg, params, mesh)
+    _, kv2 = jax.jit(lambda p, kv: tp_forward(
+        p, llm, kv, tokens, pos, mesh=mesh, backend="xla"))(p2, kv2)
+    t0 = jnp.argmax(jnp.asarray(ref), axis=-1).astype(jnp.int32)
+    toks_ref, _ = decode_scan(params, t0, kv_ref, llm, 5, "xla")
+    toks_tp, _ = tp_decode_scan(p2, t0, kv2, llm, 5, mesh, "xla")
+    assert np.array_equal(np.asarray(toks_ref), np.asarray(toks_tp))
+
+
+def test_tp_prepare_repacks_row_parallel(tp_model):
+    from powerserve_tpu.parallel.tp import prepare_params_for_tp
+
+    cfg, params = tp_model
+    p2 = prepare_params_for_tp(params, cfg.llm, 4)
+    down = p2.layers.w_down
+    if down is not None and down.packed:
+        assert (down.in_features // 4) % down.pack_group == 0
