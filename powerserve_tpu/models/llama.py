@@ -217,7 +217,8 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             vs_l = jax.vmap(scat)(vs_l, vsc.transpose(0, 2, 1), safe_pos)
             # attention reads int8 KV directly; per-token scales fold
             # into the score/prob tensors (no dequantized cache copies)
-            attn = gqa_attention_quant(q, k_l, ks_l, v_l, vs_l, vis, scale)
+            attn = gqa_attention_quant(q, k_l, ks_l, v_l, vs_l, vis, scale,
+                                       backend=backend)
         else:
             k_l = jax.vmap(scat)(k_l, knew.transpose(0, 2, 1, 3), safe_pos)
             v_l = jax.vmap(scat)(v_l, vnew.transpose(0, 2, 1, 3), safe_pos)

@@ -73,7 +73,8 @@ def gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 def gqa_attention_quant(q: jax.Array, kq: jax.Array, ks: jax.Array,
                         vq: jax.Array, vs: jax.Array,
                         visibility: jax.Array, scale: float,
-                        chunk: int = 1024) -> jax.Array:
+                        chunk: int = 1024,
+                        backend: str = "xla") -> jax.Array:
     """Attention directly over the INT8 KV cache.
 
     kq/vq: [S, Hkv, T, D] int8 (cache layout: contiguous per-head
@@ -84,10 +85,24 @@ def gqa_attention_quant(q: jax.Array, kq: jax.Array, ks: jax.Array,
 
       scores[.., t] = (q . kq[t]) * ks[t]
       out = sum_t (p[t] * vs[t]) . vq[t]
+
+    backend "auto"/"pallas" routes decode shapes (Tq == 1) at long
+    context (T >= 2048) to the Pallas flash-decode kernel — measured
+    faster than this XLA path there (flash_decode.py; e.g. 30 vs 57 us
+    at S=1/T=8192 on v5e) and at worst tied. Verify shapes (Tq > 1) and
+    short caches stay on XLA, which is already near the KV-bandwidth
+    roofline for them.
     """
     S, Tq, H, D = q.shape
     Hkv, T = kq.shape[1], kq.shape[2]
     G = H // Hkv
+    if Tq == 1 and T >= 2048 and backend in ("auto", "pallas",
+                                             "pallas_interpret"):
+        interp = backend == "pallas_interpret"
+        if interp or jax.default_backend() == "tpu":
+            from .flash_decode import flash_decode_quant
+            return flash_decode_quant(q, kq, ks, vq, vs, visibility,
+                                      scale, interpret=interp)
     if T > chunk:
         # stream via the generic chunked path on scale-folded chunks
         return _gqa_chunked_quant(q, kq, ks, vq, vs, visibility, scale,

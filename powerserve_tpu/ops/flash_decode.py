@@ -1,20 +1,40 @@
 """Pallas flash-decode attention over the INT8 KV cache.
 
-Decode-shape attention (small Tq) reading the quantized cache directly:
-grid (slot, kv_head, T-chunk) with online-softmax state in VMEM scratch,
-per-token scales folded into scores/probs (same math as
+Decode-shape attention (small Tq) reading the quantized cache directly,
+with per-token scales folded into scores/probs (same math as
 ops/attention.py::gqa_attention_quant, which remains the XLA fallback
 and the golden reference in tests).
 
-Cache layout [S, Hkv, T, D] (contiguous per-(slot, head) slabs) is what
-makes the chunk DMA here a plain strided copy.
+Design (round 2): ALL kv heads are folded into one grid instance —
+grid is (slot, T-chunk), not (slot, head, T-chunk). The per-instance
+score matrix is [Hkv*G*Tq, Hkv*C] block-diagonal: row (h, g, tq) may
+only see columns of head h. Off-diagonal blocks are masked with an
+in-kernel iota compare; the data-dependent visibility mask arrives as a
+precomputed additive bias laid out per chunk. The first version used a
+(S, Hkv, chunks) grid whose instances did 4-row dots — far below the
+8-sublane granularity, overhead-dominated (200 us/layer vs XLA's 118 at
+S=8/T=1024). Folding Hkv trades ~Hkv x extra MXU MACs (idle anyway at
+decode shapes) for Hkv x fewer, well-shaped instances; HBM traffic is
+unchanged (each K/V byte still read once).
 
-STATUS: correct on TPU (rel err <=0.003 vs the XLA path at decode and
-tree-verify shapes) but currently SLOWER than XLA's scale-folded einsum
-(200 vs 118 us/layer at S=8, T=1024 on v5e) — the (S, Hkv, chunks) grid
-is overhead-dominated at these sizes. Kept as the foundation for
-round-2 tuning (fold Hkv into one instance, double-buffer chunks);
-ops/attention.py::gqa_attention_quant remains the production path.
+Cache layout [S, Hkv, T, D] (contiguous per-(slot, head) slabs) makes
+the chunk DMA a plain strided copy.
+
+Measured (v5e, marginal cost inside an on-device scan with a serial
+data dependence — loop-invariant harnesses get hoisted by XLA and
+report only fixed dispatch overhead):
+
+    S  T     Tq   xla(us)  flash(us)  KV-roofline
+    1  2048   1     14.6      9.6        5
+    1  8192   1     56.9     30.0       20
+    8  1024   1     27.5     29.7       20
+    8  8192   1    230.3    210.9      164
+    8  1024  12     30.3    163.6       20   <- Tq>1 stays on XLA
+
+gqa_attention_quant routes Tq==1, T>=2048 here (backend="auto").
+
+Replaces the role of the reference's CPU attention subgraph
+(norm_attention.cpp:26-162) at decode shapes.
 """
 
 from __future__ import annotations
@@ -29,10 +49,10 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, vis_ref, o_ref,
-            m_sc, l_sc, acc, *, n_chunks: int, G: int, Tq: int,
-            scale: float):
-    c = pl.program_id(2)
+def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, vb_ref, o_ref,
+            m_sc, l_sc, acc, *, n_chunks: int, Hkv: int, G: int, Tq: int,
+            C: int, scale: float):
+    c = pl.program_id(1)
 
     @pl.when(c == 0)
     def _():
@@ -40,31 +60,38 @@ def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, vis_ref, o_ref,
         l_sc[...] = jnp.zeros_like(l_sc)
         acc[...] = jnp.zeros_like(acc)
 
-    qx = q_ref[0, 0]  # [G*Tq, D]
-    kx = k_ref[0, 0]  # [C, D] int8
-    ksx = ks_ref[0, 0, :, 0]  # [C] (scales carried as [.., T, 1])
-    vsx = vs_ref[0, 0, :, 0]
-    vis = vis_ref[0]  # [Tq, C] uint8
+    R = Hkv * G * Tq
+    cols = Hkv * C
+    D = q_ref.shape[-1]
+    qx = q_ref[0]  # [R, D] bf16, rows (h, g, tq) tq-minor
+    kx = k_ref[0].reshape(cols, D)  # [Hkv, C, D] int8 -> flat heads
+    ksx = ks_ref[0, 0]  # [1, cols] f32
+    vsx = vs_ref[0, 0]
+    vbx = vb_ref[0, 0]  # [Tq, cols] additive visibility bias (0/-inf)
 
     s_c = jax.lax.dot_general(
         qx, kx.astype(qx.dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [G*Tq, C]
-    s_c = s_c * (ksx[None, :].astype(jnp.float32) * scale)
-    # rows are (g, tq) with tq minor: tile the [Tq, C] mask G times
-    # (compare in i32 — Mosaic lacks u8 vector comparisons)
-    vis_g = jnp.concatenate([vis] * G, axis=0).astype(jnp.int32)
-    s_c = jnp.where(vis_g > 0, s_c, NEG_INF)
+        preferred_element_type=jnp.float32)  # [R, cols]
+    s_c = s_c * (ksx * scale)
+    # block-diagonal head mask: row (h, g, tq) sees only head h's columns
+    hr = jax.lax.broadcasted_iota(jnp.int32, (R, cols), 0) // (G * Tq)
+    hc = jax.lax.broadcasted_iota(jnp.int32, (R, cols), 1) // C
+    s_c = jnp.where(hr == hc, s_c, NEG_INF)
+    # visibility bias: same [Tq, cols] row pattern for every (h, g) —
+    # broadcast over leading dims is layout-free
+    s_c = s_c + jnp.broadcast_to(vbx[None], (Hkv * G, Tq, cols)
+                                 ).reshape(R, cols)
 
-    m_prev = m_sc[...]  # [G*Tq, 1]-ish stored as [rows, 128]; use col 0
+    m_prev = m_sc[...][:, :1]  # state stored [R, 128]; col 0 is live
     m_cur = jnp.max(s_c, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev[:, :1], m_cur)
-    alpha = jnp.exp(m_prev[:, :1] - m_new)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s_c - m_new)
     l_new = l_sc[...][:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    pf = (p * vsx[None, :].astype(jnp.float32)).astype(qx.dtype)
-    pv = jnp.dot(pf, v_ref[0, 0].astype(qx.dtype),
-                 preferred_element_type=jnp.float32)  # [G*Tq, D]
+    pf = (p * vsx).astype(qx.dtype)
+    pv = jnp.dot(pf, v_ref[0].reshape(cols, D).astype(qx.dtype),
+                 preferred_element_type=jnp.float32)  # [R, D]
     acc[...] = acc[...] * alpha + pv
     m_sc[...] = jnp.broadcast_to(m_new, m_sc.shape)
     l_sc[...] = jnp.broadcast_to(l_new, l_sc.shape)
@@ -73,7 +100,7 @@ def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, vis_ref, o_ref,
     def _():
         l = l_sc[...][:, :1]
         safe = jnp.where(l > 0, l, 1.0)
-        o_ref[0, 0] = (acc[...] / safe).astype(o_ref.dtype)
+        o_ref[0] = (acc[...] / safe).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "chunk", "interpret"))
@@ -95,38 +122,48 @@ def flash_decode_quant(q: jax.Array, kq: jax.Array, ks: jax.Array,
         vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad)))
         visibility = jnp.pad(visibility, ((0, 0), (0, 0), (0, pad)))
         T = T + pad
-    n_chunks = T // C
-    rows = G * Tq
-    # [S, Hkv, G*Tq, D] with tq minor within each g block
+    nc = T // C
+    R = Hkv * G * Tq
+    cols = Hkv * C
+    # q rows (h, g, tq) with tq minor, matching the kernel's row order
     qg = (q.reshape(S, Tq, Hkv, G, D).transpose(0, 2, 3, 1, 4)
-          .reshape(S, Hkv, rows, D).astype(jnp.bfloat16))
-    vis_u8 = visibility.astype(jnp.uint8)
+          .reshape(S, R, D).astype(jnp.bfloat16))
+    # scales per chunk, columns (h, c) h-major — matches kx.reshape
+    ksc = (ks.reshape(S, Hkv, nc, C).transpose(0, 2, 1, 3)
+           .reshape(S, nc, 1, cols).astype(jnp.float32))
+    vsc = (vs.reshape(S, Hkv, nc, C).transpose(0, 2, 1, 3)
+           .reshape(S, nc, 1, cols).astype(jnp.float32))
+    # visibility as additive bias, tiled over the Hkv column groups
+    vb = jnp.where(visibility, 0.0, NEG_INF).astype(jnp.float32)
+    vb = vb.reshape(S, Tq, nc, C).transpose(0, 2, 1, 3)  # [S, nc, Tq, C]
+    vb = jnp.broadcast_to(vb[:, :, :, None, :], (S, nc, Tq, Hkv, C)
+                          ).reshape(S, nc, Tq, cols)
 
-    kernel = functools.partial(_kernel, n_chunks=n_chunks, G=G, Tq=Tq,
-                               scale=scale)
+    kernel = functools.partial(_kernel, n_chunks=nc, Hkv=Hkv, G=G, Tq=Tq,
+                               C=C, scale=scale)
     out = pl.pallas_call(
         kernel,
-        grid=(S, Hkv, n_chunks),
+        grid=(S, nc),
         in_specs=[
-            pl.BlockSpec((1, 1, rows, D), lambda s, h, c: (s, h, 0, 0)),
-            pl.BlockSpec((1, 1, C, D), lambda s, h, c: (s, h, c, 0)),
-            pl.BlockSpec((1, 1, C, 1), lambda s, h, c: (s, h, c, 0)),
-            pl.BlockSpec((1, 1, C, D), lambda s, h, c: (s, h, c, 0)),
-            pl.BlockSpec((1, 1, C, 1), lambda s, h, c: (s, h, c, 0)),
-            pl.BlockSpec((1, Tq, C), lambda s, h, c: (s, 0, c)),
+            pl.BlockSpec((1, R, D), lambda s, c: (s, 0, 0)),
+            pl.BlockSpec((1, Hkv, C, D), lambda s, c: (s, 0, c, 0)),
+            pl.BlockSpec((1, 1, 1, cols), lambda s, c: (s, c, 0, 0)),
+            pl.BlockSpec((1, Hkv, C, D), lambda s, c: (s, 0, c, 0)),
+            pl.BlockSpec((1, 1, 1, cols), lambda s, c: (s, c, 0, 0)),
+            pl.BlockSpec((1, 1, Tq, cols), lambda s, c: (s, c, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, rows, D), lambda s, h, c: (s, h, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((S, Hkv, rows, D), jnp.float32),
+        out_specs=pl.BlockSpec((1, R, D), lambda s, c: (s, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((S, R, D), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rows, 128), jnp.float32),  # running max
-            pltpu.VMEM((rows, 128), jnp.float32),  # running sum
-            pltpu.VMEM((rows, D), jnp.float32),  # output accumulator
+            pltpu.VMEM((R, 128), jnp.float32),  # running max
+            pltpu.VMEM((R, 128), jnp.float32),  # running sum
+            pltpu.VMEM((R, D), jnp.float32),  # output accumulator
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qg, kq, ks[..., None], vq, vs[..., None], vis_u8)
-    # [S, Hkv, G*Tq, D] -> [S, Tq, H*D]
+    )(qg, kq, ksc, vq, vsc, vb)
+    # [S, (h, g, tq), D] -> [S, Tq, H*D]
     out = out.reshape(S, Hkv, G, Tq, D).transpose(0, 3, 1, 2, 4)
     return out.reshape(S, Tq, H * D)

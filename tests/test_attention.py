@@ -114,3 +114,23 @@ def test_flash_decode_interpret_matches_xla():
     got = np.asarray(flash_decode_quant(q, kq, ks, vq, vs, vis, 0.088,
                                         chunk=128, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_flash_dispatch_via_backend():
+    """backend="pallas_interpret" routes decode shapes at T>=2048 to the
+    flash kernel; result matches the XLA path."""
+    from powerserve_tpu.ops.attention import gqa_attention_quant
+
+    rng = np.random.default_rng(11)
+    S, Tq, T, H, Hkv, D = 1, 1, 2048, 4, 2, 128
+    q = jnp.asarray(rng.standard_normal((S, Tq, H, D)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (S, Hkv, T, D)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (S, Hkv, T, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (S, Hkv, T)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (S, Hkv, T)), jnp.float32)
+    vis = jnp.asarray(rng.uniform(size=(S, Tq, T)) < 0.8)
+    vis = vis.at[..., 0].set(True)
+    ref = np.asarray(gqa_attention_quant(q, kq, ks, vq, vs, vis, 0.088))
+    got = np.asarray(gqa_attention_quant(q, kq, ks, vq, vs, vis, 0.088,
+                                         backend="pallas_interpret"))
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
