@@ -331,14 +331,19 @@ def _unpack_nibbles_tile(q_ref, groups_per_tile: int, group_rows: int,
 
 def _make_kernel(unsigned: bool, packed: bool, has_bias: bool, compute_dtype,
                  n_k_tiles: int, prefetch: bool, groups_per_tile: int,
-                 group_rows: int, unpack_mode: str):
+                 group_rows: int, unpack_mode: str, bsum: bool = False):
     def kernel(*refs):
         if prefetch:  # scalar-prefetch layer index comes first
             refs = refs[1:]
-        if has_bias:
-            x_ref, q_ref, s_ref, b_ref, o_ref, acc = refs
+        if bsum:
+            x_ref, xb_ref, *refs = refs
         else:
-            x_ref, q_ref, s_ref, o_ref, acc = refs
+            x_ref, *refs = refs
+            xb_ref = None
+        if has_bias:
+            q_ref, s_ref, b_ref, o_ref, acc = refs
+        else:
+            q_ref, s_ref, o_ref, acc = refs
             b_ref = None
         if prefetch:  # blocks carry a leading layer dim of size 1
             q_ref = q_ref.at[0]
@@ -346,31 +351,82 @@ def _make_kernel(unsigned: bool, packed: bool, has_bias: bool, compute_dtype,
             if b_ref is not None:
                 b_ref = b_ref.at[0]
         kt = pl.program_id(2)
-
-        @pl.when(kt == 0)
-        def _():
-            acc[...] = jnp.zeros_like(acc)
-
         ar_dtype = jnp.float32
-        s = jnp.repeat(s_ref[...].astype(ar_dtype), QK, axis=0)
-        if packed:
-            # 4-bit zero point folds into the per-block additive term
-            # (w = nib * s + off); nibbles are stored biased (+8)
-            nib = _unpack_nibbles_tile(q_ref, groups_per_tile, group_rows,
-                                       unpack_mode)
-            if unsigned:
-                off = (-jnp.repeat(b_ref[...].astype(ar_dtype), QK, axis=0)
-                       if b_ref is not None else ar_dtype(0.0))
-            else:
-                off = ar_dtype(-8.0) * s
-            w = (nib * s + off).astype(compute_dtype)
+        if packed and bsum:
+            # per-piece mul-only dequant (no concat, no per-element
+            # additive term): the zero point / Q4_K min contributes
+            # sum_k x[k]*off[k//32] = dot(blocksum(x), off) — one small
+            # MXU dot on the [K/32, bn] block tensor instead of a repeat
+            # + fma over every [bk, bn] tile (measured 82.5 -> 78 us on
+            # 4096x14336 Q4_K M=1). s_ref/b_ref hold the FULL K range
+            # (re-used across K-steps; same total HBM bytes), tiles
+            # dynamic-slice their scale rows.
+            kb = s_ref.shape[-2] // n_k_tiles  # scale blocks per K-tile
+
+            @pl.when(kt == 0)
+            def _():
+                xb = xb_ref[...].astype(compute_dtype)
+                if unsigned:
+                    # w = nib*s - b  ->  bias term -dot(xb, b)
+                    acc[...] = -jnp.dot(
+                        xb, b_ref[...].astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+                else:
+                    # nibbles stored biased (+8): w = nib*s - 8*s
+                    acc[...] = -8.0 * jnp.dot(
+                        xb, s_ref[...].astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+
+            half = group_rows // 2
+            a = None
+            xall = x_ref[...].astype(compute_dtype)
+            for g in range(groups_per_tile):
+                part = q_ref[g * half:(g + 1) * half, :]
+                qf = part.astype(jnp.int32).astype(jnp.float32)
+                hi = jnp.floor(qf * (1.0 / 16.0))
+                lo = qf - hi * 16.0
+                kbh = half // QK
+                s0 = kt * kb + g * 2 * kbh
+                s_lo = jnp.repeat(
+                    s_ref[pl.ds(s0, kbh), :].astype(ar_dtype), QK, axis=0)
+                s_hi = jnp.repeat(
+                    s_ref[pl.ds(s0 + kbh, kbh), :].astype(ar_dtype),
+                    QK, axis=0)
+                x_lo = xall[:, g * group_rows:g * group_rows + half]
+                x_hi = xall[:, g * group_rows + half:(g + 1) * group_rows]
+                p = jnp.dot(x_lo, (lo * s_lo).astype(compute_dtype),
+                            preferred_element_type=jnp.float32) \
+                    + jnp.dot(x_hi, (hi * s_hi).astype(compute_dtype),
+                              preferred_element_type=jnp.float32)
+                a = p if a is None else a + p
+            acc[...] += a
         else:
-            w = q_ref[...].astype(ar_dtype) * s
-            if b_ref is not None:
-                w = w - jnp.repeat(b_ref[...].astype(ar_dtype), QK, axis=0)
-            w = w.astype(compute_dtype)
-        acc[...] += jnp.dot(x_ref[...].astype(compute_dtype), w,
-                            preferred_element_type=jnp.float32)
+
+            @pl.when(kt == 0)
+            def _():
+                acc[...] = jnp.zeros_like(acc)
+
+            s = jnp.repeat(s_ref[...].astype(ar_dtype), QK, axis=0)
+            if packed:
+                # 4-bit zero point folds into the per-block additive term
+                # (w = nib * s + off); nibbles are stored biased (+8)
+                nib = _unpack_nibbles_tile(q_ref, groups_per_tile,
+                                           group_rows, unpack_mode)
+                if unsigned:
+                    off = (-jnp.repeat(b_ref[...].astype(ar_dtype), QK,
+                                       axis=0)
+                           if b_ref is not None else ar_dtype(0.0))
+                else:
+                    off = ar_dtype(-8.0) * s
+                w = (nib * s + off).astype(compute_dtype)
+            else:
+                w = q_ref[...].astype(ar_dtype) * s
+                if b_ref is not None:
+                    w = w - jnp.repeat(b_ref[...].astype(ar_dtype), QK,
+                                       axis=0)
+                w = w.astype(compute_dtype)
+            acc[...] += jnp.dot(x_ref[...].astype(compute_dtype), w,
+                                preferred_element_type=jnp.float32)
 
         @pl.when(kt == n_k_tiles - 1)
         def _():
@@ -395,7 +451,7 @@ import os as _os
 # tuning knobs (see tools/bench_kernels.py sweeps; defaults from the
 # v5e sweep: groups=2 + float unpack won at 4096x14336 decode shapes)
 _ENV_BN = int(_os.environ.get("POWERSERVE_QMM_BN", "512"))
-_ENV_GROUPS = int(_os.environ.get("POWERSERVE_QMM_GROUPS", "2"))
+_ENV_GROUPS = int(_os.environ.get("POWERSERVE_QMM_GROUPS", "8"))
 _ENV_UNPACK = _os.environ.get("POWERSERVE_QMM_UNPACK", "float")
 # W8 MXU kernel activations: int8 (2x MXU rate, per-token quant) or bf16
 _ENV_A8 = _os.environ.get("POWERSERVE_QMM_ACT", "a8") == "a8"
@@ -449,27 +505,49 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
     grid = (x.shape[0] // bm, n // bn, n_k_tiles)
     kb = bk // QK
     qrows = bk // 2 if lin.packed else bk
+    # bsum path: zero-point/min contribution via a blocksum(x) dot in
+    # the kernel (mul-only dequant); needs whole pack-group halves to
+    # be scale-block aligned (group % 64 == 0 guarantees it)
+    bsum = lin.packed and _ENV_UNPACK == "float"
 
+    nb_total = k // QK  # all scale blocks (bsum: s/b blocks span full K)
     if prefetch:
         q_spec = pl.BlockSpec((1, qrows, bn),
                               lambda i, j, t, L: (L[0], t, j))
-        s_spec = pl.BlockSpec((1, kb, bn), lambda i, j, t, L: (L[0], t, j))
+        if bsum:
+            s_spec = pl.BlockSpec((1, nb_total, bn),
+                                  lambda i, j, t, L: (L[0], 0, j))
+        else:
+            s_spec = pl.BlockSpec((1, kb, bn),
+                                  lambda i, j, t, L: (L[0], t, j))
         x_spec = pl.BlockSpec((bm, bk), lambda i, j, t, L: (i, t))
+        xb_spec = pl.BlockSpec((bm, nb_total), lambda i, j, t, L: (i, 0))
         o_spec = pl.BlockSpec((bm, bn), lambda i, j, t, L: (i, j))
     else:
         q_spec = pl.BlockSpec((qrows, bn), lambda i, j, t: (t, j))
-        s_spec = pl.BlockSpec((kb, bn), lambda i, j, t: (t, j))
+        if bsum:
+            s_spec = pl.BlockSpec((nb_total, bn), lambda i, j, t: (0, j))
+        else:
+            s_spec = pl.BlockSpec((kb, bn), lambda i, j, t: (t, j))
         x_spec = pl.BlockSpec((bm, bk), lambda i, j, t: (i, t))
+        xb_spec = pl.BlockSpec((bm, nb_total), lambda i, j, t: (i, 0))
         o_spec = pl.BlockSpec((bm, bn), lambda i, j, t: (i, j))
 
-    in_specs = [x_spec, q_spec, s_spec]
-    inputs = [x, lin.q, lin.scales]
+    in_specs = [x_spec]
+    inputs = [x]
+    if bsum:
+        xb = x.astype(jnp.float32).reshape(x.shape[0], k // QK, QK
+                                           ).sum(-1).astype(x.dtype)
+        in_specs.append(xb_spec)
+        inputs.append(xb)
+    in_specs += [q_spec, s_spec]
+    inputs += [lin.q, lin.scales]
     if lin.bias is not None:
         in_specs.append(s_spec)
         inputs.append(lin.bias)
     kernel = _make_kernel(lin.unsigned, lin.packed, lin.bias is not None,
                           compute_dtype, n_k_tiles, prefetch,
-                          n_groups, group, _ENV_UNPACK)
+                          n_groups, group, _ENV_UNPACK, bsum=bsum)
     q_bytes = k * n * lin.q.dtype.itemsize // (2 if lin.packed else 1)
     cost = pl.CostEstimate(
         flops=2 * m * n * k,
