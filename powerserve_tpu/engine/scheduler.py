@@ -14,6 +14,7 @@ import functools
 import itertools
 import queue
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -39,12 +40,25 @@ class Request:
     top_p: float = 0.95
     penalty_repeat: float = 1.0
     stop_ids: set[int] = field(default_factory=set)
+    # explicit per-request seed (OpenAI `seed`): the slot gets its own
+    # PRNG key chain, so the sample stream reproduces regardless of
+    # concurrent traffic. None = derive from the scheduler's global seed.
+    seed: int | None = None
+    # number of top-logprob alternatives to record per token (0 = off);
+    # chosen-token logprob is always recorded when > 0
+    logprobs: int = 0
     # sink receives token ids, then None when finished
     sink: Callable[[int | None], None] = lambda t: None
     id: int = 0
+    # set by the consumer to abort generation (e.g. a stop string
+    # matched in decoded text); the scheduler frees the slot on its
+    # next tick
+    cancelled: bool = False
     # filled by the scheduler
     n_generated: int = 0
     finish_reason: str = ""
+    token_logprobs: list = field(default_factory=list)  # [float]
+    top_logprobs: list = field(default_factory=list)  # [[(id, lp)]]
 
 
 @dataclass
@@ -73,8 +87,16 @@ class BatchScheduler:
                                  self.hp.kv_dtype)
         self.penalty = PenaltyState.create(
             self.S, max(self.hp.sampler.penalty_last_n, 1))
-        self.rng = jax.random.PRNGKey(self.hp.sampler.seed)
+        # per-slot raw PRNG keys [S, 2]: a request with an explicit seed
+        # owns a reproducible chain; others derive from the global seed
+        self.rngs = jax.vmap(jax.random.PRNGKey)(
+            jnp.arange(self.S) + self.hp.sampler.seed)
         self.slots = [_Slot() for _ in range(self.S)]
+        # /metrics counters
+        self.n_requests = 0
+        self.n_tokens_generated = 0
+        self.n_prompt_tokens = 0
+        self.started_at = time.time()
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._ids = itertools.count()
         self._stop = threading.Event()
@@ -96,35 +118,50 @@ class BatchScheduler:
 
         horizon = max(int(getattr(self.hp, "decode_horizon", 1)), 1)
 
+        n_top = 8  # top-logprob alternatives recorded per step
+
         @functools.partial(jax.jit, donate_argnums=(1, 3))
-        def decode_all(params, kv, tokens, penalty, rng, active,
+        def decode_all(params, kv, tokens, penalty, rngs, active,
                        temp, top_k, top_p, pen_rep):
             """`horizon` decode steps in one device dispatch; tokens past
             a slot's stop are discarded host-side (the slot resets, so no
-            KV fixup is needed)."""
+            KV fixup is needed). rngs: per-slot raw keys [S, 2]. Also
+            returns log-softmax of the RAW model logits for the chosen
+            token and the top-8 alternatives (the OpenAI `logprobs`
+            fields report the model distribution, not the post-penalty/
+            temperature sampling distribution)."""
 
             def body(carry, _):
-                tok, kv, penalty, rng = carry
+                tok, kv, penalty, rngs = carry
                 positions = jnp.where(active[:, None],
                                       kv.pos[:, None].astype(jnp.int32), -1)
                 logits, kv = forward(params, llm, kv, tok[:, None],
                                      positions, active=active,
                                      backend=backend, logits_mode="last")
-                rng, sub = jax.random.split(rng)
+                split = jax.vmap(lambda k: jax.random.split(k, 2))(rngs)
+                rngs, subs = split[:, 0], split[:, 1]
                 nxt = sample_logits_batched(
-                    sub, logits, temp, top_k, top_p, state=penalty,
-                    penalty_repeat=pen_rep, vocab_size=vocab
+                    subs[0], logits, temp, top_k, top_p, state=penalty,
+                    penalty_repeat=pen_rep, vocab_size=vocab, keys=subs
                 ).astype(jnp.int32)
                 penalty = penalty.push(nxt, active)
-                return (nxt, kv, penalty, rng), nxt
+                lf = logits.astype(jnp.float32)[:, :vocab]
+                lse = jax.nn.logsumexp(lf, axis=-1)
+                lp = jnp.take_along_axis(lf, nxt[:, None], axis=-1)[:, 0] - lse
+                tv, ti = jax.lax.top_k(lf, n_top)
+                return (nxt, kv, penalty, rngs), (nxt, lp, ti,
+                                                  tv - lse[:, None])
 
-            (_, kv, penalty, rng), toks = jax.lax.scan(
-                body, (tokens, kv, penalty, rng), None, length=horizon)
-            return toks.T, kv, penalty, rng  # [S, horizon]
+            (_, kv, penalty, rngs), (toks, lps, ti, tlp) = jax.lax.scan(
+                body, (tokens, kv, penalty, rngs), None, length=horizon)
+            # -> [S, horizon(, n_top)]
+            return (toks.T, lps.T, ti.transpose(1, 0, 2),
+                    tlp.transpose(1, 0, 2), kv, penalty, rngs)
 
         self._prefill_chunk = prefill_chunk
         self._decode_all = decode_all
         self.horizon = horizon
+        self.n_top = n_top
 
     # -- public API ---------------------------------------------------------
 
@@ -151,6 +188,16 @@ class BatchScheduler:
     def n_active(self) -> int:
         return sum(1 for s in self.slots if s.req is not None)
 
+    @staticmethod
+    def _emit(req: Request, tok: int | None) -> None:
+        """Deliver to the consumer's sink; a consumer that went away
+        (closed event loop, dropped generator) must never kill the
+        scheduler thread."""
+        try:
+            req.sink(tok)
+        except Exception:  # noqa: BLE001
+            req.cancelled = True
+
     # -- core loop ----------------------------------------------------------
 
     def _admit(self) -> None:
@@ -174,6 +221,11 @@ class BatchScheduler:
             slot.cur_token = req.prompt_ids[-1]
             self.kv = self.kv.reset_slot(i)
             self.penalty = self.penalty.reset_slot(i)
+            seed = req.seed if req.seed is not None \
+                else self.hp.sampler.seed + req.id * 7919 + i
+            self.rngs = self.rngs.at[i].set(jax.random.PRNGKey(seed))
+            self.n_requests += 1
+            self.n_prompt_tokens += len(req.prompt_ids)
             log.debug(f"req {req.id} -> slot {i}")
 
     def _prefill_tick(self) -> bool:
@@ -204,6 +256,15 @@ class BatchScheduler:
                 jnp.asarray(positions), jnp.asarray(active))
         return ran
 
+    def _cancel_tick(self) -> None:
+        """Free slots whose consumer aborted (e.g. stop-string match)."""
+        for i, s in enumerate(self.slots):
+            if s.req is not None and s.req.cancelled:
+                if not s.req.finish_reason:
+                    s.req.finish_reason = "stop"
+                self._emit(s.req, None)
+                self.slots[i] = _Slot()
+
     def _decode_tick(self) -> bool:
         decoding = [i for i, s in enumerate(self.slots)
                     if s.req is not None and not s.prefilling]
@@ -224,11 +285,15 @@ class BatchScheduler:
             top_k[i] = s.req.top_k
             top_p[i] = s.req.top_p
             pen[i] = s.req.penalty_repeat
-        toks, self.kv, self.penalty, self.rng = self._decode_all(
+        (toks, lps, top_i, top_lp, self.kv, self.penalty,
+         self.rngs) = self._decode_all(
             self.params, self.kv, jnp.asarray(tokens),
-            self.penalty, self.rng, jnp.asarray(active), jnp.asarray(temp),
+            self.penalty, self.rngs, jnp.asarray(active), jnp.asarray(temp),
             jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(pen))
         toks = np.asarray(toks)  # [S, horizon]
+        lps = np.asarray(lps)
+        top_i = np.asarray(top_i)
+        top_lp = np.asarray(top_lp)
         for i in decoding:
             s = self.slots[i]
             done = False
@@ -236,8 +301,18 @@ class BatchScheduler:
                 tok = int(toks[i, h])
                 s.cur_token = tok
                 s.req.n_generated += 1
-                s.req.sink(tok)
-                if tok in s.req.stop_ids:
+                self.n_tokens_generated += 1
+                if s.req.logprobs > 0:
+                    n = min(s.req.logprobs, self.n_top)
+                    s.req.token_logprobs.append(float(lps[i, h]))
+                    s.req.top_logprobs.append(
+                        [(int(t), float(l)) for t, l in
+                         zip(top_i[i, h, :n], top_lp[i, h, :n])])
+                self._emit(s.req, tok)
+                if s.req.cancelled:
+                    s.req.finish_reason = s.req.finish_reason or "stop"
+                    done = True
+                elif tok in s.req.stop_ids:
                     s.req.finish_reason = "stop"
                     done = True
                 elif s.req.n_generated >= s.req.max_tokens:
@@ -249,19 +324,46 @@ class BatchScheduler:
                 if done:
                     break
             if done:
-                s.req.sink(None)
+                self._emit(s.req, None)
                 self.slots[i] = _Slot()
         return True
 
     def step(self) -> bool:
         """One scheduler iteration; returns True if work was done."""
+        self._cancel_tick()
         self._admit()
         if self._prefill_tick():
             return True
         return self._decode_tick()
 
+    def metrics(self) -> dict:
+        """Counters for the /metrics endpoint."""
+        up = max(time.time() - self.started_at, 1e-9)
+        return {
+            "requests_total": self.n_requests,
+            "prompt_tokens_total": self.n_prompt_tokens,
+            "generated_tokens_total": self.n_tokens_generated,
+            "slots_active": self.n_active,
+            "slots_total": self.S,
+            "queue_depth": self.pending.qsize(),
+            "uptime_seconds": up,
+            "generated_tokens_per_second": self.n_tokens_generated / up,
+        }
+
     def _loop(self) -> None:
         while not self._stop.is_set():
-            if not self.step():
+            try:
+                busy = self.step()
+            except Exception:  # noqa: BLE001
+                # a single bad request must not take the engine down:
+                # fail all in-flight requests, keep serving
+                log.exception("scheduler step failed; resetting slots")
+                for i, s in enumerate(self.slots):
+                    if s.req is not None:
+                        s.req.finish_reason = "error"
+                        self._emit(s.req, None)
+                        self.slots[i] = _Slot()
+                busy = False
+            if not busy:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()

@@ -174,13 +174,19 @@ def sample_logits_batched(key: jax.Array, logits: jax.Array,
                           state: PenaltyState | None = None,
                           penalty_repeat: jax.Array | None = None,
                           max_top_k: int = 64,
-                          vocab_size: int | None = None) -> jax.Array:
+                          vocab_size: int | None = None,
+                          keys: jax.Array | None = None) -> jax.Array:
     """Per-slot sampling with *array* parameters (continuous batching:
     every request carries its own temperature/top_k/top_p).
 
     temperature/top_k/top_p/penalty_repeat: [S]. temperature <= 0 means
     greedy for that slot. top_k <= 0 disables top-k (capped at
     max_top_k otherwise).
+
+    keys: optional per-slot PRNG keys [S, 2] (uint32). When given, each
+    slot draws from its own key chain, so a request with an explicit
+    seed reproduces its sample stream regardless of what other slots
+    are doing (the OpenAI `seed` parameter); `key` is then ignored.
     """
     S, V = logits.shape
     lf = logits.astype(jnp.float32)
@@ -217,7 +223,10 @@ def sample_logits_batched(key: jax.Array, logits: jax.Array,
                    keepdims=True)
     probs = jnp.where(probs >= pthr, probs, 0.0)
     logp = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)), NEG_INF)
-    sampled = jax.random.categorical(key, logp, axis=-1)
+    if keys is not None:
+        sampled = jax.vmap(jax.random.categorical)(keys, logp)
+    else:
+        sampled = jax.random.categorical(key, logp, axis=-1)
     return jnp.where(temperature <= 0.0, greedy_tok, sampled)
 
 

@@ -161,7 +161,69 @@ def _now_id(prefix: str) -> str:
     return f"{prefix}-{uuid.uuid4().hex[:24]}"
 
 
-def _sampling_from_body(body: dict) -> dict:
+class StopMatcher:
+    """Stop-string detection over streamed text with holdback: text that
+    could be the prefix of a stop string is buffered until disambiguated
+    (so `.push("<|e") -> ""` then `.push("nd|>") -> stop`)."""
+
+    def __init__(self, stops: list[str]):
+        self.stops = [s for s in stops if s]
+        self.buf = ""
+        self.stopped = False
+
+    def push(self, piece: str) -> str:
+        """Returns text safe to emit; sets .stopped when a stop string
+        matched (emitted text excludes it)."""
+        if not self.stops:
+            return piece
+        self.buf += piece
+        hits = [(self.buf.find(s), s) for s in self.stops if s in self.buf]
+        if hits:
+            i, _ = min(hits)
+            out, self.buf = self.buf[:i], ""
+            self.stopped = True
+            return out
+        hold = 0
+        for s in self.stops:
+            for ln in range(min(len(s) - 1, len(self.buf)), 0, -1):
+                if self.buf.endswith(s[:ln]):
+                    hold = max(hold, ln)
+                    break
+        cut = len(self.buf) - hold
+        out, self.buf = self.buf[:cut], self.buf[cut:]
+        return out
+
+    def flush(self) -> str:
+        out, self.buf = self.buf, ""
+        return out
+
+
+def _stops_from_body(body: dict) -> list[str]:
+    stop = body.get("stop")
+    if stop is None:
+        return []
+    if isinstance(stop, str):
+        return [stop]
+    return [s for s in stop if isinstance(s, str)]
+
+
+def _logprobs_from_body(body: dict, chat: bool) -> int:
+    """Normalize the two OpenAI shapes to a top-N count (0 = off).
+    Completions: `logprobs: <int|null>`. Chat: `logprobs: <bool>` +
+    `top_logprobs: <int>`. The chosen token's logprob is always
+    reported when enabled."""
+    lp = body.get("logprobs")
+    if chat:
+        if not lp:
+            return 0
+        return max(int(body.get("top_logprobs", 0)), 1)
+    if lp is None or lp is False:
+        return 0
+    return max(int(lp), 1)
+
+
+def _sampling_from_body(body: dict, chat: bool = False) -> dict:
+    seed = body.get("seed")
     return dict(
         temperature=float(body.get("temperature", 0.8)),
         top_k=int(body.get("top_k", 40)),
@@ -170,6 +232,8 @@ def _sampling_from_body(body: dict) -> dict:
                                       body.get("frequency_penalty", 0.0) + 1.0
                                       if body.get("frequency_penalty") else 1.0)),
         max_tokens=int(body.get("max_tokens", body.get("n_predict", 128))),
+        seed=None if seed is None else int(seed),
+        logprobs=_logprobs_from_body(body, chat),
     )
 
 
@@ -280,16 +344,50 @@ def _runner(ctx: ModelContext, prompt_ids, sampling, stop_ids, images=None):
     return _run_batched(ctx, prompt_ids, sampling, stop_ids)
 
 
+def _logprobs_payload(tok: Tokenizer, ids: list[int], req, chat: bool):
+    """OpenAI logprobs object from the scheduler's per-token records."""
+    n = min(len(ids), len(req.token_logprobs))
+    if chat:
+        content = []
+        for i in range(n):
+            content.append({
+                "token": tok.to_string([ids[i]]),
+                "logprob": req.token_logprobs[i],
+                "top_logprobs": [
+                    {"token": tok.to_string([t]), "logprob": lp}
+                    for t, lp in req.top_logprobs[i]],
+            })
+        return {"content": content}
+    toks, offs, off = [], [], 0
+    for i in range(n):
+        s = tok.to_string([ids[i]])
+        toks.append(s)
+        offs.append(off)
+        off += len(s)
+    return {
+        "tokens": toks,
+        "token_logprobs": req.token_logprobs[:n],
+        "top_logprobs": [
+            {tok.to_string([t]): lp for t, lp in req.top_logprobs[i]}
+            for i in range(n)],
+        "text_offset": offs,
+    }
+
+
 async def _respond(request: web.Request, ctx: ModelContext,
                    prompt_ids: list[int], sampling: dict, chat: bool,
                    stream: bool, model_name: str,
-                   images: list | None = None) -> web.StreamResponse:
+                   images: list | None = None,
+                   stop_strings: list[str] | None = None
+                   ) -> web.StreamResponse:
     tok = ctx.tokenizer
     stop_ids = set(tok.stop_ids)
     rid = _now_id("chatcmpl" if chat else "cmpl")
     created = int(time.time())
     obj_stream = "chat.completion.chunk" if chat else "text_completion"
     obj_full = "chat.completion" if chat else "text_completion"
+    want_logprobs = sampling.get("logprobs", 0) > 0
+    matcher = StopMatcher(stop_strings or [])
 
     if stream:
         resp = web.StreamResponse(headers={
@@ -300,6 +398,7 @@ async def _respond(request: web.Request, ctx: ModelContext,
         dec = IncrementalDecoder(tok)
         finish = "stop"
         last_req = None
+        gen_ids: list[int] = []
         if chat:
             first = {"id": rid, "object": obj_stream, "created": created,
                      "model": model_name,
@@ -310,7 +409,11 @@ async def _respond(request: web.Request, ctx: ModelContext,
         async for t, req in _runner(ctx, prompt_ids, sampling, stop_ids,
                                     images):
             last_req = req
+            gen_ids.append(t)
             piece = dec.push(t) if t not in stop_ids else ""
+            piece = matcher.push(piece)
+            if matcher.stopped:
+                req.cancelled = True
             if piece:
                 delta = ({"content": piece} if chat else None)
                 chunk = {"id": rid, "object": obj_stream, "created": created,
@@ -320,7 +423,16 @@ async def _respond(request: web.Request, ctx: ModelContext,
                                          else {"text": piece}),
                                       "finish_reason": None}]}
                 await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
-        tail = dec.flush()
+            if matcher.stopped:
+                break
+        if matcher.stopped:
+            tail = ""
+        else:
+            tail = matcher.push(dec.flush())
+            if matcher.stopped and last_req is not None:
+                last_req.cancelled = True
+            else:
+                tail += matcher.flush()
         if tail:
             chunk = {"id": rid, "object": obj_stream, "created": created,
                      "model": model_name,
@@ -329,13 +441,19 @@ async def _respond(request: web.Request, ctx: ModelContext,
                                      else {"text": tail}),
                                   "finish_reason": None}]}
             await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
-        if last_req is not None and last_req.finish_reason:
+        if matcher.stopped:
+            finish = "stop"
+        elif last_req is not None and last_req.finish_reason:
             finish = last_req.finish_reason
+        choice = {"index": 0,
+                  **({"delta": {}} if chat else {"text": ""}),
+                  "finish_reason": finish}
+        if want_logprobs and last_req is not None:
+            choice["logprobs"] = _logprobs_payload(tok, gen_ids, last_req,
+                                                   chat)
         final = {"id": rid, "object": obj_stream, "created": created,
                  "model": model_name,
-                 "choices": [{"index": 0,
-                              **({"delta": {}} if chat else {"text": ""}),
-                              "finish_reason": finish}],
+                 "choices": [choice],
                  "usage": {"prompt_tokens": len(prompt_ids),
                            "completion_tokens":
                                last_req.n_generated if last_req else 0,
@@ -348,30 +466,48 @@ async def _respond(request: web.Request, ctx: ModelContext,
 
     # non-streaming
     ids: list[int] = []
+    gen_ids = []
     finish = "stop"
     last_req = None
     async for t, req in _runner(ctx, prompt_ids, sampling, stop_ids, images):
         last_req = req
+        gen_ids.append(t)
         if t not in stop_ids:
             ids.append(t)
-    if last_req is not None and last_req.finish_reason:
-        finish = last_req.finish_reason
+        if stop_strings:
+            # decode-so-far check; cancel at the first stop-string match
+            if any(s in tok.to_string(ids) for s in stop_strings):
+                req.cancelled = True
+                break
     text = tok.to_string(ids)
+    if matcher.stops:
+        out = matcher.push(text)
+        if not matcher.stopped:
+            out += matcher.flush()
+        text = out
+    if matcher.stopped:
+        finish = "stop"
+    elif last_req is not None and last_req.finish_reason:
+        finish = last_req.finish_reason
     usage = {"prompt_tokens": len(prompt_ids),
              "completion_tokens": last_req.n_generated if last_req else 0,
              "total_tokens": len(prompt_ids) + (
                  last_req.n_generated if last_req else 0)}
+    lp_obj = (_logprobs_payload(tok, gen_ids, last_req, chat)
+              if want_logprobs and last_req is not None else None)
     if chat:
         body = {"id": rid, "object": obj_full, "created": created,
                 "model": model_name,
                 "choices": [{"index": 0,
                              "message": {"role": "assistant", "content": text},
+                             **({"logprobs": lp_obj} if lp_obj else {}),
                              "finish_reason": finish}],
                 "usage": usage}
     else:
         body = {"id": rid, "object": obj_full, "created": created,
                 "model": model_name,
                 "choices": [{"index": 0, "text": text,
+                             **({"logprobs": lp_obj} if lp_obj else {}),
                              "finish_reason": finish}],
                 "usage": usage}
     return web.json_response(body)
@@ -412,7 +548,8 @@ def build_app(server_ctx: ServerContext) -> web.Application:
         sampling = _sampling_from_body(body)
         return await _respond(request, ctx, prompt_ids, sampling,
                               chat=False, stream=bool(body.get("stream")),
-                              model_name=model_name or ctx.name)
+                              model_name=model_name or ctx.name,
+                              stop_strings=_stops_from_body(body))
 
     async def handle_chat(request: web.Request) -> web.StreamResponse:
         body = await request.json()
@@ -422,25 +559,59 @@ def build_app(server_ctx: ServerContext) -> web.Application:
         messages, images = _split_multimodal(body.get("messages", []))
         prompt = ctx.tokenizer.apply_chat_template(messages)
         prompt_ids = ctx.tokenizer.tokenize(prompt)
-        sampling = _sampling_from_body(body)
+        sampling = _sampling_from_body(body, chat=True)
         return await _respond(request, ctx, prompt_ids, sampling,
                               chat=True, stream=bool(body.get("stream")),
                               model_name=model_name or ctx.name,
-                              images=images)
+                              images=images,
+                              stop_strings=_stops_from_body(body))
 
     async def handle_models(request: web.Request) -> web.Response:
         names = list(server_ctx.models) or [server_ctx.default_model or "default"]
-        return web.json_response({
-            "object": "list",
-            "data": [{"id": n, "object": "model", "created": 0,
-                      "owned_by": "powerserve_tpu"} for n in names],
-        })
+        data = []
+        for n in names:
+            entry = {"id": n, "object": "model", "created": 0,
+                     "owned_by": "powerserve_tpu"}
+            ctx = server_ctx.models.get(n)
+            if ctx is not None and ctx.scheduler is not None:
+                llm = ctx.scheduler.cfg.llm
+                entry["meta"] = {
+                    "n_ctx": ctx.scheduler.max_seq,
+                    "n_params_embd": llm.dim,
+                    "n_layers": llm.n_layers,
+                    "vocab_size": llm.vocab_size,
+                }
+            data.append(entry)
+        return web.json_response({"object": "list", "data": data})
+
+    async def handle_health(request: web.Request) -> web.Response:
+        """Liveness + readiness (reference has no health endpoint;
+        standard for serving deployments)."""
+        ok = all(m.scheduler is None or m.scheduler.n_active >= 0
+                 for m in server_ctx.models.values())
+        return web.json_response(
+            {"status": "ok" if ok else "error",
+             "models_loaded": list(server_ctx.models)})
+
+    async def handle_metrics(request: web.Request) -> web.Response:
+        """Prometheus-style text metrics aggregated over schedulers."""
+        lines = []
+        for name, m in server_ctx.models.items():
+            if m.scheduler is None:
+                continue
+            for k, v in m.scheduler.metrics().items():
+                lines.append(
+                    f'powerserve_{k}{{model="{name}"}} {v}')
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
 
     for route in ("/completion", "/completions", "/v1/completions"):
         app.router.add_post(route, handle_completion)
     for route in ("/chat/completions", "/v1/chat/completions"):
         app.router.add_post(route, handle_chat)
     app.router.add_get("/v1/models", handle_models)
+    app.router.add_get("/health", handle_health)
+    app.router.add_get("/metrics", handle_metrics)
     return app
 
 

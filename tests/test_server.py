@@ -148,3 +148,147 @@ def teardown_module(module):
     if ctx:
         for m in ctx.models.values():
             m.scheduler.stop()
+
+
+def test_health_and_metrics(ws_dir):
+    async def go(client):
+        resp = await client.get("/health")
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["status"] == "ok"
+        await client.post("/v1/completions", json={
+            "model": "model", "prompt": "m", "max_tokens": 2,
+            "temperature": 0.0})
+        resp = await client.get("/metrics")
+        assert resp.status == 200
+        text = await resp.text()
+        assert 'powerserve_requests_total{model="model"}' in text
+        assert "powerserve_generated_tokens_total" in text
+
+    _run(ws_dir, go)
+
+
+def test_models_metadata(ws_dir):
+    async def go(client):
+        await client.post("/v1/completions", json={
+            "model": "model", "prompt": "x", "max_tokens": 1})
+        resp = await client.get("/v1/models")
+        body = await resp.json()
+        entry = next(m for m in body["data"] if m["id"] == "model")
+        assert entry["meta"]["n_ctx"] > 0
+        assert entry["meta"]["vocab_size"] > 0
+
+    _run(ws_dir, go)
+
+
+def test_stop_string(ws_dir):
+    async def go(client):
+        # no stop: get the greedy text first
+        r0 = await client.post("/v1/completions", json={
+            "model": "model", "prompt": "hello", "max_tokens": 8,
+            "temperature": 0.0})
+        base = (await r0.json())["choices"][0]["text"]
+        assert len(base) > 1
+        stop = base[1]  # a character that will definitely occur
+        r1 = await client.post("/v1/completions", json={
+            "model": "model", "prompt": "hello", "max_tokens": 8,
+            "temperature": 0.0, "stop": stop})
+        body = await r1.json()
+        out = body["choices"][0]["text"]
+        assert stop not in out
+        assert out == base[:base.index(stop)]
+        assert body["choices"][0]["finish_reason"] == "stop"
+
+    _run(ws_dir, go)
+
+
+def test_stop_string_stream(ws_dir):
+    async def go(client):
+        r0 = await client.post("/v1/completions", json={
+            "model": "model", "prompt": "hello", "max_tokens": 8,
+            "temperature": 0.0})
+        base = (await r0.json())["choices"][0]["text"]
+        stop = base[1]
+        resp = await client.post("/v1/completions", json={
+            "model": "model", "prompt": "hello", "max_tokens": 8,
+            "temperature": 0.0, "stop": stop, "stream": True})
+        raw = (await resp.read()).decode()
+        events = [line[6:] for line in raw.splitlines()
+                  if line.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        chunks = [json.loads(e) for e in events[:-1]]
+        text = "".join(c["choices"][0].get("text", "") for c in chunks)
+        assert stop not in text
+        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+
+    _run(ws_dir, go)
+
+
+def test_seed_reproducible(ws_dir):
+    async def go(client):
+        outs = []
+        for _ in range(2):
+            r = await client.post("/v1/completions", json={
+                "model": "model", "prompt": "hello", "max_tokens": 8,
+                "temperature": 1.0, "seed": 1234})
+            outs.append((await r.json())["choices"][0]["text"])
+        r = await client.post("/v1/completions", json={
+            "model": "model", "prompt": "hello", "max_tokens": 8,
+            "temperature": 1.0, "seed": 99})
+        other = (await r.json())["choices"][0]["text"]
+        assert outs[0] == outs[1]
+        # different seed should (overwhelmingly) differ at temp 1.0
+        assert other != outs[0]
+
+    _run(ws_dir, go)
+
+
+def test_logprobs_completions(ws_dir):
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "model": "model", "prompt": "hello", "max_tokens": 4,
+            "temperature": 0.0, "logprobs": 3})
+        body = await r.json()
+        lp = body["choices"][0]["logprobs"]
+        n = body["usage"]["completion_tokens"]
+        assert len(lp["token_logprobs"]) == n
+        assert len(lp["tokens"]) == n
+        # dict keyed by token text: distinct ids may decode to the same
+        # string (byte-fallback pieces), so <= rather than ==
+        assert all(1 <= len(d) <= 3 for d in lp["top_logprobs"])
+        assert all(v <= 0.0 for v in lp["token_logprobs"])
+        # greedy: the chosen token's logprob equals the max top logprob
+        assert abs(max(lp["top_logprobs"][0].values())
+                   - lp["token_logprobs"][0]) < 1e-4
+
+    _run(ws_dir, go)
+
+
+def test_logprobs_chat(ws_dir):
+    async def go(client):
+        r = await client.post("/v1/chat/completions", json={
+            "model": "model",
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 3, "temperature": 0.0,
+            "logprobs": True, "top_logprobs": 2})
+        body = await r.json()
+        content = body["choices"][0]["logprobs"]["content"]
+        assert len(content) == body["usage"]["completion_tokens"]
+        assert all(len(c["top_logprobs"]) == 2 for c in content)
+
+    _run(ws_dir, go)
+
+
+def test_stop_matcher_holdback():
+    from powerserve_tpu.serving.server import StopMatcher
+
+    m = StopMatcher(["<|end|>"])
+    assert m.push("hello ") == "hello "
+    assert m.push("<|e") == ""          # could be a stop prefix: held
+    assert not m.stopped
+    assert m.push("nd|> extra") == ""   # stop matched: nothing after
+    assert m.stopped
+    m2 = StopMatcher(["STOP"])
+    assert m2.push("abcST") == "abc"
+    assert m2.push("xy") == "STxy"      # disambiguated: released
+    assert m2.flush() == ""
