@@ -32,6 +32,15 @@ def main() -> None:
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--max-seq", type=int, default=1024)
+    ap.add_argument("--mode", default="cost",
+                    choices=["cost", "chain"],
+                    help="cost: per-op cost model; chain: measured "
+                         "tok/s of the on-device chain-spec loop")
+    ap.add_argument("--k", type=int, default=4,
+                    help="chain draft length per step")
+    ap.add_argument("--self-draft-layers", type=int, default=0,
+                    help="chain mode: layer-skip self-draft depth "
+                         "(0 = use --draft as a separate model)")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +80,10 @@ def main() -> None:
         return (time.perf_counter() - t0) / n_steps
 
     t_cfg, t_params = make_device_params(args.target, "q4_k")
+
+    if args.mode == "chain":
+        run_chain(args, t_cfg, t_params)
+        return
     d_cfg, d_params = make_device_params(args.draft, "q4_k", seed=1)
     tl, dl = t_cfg.llm, d_cfg.llm
     t_kv = KVCache.create(tl.n_layers, 1, args.max_seq, tl.n_kv_heads,
@@ -101,6 +114,92 @@ def main() -> None:
         "baseline_tok_s": round(base, 1),
         "verify_overhead_vs_decode": round(t_verify / t_decode, 2),
         "projected": proj,
+    }))
+
+
+def run_chain(args, t_cfg, t_params) -> None:
+    """Measured tokens/s of the on-device chain-speculation loop
+    (speculative/chain.py): marginal cost between two scan lengths so
+    the fixed remote dispatch cost cancels; tokens counted from the
+    actual per-step acceptance. NOTE on synthetic weights: a layer-skip
+    self-draft agrees with the full model almost always (random layers
+    barely perturb the embedding-dominated residual), so acceptance is
+    an UPPER bound; an unrelated random draft gives the 0-acceptance
+    floor. Real-model acceptance lands between; the printed
+    `tok_s_at_2x_needs_tokens_per_step` is the threshold to beat.
+    """
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from powerserve_tpu.engine.loops import decode_scan
+    from powerserve_tpu.kv.cache import KVCache
+    from powerserve_tpu.speculative.chain import (
+        chain_spec_scan,
+        self_draft_config,
+    )
+    from powerserve_tpu.tools.bench_params import make_device_params
+
+    tl = t_cfg.llm
+    if args.self_draft_layers:
+        dp, dl = t_params, self_draft_config(tl, args.self_draft_layers)
+        draft_desc = f"self-draft-{args.self_draft_layers}L"
+    else:
+        d_cfg, dp = make_device_params(args.draft, "q4_k", seed=1)
+        dl = d_cfg.llm
+        draft_desc = args.draft
+
+    def fresh(llm):
+        return KVCache.create(llm.n_layers, 1, args.max_seq,
+                              llm.n_kv_heads, llm.head_size, "int8")
+
+    # vanilla baseline (same harness)
+    def vanilla(n):
+        kv = fresh(tl)
+        toks, kv = decode_scan(t_params, jnp.zeros(1, jnp.int32), kv, tl,
+                               n, "auto")
+        np.asarray(toks)
+
+    def spec(n):
+        t_kv, d_kv = fresh(tl), fresh(dl)
+        toks, counts, *_ = chain_spec_scan(
+            t_params, dp, t_kv, d_kv, jnp.int32(7), tl, dl, n, args.k,
+            "auto")
+        return int(np.asarray(counts).sum()), n
+
+    def marginal(fn, n1, n2, reps=3):
+        fn(n1); fn(n2)
+        ms = []
+        for _ in range(reps):
+            t0 = time.perf_counter(); fn(n1)
+            t1 = time.perf_counter(); fn(n2)
+            t2 = time.perf_counter()
+            ms.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+        return statistics.median(ms)
+
+    n1, n2 = max(args.steps // 4, 1), args.steps
+    t_dec = marginal(lambda n: vanilla(n), n1, n2)
+    base = 1.0 / t_dec
+
+    tok1, _ = spec(n1)
+    tok2, _ = spec(n2)
+    t_step = marginal(lambda n: spec(n), n1, n2)
+    tokens_per_step = (tok2 - tok1) / (n2 - n1)
+    tok_s = tokens_per_step / t_step
+    need = 2.0 * t_step / t_dec
+
+    print(json.dumps({
+        "metric": "speculative_chain_tok_s",
+        "target": args.target, "draft": draft_desc, "k": args.k,
+        "t_decode_ms": round(t_dec * 1e3, 2),
+        "t_spec_step_ms": round(t_step * 1e3, 2),
+        "tokens_per_step": round(tokens_per_step, 2),
+        "baseline_tok_s": round(base, 1),
+        "spec_tok_s": round(tok_s, 1),
+        "speedup": round(tok_s / base, 2),
+        "tok_s_at_2x_needs_tokens_per_step": round(need, 2),
     }))
 
 

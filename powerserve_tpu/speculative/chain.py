@@ -1,0 +1,193 @@
+"""On-device chain speculative decoding.
+
+The tree engine (speculative/engine.py) drives drafting from the host:
+each tree level is a separate device dispatch, and over a remote-TPU
+link every dispatch carries ~25ms of fixed latency — speculation can
+never win there. This module is the TPU-native re-architecture: the
+ENTIRE draft->verify->accept->commit cycle runs inside one jitted
+lax.scan with fixed shapes, so N speculative steps cost one dispatch
+(the reference's host loop, spec_model.hpp:96-113, replaced by
+compiler-friendly control flow).
+
+Chain drafting (one token per level — the reference's token tree with
+width 1) keeps every KV position sequential, so acceptance needs no
+gather-compaction: accepted entries are already at their final cache
+positions and the losers roll back with one masked-rollback op.
+
+Per speculative step, with draft length K:
+  1. draft: K+1 sequential draft forwards (Tq=1) feeding
+     [root, d0 .. d_{K-1}] — the last forward exists only to write
+     d_{K-1}'s KV so the draft cache stays complete when all K drafts
+     are accepted.
+  2. verify: ONE target forward with Tq=K+1 over the fed chain
+     (causal mask), sampled[i] = target argmax after chain[:i+1].
+  3. accept: greedy longest prefix with d_i == sampled[i]
+     (n_acc in [0, K]); step emits sampled[:n_acc+1].
+  4. commit: both caches rollback(K - n_acc); the next root is
+     sampled[n_acc].
+
+Self-drafting (LayerSkip-style): pass the TARGET params with a config
+whose n_layers is truncated — the layer scan just runs fewer slabs of
+the same stacked weights, so the draft costs (ld/L) of a target step
+and zero extra HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import LLMConfig, ModelConfig
+from ..kv.cache import KVCache
+from ..models.llama import LlamaParams, forward
+from .engine import SpecStats
+
+__all__ = ["chain_spec_scan", "ChainSpecEngine", "self_draft_config"]
+
+
+def self_draft_config(llm: LLMConfig, n_layers: int) -> LLMConfig:
+    """Config for a layer-skip self-draft over the target's own stacked
+    weights: the layer scan stops after `n_layers`, final norm and
+    lm_head are shared."""
+    if not 0 < n_layers <= llm.n_layers:
+        raise ValueError(f"draft layers {n_layers} vs {llm.n_layers}")
+    return dataclasses.replace(llm, n_layers=n_layers)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_llm", "d_llm", "n_steps", "k", "backend"),
+    donate_argnums=(2, 3),
+)
+def chain_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
+                    t_kv: KVCache, d_kv: KVCache, root: jax.Array,
+                    t_llm: LLMConfig, d_llm: LLMConfig,
+                    n_steps: int, k: int, backend: str = "auto"):
+    """n_steps speculative chain steps in one dispatch.
+
+    root: [] int32 — the last committed token (feeds the first draft).
+    Returns (tokens [n_steps, k+1], counts [n_steps], t_kv, d_kv, root):
+    step i emitted tokens[i, :counts[i]].
+    """
+
+    def spec_step(carry, _):
+        t_kv, d_kv, root = carry
+
+        # -- 1. draft the chain: feed root, d0 .. d_{k-1} ------------------
+        def draft_body(dc, _):
+            tok, kv = dc
+            pos = kv.pos.astype(jnp.int32)[:, None]
+            logits, kv = forward(dparams, d_llm, kv, tok[:, None], pos,
+                                 backend=backend, logits_mode="last")
+            nxt = jnp.argmax(logits[:, :d_llm.vocab_size],
+                             axis=-1).astype(jnp.int32)
+            return (nxt, kv), tok[0]
+
+        (_, d_kv), fed = jax.lax.scan(
+            draft_body, (root[None], d_kv), None, length=k + 1)
+        # fed = [root, d0 .. d_{k-1}]; drafts are fed[1:]
+
+        # -- 2. one target verify over the chain ---------------------------
+        c = t_kv.pos.astype(jnp.int32)  # [1]
+        positions = c[:, None] + jnp.arange(k + 1)[None, :]
+        logits, t_kv = forward(tparams, t_llm, t_kv, fed[None, :],
+                               positions, backend=backend,
+                               logits_mode="all")
+        sampled = jnp.argmax(logits[0, :, :t_llm.vocab_size],
+                             axis=-1).astype(jnp.int32)  # [k+1]
+
+        # -- 3. greedy acceptance ------------------------------------------
+        match = (sampled[:k] == fed[1:]).astype(jnp.int32)
+        acc = jnp.cumprod(match)
+        n_acc = jnp.sum(acc)  # in [0, k]
+        new_root = jnp.take(sampled, n_acc)
+
+        # -- 4. roll both caches back to the accepted prefix ---------------
+        drop = jnp.int32(k) - n_acc
+        t_kv = t_kv.rollback(jnp.broadcast_to(drop, t_kv.pos.shape))
+        d_kv = d_kv.rollback(jnp.broadcast_to(drop, d_kv.pos.shape))
+
+        return (t_kv, d_kv, new_root), (sampled, n_acc + 1)
+
+    (t_kv, d_kv, root), (tokens, counts) = jax.lax.scan(
+        spec_step, (t_kv, d_kv, root), None, length=n_steps)
+    return tokens, counts, t_kv, d_kv, root
+
+
+class ChainSpecEngine:
+    """Host wrapper: prefill both models, then emit tokens in blocks of
+    on-device speculative steps (one dispatch per block)."""
+
+    def __init__(self, target_params: LlamaParams, target_cfg: ModelConfig,
+                 draft_params: LlamaParams | None = None,
+                 draft_cfg: ModelConfig | None = None,
+                 self_draft_layers: int = 0, k: int = 4,
+                 block_steps: int = 8, max_seq: int = 0,
+                 kv_dtype: str = "int8", backend: str = "auto"):
+        self.tp, self.tcfg = target_params, target_cfg
+        if self_draft_layers:
+            self.dp = target_params
+            self.d_llm = self_draft_config(target_cfg.llm, self_draft_layers)
+        else:
+            assert draft_params is not None and draft_cfg is not None
+            self.dp, self.d_llm = draft_params, draft_cfg.llm
+        self.t_llm = target_cfg.llm
+        self.k = k
+        self.block_steps = block_steps
+        self.backend = backend
+        self.max_seq = max_seq or target_cfg.llm.seq_len
+        self.kv_dtype = kv_dtype
+        self.reset()
+
+    def reset(self) -> None:
+        t, d = self.t_llm, self.d_llm
+        self.t_kv = KVCache.create(t.n_layers, 1, self.max_seq,
+                                   t.n_kv_heads, t.head_size, self.kv_dtype)
+        self.d_kv = KVCache.create(d.n_layers, 1, self.max_seq,
+                                   d.n_kv_heads, d.head_size, self.kv_dtype)
+
+    def prefill(self, prompt_tokens: list[int], chunk: int = 128) -> None:
+        from ..engine.loops import prefill_step
+
+        toks = np.asarray(prompt_tokens[:-1], np.int32)
+        off = 0
+        for off in range(0, len(toks), chunk):
+            part = toks[off:off + chunk]
+            pos = off + np.arange(len(part), dtype=np.int32)
+            t = jnp.asarray(part[None, :])
+            p = jnp.asarray(pos[None, :])
+            _, self.t_kv = prefill_step(self.tp, t, p, self.t_kv,
+                                        self.t_llm, self.backend)
+            _, self.d_kv = prefill_step(self.dp, t, p, self.d_kv,
+                                        self.d_llm, self.backend)
+        self._root = jnp.int32(prompt_tokens[-1])
+
+    def generate(self, prompt_tokens: list[int], n_predict: int,
+                 stop_fn=None, stats: SpecStats | None = None):
+        """Yield up to n_predict tokens, one device dispatch per
+        `block_steps` speculative steps."""
+        stats = stats if stats is not None else SpecStats()
+        self.prefill(prompt_tokens)
+        out = 0
+        while out < n_predict:
+            tokens, counts, self.t_kv, self.d_kv, self._root = \
+                chain_spec_scan(self.tp, self.dp, self.t_kv, self.d_kv,
+                                self._root, self.t_llm, self.d_llm,
+                                self.block_steps, self.k, self.backend)
+            tokens = np.asarray(tokens)
+            counts = np.asarray(counts)
+            for i in range(self.block_steps):
+                stats.steps += 1
+                stats.drafted += self.k
+                stats.accepted += int(counts[i]) - 1
+                for t in tokens[i, :counts[i]]:
+                    stats.emitted += 1
+                    out += 1
+                    yield int(t)
+                    if (stop_fn is not None and stop_fn(int(t))) \
+                            or out >= n_predict:
+                        return

@@ -176,3 +176,50 @@ def test_speculative_emits_at_least_one_per_step():
     out = list(eng.generate([5, 6, 7], 6, stats=stats))
     assert len(out) >= 6
     assert stats.emitted >= stats.steps
+
+
+# ---------------------------------------------------------------------------
+# on-device chain speculation (speculative/chain.py)
+# ---------------------------------------------------------------------------
+
+def test_chain_spec_greedy_matches_vanilla():
+    """Chain speculation is lossless under greedy verify: output equals
+    vanilla greedy decode regardless of draft quality (full self-draft,
+    truncated self-draft, and an unrelated draft model)."""
+    from powerserve_tpu.speculative.chain import ChainSpecEngine
+    from powerserve_tpu.tools.bench_params import make_device_params
+
+    cfg, params = make_device_params("tiny", "q8_0")
+    prompt = [3, 17, 5, 9]
+    want = _vanilla_greedy(params, cfg, prompt, 24)
+
+    d_cfg, d_params = make_device_params("tiny", "q8_0", seed=7)
+    cases = [
+        dict(self_draft_layers=cfg.llm.n_layers),  # draft == target
+        dict(self_draft_layers=max(cfg.llm.n_layers // 2, 1)),
+        dict(draft_params=d_params, draft_cfg=d_cfg),  # unrelated draft
+    ]
+    for kw in cases:
+        # f32 KV: int8 cache quantization amplifies the (benign) numeric
+        # difference between Tq=4 verify forwards and Tq=1 vanilla
+        # forwards enough to flip argmax on a random tiny model
+        spec = ChainSpecEngine(params, cfg, k=3, block_steps=4,
+                               backend="xla", kv_dtype="bf16", **kw)
+        got = list(spec.generate(prompt, 24))
+        assert got == want, (kw, got, want)
+
+
+def test_chain_spec_acceptance_stats():
+    """Full self-draft (draft == target) accepts every drafted token."""
+    from powerserve_tpu.speculative.chain import ChainSpecEngine
+    from powerserve_tpu.speculative.engine import SpecStats
+    from powerserve_tpu.tools.bench_params import make_device_params
+
+    cfg, params = make_device_params("tiny", "q8_0")
+    spec = ChainSpecEngine(params, cfg, self_draft_layers=cfg.llm.n_layers,
+                           k=3, block_steps=4, backend="xla")
+    stats = SpecStats()
+    out = list(spec.generate([3, 17, 5], 16, stats=stats))
+    assert len(out) == 16
+    assert stats.accept_rate == 1.0
+    assert stats.tokens_per_step == 4.0  # k+1 per step
