@@ -544,7 +544,8 @@ def build_app(server_ctx: ServerContext) -> web.Application:
         prompt = body.get("prompt", "")
         if isinstance(prompt, list):
             prompt = "".join(prompt)
-        prompt_ids = ctx.tokenizer.tokenize(prompt)
+        prompt_ids = ctx.tokenizer.tokenize(
+            prompt, parse_special=bool(body.get("parse_special", True)))
         sampling = _sampling_from_body(body)
         return await _respond(request, ctx, prompt_ids, sampling,
                               chat=False, stream=bool(body.get("stream")),

@@ -99,9 +99,15 @@ class Tokenizer:
             return len(self.vocab.tokens)
         return self.hf.get_vocab_size()
 
-    def tokenize(self, text: str, add_bos: bool | None = None) -> list[int]:
+    def tokenize(self, text: str, add_bos: bool | None = None,
+                 parse_special: bool = True) -> list[int]:
+        """parse_special=True (the reference server's behavior) encodes
+        special-token strings appearing in `text` as their ids; pass
+        False for untrusted user text that must not inject control
+        tokens (the HF default)."""
         if self.vocab is not None:
-            return self.vocab.encode(text, add_bos=add_bos)
+            return self.vocab.encode(text, add_bos=add_bos,
+                                     parse_special=parse_special)
         ids = self.hf.encode(text).ids
         use_bos = self.add_bos if add_bos is None else add_bos
         if use_bos and self.bos_id >= 0 and (not ids or ids[0] != self.bos_id):

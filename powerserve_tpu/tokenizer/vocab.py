@@ -12,9 +12,15 @@ Supported vocab models (tokenizer.ggml.model):
 
 from __future__ import annotations
 
+import heapq
 import re
 from dataclasses import dataclass, field
 from typing import Any
+
+try:  # proper \p{L}/\p{N} unicode classes (transformers dependency)
+    import regex as _regex
+except ImportError:  # pragma: no cover - regex ships with transformers
+    _regex = None
 
 # token_type values (gguf tokenizer.ggml.token_type)
 TT_NORMAL = 1
@@ -44,7 +50,8 @@ def _gpt2_byte_to_unicode() -> dict[int, str]:
 _BYTE_TO_UNI = _gpt2_byte_to_unicode()
 _UNI_TO_BYTE = {u: b for b, u in _BYTE_TO_UNI.items()}
 
-# llama3-family pre-tokenizer regex (public; close enough for gpt2 too)
+# llama3-family pre-tokenizer regex, \w-approximated fallback when the
+# `regex` module is unavailable
 _PRETOK_RE = re.compile(
     r"(?i:'s|'t|'re|'ve|'m|'ll|'d)"
     r"|[^\r\n\w]?\w+"
@@ -56,6 +63,37 @@ _PRETOK_RE = re.compile(
     re.UNICODE,
 )
 
+# per-family pre-tokenizer regexes (tokenizer.ggml.pre; public patterns
+# from the GPT-2 / Llama-3 / Qwen2 tokenizers — reference gets these
+# from vendored llama.cpp's pre-tokenizer table)
+_PRETOK_FAMILY = {
+    "gpt-2": (r"'s|'t|'re|'ve|'m|'ll|'d"
+              r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"),
+    "llama3": (r"(?i:'s|'t|'re|'ve|'m|'ll|'d)"
+               r"|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}"
+               r"| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"),
+    "qwen2": (r"(?i:'s|'t|'re|'ve|'m|'ll|'d)"
+              r"|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}"
+              r"| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"),
+}
+_PRETOK_ALIASES = {
+    "gpt2": "gpt-2", "starcoder": "gpt-2", "falcon": "gpt-2",
+    "llama-bpe": "llama3", "llama-v3": "llama3", "smaug-bpe": "llama3",
+    "deepseek-llm": "qwen2", "deepseek-coder": "qwen2", "stablelm2": "qwen2",
+}
+
+
+def _pretok_regex(pre: str):
+    """Compiled pre-tokenizer for a tokenizer.ggml.pre family name.
+    Missing/unknown pre falls back to the GPT-2 pattern — llama.cpp's
+    LLAMA_VOCAB_PRE_TYPE_DEFAULT does the same (llama3-family GGUFs
+    carry pre="llama-bpe")."""
+    if _regex is None:
+        return _PRETOK_RE
+    fam = _PRETOK_ALIASES.get(pre, pre)
+    pat = _PRETOK_FAMILY.get(fam, _PRETOK_FAMILY["gpt-2"])
+    return _regex.compile(pat)
+
 
 @dataclass
 class GGUFVocab:
@@ -64,6 +102,7 @@ class GGUFVocab:
     token_types: list[int] | None
     merges: list[str] | None
     model: str  # "llama" (spm) | "gpt2" (bpe)
+    pre: str = ""  # pre-tokenizer family (tokenizer.ggml.pre)
     bos_id: int = -1
     eos_id: int = -1
     eot_id: int = -1
@@ -91,6 +130,7 @@ class GGUFVocab:
         v = cls(
             tokens=tokens, scores=scores, token_types=tt, merges=merges,
             model=str(md.get("tokenizer.ggml.model", "llama")),
+            pre=str(md.get("tokenizer.ggml.pre", "")),
             bos_id=int(md.get("tokenizer.ggml.bos_token_id", -1)),
             eos_id=int(md.get("tokenizer.ggml.eos_token_id", -1)),
             eot_id=int(md.get("tokenizer.ggml.eot_token_id", -1)),
@@ -124,52 +164,92 @@ class GGUFVocab:
     # -- encoding -----------------------------------------------------------
 
     def _split_specials(self, text: str) -> list[tuple[str, int | None]]:
-        """Split text into (fragment, special_id|None) pieces."""
+        """Split text into (fragment, special_id|None) pieces.
+        Longest special wins (the list is sorted longest-first);
+        iterative work stack, so pathological inputs can't hit the
+        Python recursion limit."""
         out: list[tuple[str, int | None]] = []
-
-        def rec(s: str) -> None:
+        stack: list[tuple] = [("text", text)]
+        while stack:
+            kind, *rest = stack.pop()
+            if kind == "emit":
+                out.append((rest[0], rest[1]))
+                continue
+            s = rest[0]
+            hit = None
             for tok, tid in self._special:
                 idx = s.find(tok)
                 if idx >= 0:
-                    if idx > 0:
-                        rec(s[:idx])
-                    out.append((tok, tid))
-                    rest = s[idx + len(tok):]
-                    if rest:
-                        rec(rest)
-                    return
-            if s:
-                out.append((s, None))
-
-        rec(text)
+                    hit = (idx, tok, tid)
+                    break
+            if hit is None:
+                if s:
+                    out.append((s, None))
+                continue
+            idx, tok, tid = hit
+            rest_s = s[idx + len(tok):]
+            if rest_s:  # LIFO: push right first so left emits first
+                stack.append(("text", rest_s))
+            stack.append(("emit", tok, tid))
+            if idx > 0:
+                stack.append(("text", s[:idx]))
         return out
+
+    def _merge_symbols(self, symbols: list[str], pair_key) -> list[str]:
+        """Best-pair-first agglomerative merge with a heap + linked
+        list: O(n log n) against the old O(n^2) rescan-per-merge (long
+        perplexity corpora crawled there). pair_key(a, b) -> sortable
+        priority or None; smallest priority merges first, leftmost on
+        ties (matches the linear-scan semantics exactly)."""
+        n = len(symbols)
+        if n < 2:
+            return symbols
+        sym: list[str | None] = list(symbols)
+        prev = list(range(-1, n - 1))
+        nxt = list(range(1, n + 1))
+        nxt[-1] = -1
+        heap: list[tuple] = []
+
+        def push(i: int) -> None:
+            j = nxt[i]
+            if i < 0 or j < 0:
+                return
+            pr = pair_key(sym[i], sym[j])
+            if pr is not None:
+                heapq.heappush(heap, (pr, i, sym[i] + sym[j]))
+
+        for i in range(n - 1):
+            push(i)
+        while heap:
+            _, i, cand = heapq.heappop(heap)
+            j = nxt[i] if sym[i] is not None else -1
+            if j < 0 or sym[i] is None or sym[j] is None \
+                    or sym[i] + sym[j] != cand:
+                continue  # stale entry
+            sym[i] = cand
+            sym[j] = None
+            nxt[i] = nxt[j]
+            if nxt[j] >= 0:
+                prev[nxt[j]] = i
+            if prev[i] >= 0:
+                push(prev[i])
+            push(i)
+        return [s for s in sym if s is not None]
 
     def _spm_encode_fragment(self, text: str) -> list[int]:
         """Greedy score-based pair merging (SPM BPE semantics)."""
         if not text:
             return []
         text = text.replace(" ", _SPM_SPACE)
-        symbols = list(text)
 
-        def tok_score(s: str) -> float | None:
-            tid = self.token_to_id.get(s)
+        def pair_key(a: str, b: str):
+            tid = self.token_to_id.get(a + b)
             if tid is None:
                 return None
-            return self.scores[tid] if self.scores else -len(s)
+            sc = self.scores[tid] if self.scores else -len(a + b)
+            return -sc  # max score first
 
-        # iterative best-pair merge
-        while True:
-            best = None
-            for i in range(len(symbols) - 1):
-                cand = symbols[i] + symbols[i + 1]
-                sc = tok_score(cand)
-                if sc is not None and (best is None or sc > best[0]):
-                    best = (sc, i, cand)
-            if best is None:
-                break
-            _, i, cand = best
-            symbols[i : i + 2] = [cand]
-
+        symbols = self._merge_symbols(list(text), pair_key)
         ids: list[int] = []
         for s in symbols:
             tid = self.token_to_id.get(s)
@@ -185,16 +265,11 @@ class GGUFVocab:
 
     def _bpe_encode_word(self, word: str) -> list[int]:
         """Merge-rank BPE on a byte-mapped word."""
-        parts = [c for c in word]
-        while len(parts) > 1:
-            best_rank, best_i = None, None
-            for i in range(len(parts) - 1):
-                r = self._merge_ranks.get((parts[i], parts[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_i = r, i
-            if best_i is None:
-                break
-            parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+
+        def pair_key(a: str, b: str):
+            return self._merge_ranks.get((a, b))  # lowest rank first
+
+        parts = self._merge_symbols([c for c in word], pair_key)
         ids = []
         for p in parts:
             tid = self.token_to_id.get(p)
@@ -206,7 +281,9 @@ class GGUFVocab:
 
     def _bpe_encode_fragment(self, text: str) -> list[int]:
         ids: list[int] = []
-        for m in _PRETOK_RE.findall(text):
+        if not hasattr(self, "_pretok") or self._pretok is None:
+            self._pretok = _pretok_regex(self.pre)
+        for m in self._pretok.findall(text):
             mapped = "".join(_BYTE_TO_UNI[b] for b in m.encode("utf-8"))
             ids.extend(self._bpe_encode_word(mapped))
         return ids

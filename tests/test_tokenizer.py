@@ -243,3 +243,77 @@ def test_unknown_template_warns_and_falls_back(caplog):
         out = apply_chat_template(msgs, "totally-unknown-format !!!")
     assert "<|im_start|>user" in out
     assert any("unrecognized chat template" in r.message for r in caplog.records)
+
+
+def test_merge_symbols_matches_bruteforce():
+    """The heap+linked-list merge must pick the same merges as the
+    O(n^2) best-pair linear rescan it replaced (smallest key first,
+    leftmost on ties)."""
+    import random
+
+    from powerserve_tpu.tokenizer.vocab import GGUFVocab
+
+    rng = random.Random(0)
+    v = GGUFVocab(tokens=[], scores=None, token_types=None, merges=None,
+                  model="llama")
+
+    def brute(symbols, pair_key):
+        symbols = list(symbols)
+        while True:
+            best = None
+            for i in range(len(symbols) - 1):
+                pr = pair_key(symbols[i], symbols[i + 1])
+                if pr is not None and (best is None or pr < best[0]):
+                    best = (pr, i)
+            if best is None:
+                return symbols
+            _, i = best
+            symbols[i:i + 2] = [symbols[i] + symbols[i + 1]]
+
+    for trial in range(50):
+        n = rng.randint(2, 24)
+        syms = [rng.choice("abc") for _ in range(n)]
+        # random priority table over concatenations up to length 4
+        table = {}
+        def pair_key(a, b, table=table, rng=rng, trial=trial):
+            cand = a + b
+            if len(cand) > 4:
+                return None
+            if cand not in table:
+                table[cand] = (rng.choice([None] * 2 + [rng.randint(0, 9)]))
+            return table[cand]
+        got = v._merge_symbols(list(syms), pair_key)
+        want = brute(syms, pair_key)
+        assert got == want, (trial, syms, got, want)
+
+
+def test_pretokenizer_families():
+    """Digit grouping differs per tokenizer.ggml.pre family: gpt-2
+    groups ` ?\\p{N}+`, llama3 caps runs at 3, qwen2 splits single
+    digits (reference gets these from llama.cpp's pre-tokenizer table)."""
+    from powerserve_tpu.tokenizer.vocab import _pretok_regex
+
+    text = "a 12345b"
+    gpt2 = _pretok_regex("").findall(text)
+    llama3 = _pretok_regex("llama-bpe").findall(text)
+    qwen2 = _pretok_regex("qwen2").findall(text)
+    assert " 12345" in gpt2
+    assert "123" in llama3 and "45" in llama3
+    assert qwen2.count("1") == 1 and qwen2.count("5") == 1
+
+
+def test_split_specials_iterative_deep():
+    """A pathological alternation of specials and text must not hit the
+    recursion limit (the splitter is an explicit work stack now)."""
+    from powerserve_tpu.tokenizer.vocab import GGUFVocab, TT_CONTROL, TT_NORMAL
+
+    toks = ["<s>", "a"]
+    v = GGUFVocab(tokens=toks, scores=[0.0, 0.0],
+                  token_types=[TT_CONTROL, TT_NORMAL], merges=None,
+                  model="llama")
+    v.token_to_id = {t: i for i, t in enumerate(toks)}
+    v._special = [("<s>", 0)]
+    text = "x<s>" * 5000
+    out = v._split_specials(text)
+    assert len(out) == 10000
+    assert out[0] == ("x", None) and out[1] == ("<s>", 0)
