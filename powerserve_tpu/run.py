@@ -55,6 +55,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="persistent system-prompt KV (.npz) to preload")
     ap.add_argument("--save-kv", default=None,
                     help="save the prompt's KV prefix after prefill")
+    ap.add_argument("--draft", default=None,
+                    help="draft model dir: speculative decoding "
+                         "(reference run.cpp target+draft role)")
+    ap.add_argument("--self-draft-layers", type=int, default=0,
+                    help="LayerSkip self-draft depth (no draft model "
+                         "needed; chain engine only)")
+    ap.add_argument("--spec-engine", default="chain",
+                    choices=["chain", "tree"],
+                    help="chain: on-device loop (fast over remote "
+                         "links); tree: host-driven token tree")
+    ap.add_argument("--spec-k", type=int, default=4,
+                    help="chain draft length per speculative step")
     args = ap.parse_args(argv)
 
     root = Path(args.work_folder)
@@ -75,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
         prompt = Path(args.prompt_file).read_text()
 
     log.info(f"loading model from {model_dir}")
+    if args.draft or args.self_draft_layers:
+        return _run_speculative(args, model_dir, hp)
     engine, tok = build_engine(str(model_dir), hp, args.backend)
     if args.use_chat_template:
         prompt = tok.apply_chat_template([{"role": "user", "content": prompt}])
@@ -112,6 +126,60 @@ def main(argv: list[str] | None = None) -> int:
                        "n_prefill": stats.prefill_tokens,
                        "n_decode": stats.decode_tokens}, f)
             f.write("\n")
+    return 0
+
+
+def _run_speculative(args, model_dir, hp) -> int:
+    """Speculative CLI path (reference speculative app role)."""
+    from .models.loader import load_gguf_model
+    from .speculative.engine import SpecStats
+
+    cfg, params = load_gguf_model(str(model_dir))
+    tok = Tokenizer.from_model_dir(str(model_dir))
+    prompt = args.prompt
+    if args.prompt_file:
+        prompt = Path(args.prompt_file).read_text()
+    if args.use_chat_template:
+        prompt = tok.apply_chat_template([{"role": "user", "content": prompt}])
+    ids = tok.tokenize(prompt)
+    log.info(f"prompt tokens: {len(ids)}")
+
+    if args.spec_engine == "tree":
+        from .speculative.engine import SpeculativeEngine
+        from .speculative.tree import SpeculativeConfig
+
+        if not args.draft:
+            log.error("tree engine needs --draft")
+            return 1
+        d_cfg, d_params = load_gguf_model(args.draft)
+        eng = SpeculativeEngine(params, cfg, d_params, d_cfg,
+                                SpeculativeConfig(), backend=args.backend)
+    else:
+        from .speculative.chain import ChainSpecEngine
+
+        if args.self_draft_layers:
+            eng = ChainSpecEngine(params, cfg,
+                                  self_draft_layers=args.self_draft_layers,
+                                  k=args.spec_k, backend=args.backend)
+        else:
+            d_cfg, d_params = load_gguf_model(args.draft)
+            eng = ChainSpecEngine(params, cfg, d_params, d_cfg,
+                                  k=args.spec_k, backend=args.backend)
+
+    from .core.logging import Timer
+
+    stats = SpecStats()
+    timer = Timer()
+    print(prompt, end="", flush=True)
+    n_out = 0
+    for t in eng.generate(ids, args.n_predicts, stop_fn=tok.should_stop,
+                          stats=stats):
+        n_out += 1
+        print(tok.to_string([t]), end="", flush=True)
+    print()
+    dt = timer.elapsed_time_ms() / 1e3
+    log.info(stats.summary())
+    log.info(f"decode speed: {n_out / max(dt, 1e-9):.2f} tokens/s")
     return 0
 
 

@@ -136,14 +136,36 @@ class ServerContext:
                 self.models[name] = ctx
                 return ctx
         if "+" in name:
+            import os
+
+            from ..speculative.chain import ChainSpecEngine
+
             main_name, draft_name = name.split("+", 1)
             t_cfg, t_params = load_gguf_model(self.resolve_dir(main_name))
-            d_cfg, d_params = load_gguf_model(self.resolve_dir(draft_name))
             tok = Tokenizer.from_model_dir(self.resolve_dir(main_name))
-            spec = SpeculativeEngine(t_params, t_cfg, d_params, d_cfg,
-                                     SpeculativeConfig(),
-                                     kv_dtype=self.hp.kv_dtype,
-                                     backend=self.backend)
+            engine_kind = os.environ.get("POWERSERVE_SPEC_ENGINE", "chain")
+            if draft_name.startswith("self:"):
+                # "model+self:N" — LayerSkip self-draft over the
+                # target's own stacked weights, N layers deep
+                spec = ChainSpecEngine(
+                    t_params, t_cfg,
+                    self_draft_layers=int(draft_name[5:]),
+                    kv_dtype=self.hp.kv_dtype, backend=self.backend)
+            elif engine_kind == "tree":
+                d_cfg, d_params = load_gguf_model(
+                    self.resolve_dir(draft_name))
+                spec = SpeculativeEngine(t_params, t_cfg, d_params, d_cfg,
+                                         SpeculativeConfig(),
+                                         kv_dtype=self.hp.kv_dtype,
+                                         backend=self.backend)
+            else:
+                # chain engine: the whole speculative cycle runs
+                # on-device (one dispatch per block of steps)
+                d_cfg, d_params = load_gguf_model(
+                    self.resolve_dir(draft_name))
+                spec = ChainSpecEngine(t_params, t_cfg, d_params, d_cfg,
+                                       kv_dtype=self.hp.kv_dtype,
+                                       backend=self.backend)
             base = self.get(main_name)
             ctx = ModelContext(name, base.scheduler, tok, spec,
                                asyncio.Lock())

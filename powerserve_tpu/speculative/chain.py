@@ -174,6 +174,11 @@ class ChainSpecEngine:
         self.prefill(prompt_tokens)
         out = 0
         while out < n_predict:
+            # capacity guard: a block writes up to block_steps*(k+1)
+            # entries past the committed prefix
+            room = self.max_seq - int(np.asarray(self.t_kv.pos)[0])
+            if room < self.block_steps * (self.k + 1) + 1:
+                return
             tokens, counts, self.t_kv, self.d_kv, self._root = \
                 chain_spec_scan(self.tp, self.dp, self.t_kv, self.d_kv,
                                 self._root, self.t_llm, self.d_llm,

@@ -69,3 +69,23 @@ def test_tokenizer_roundtrip_on_synthetic(tiny_ws):
     ids = tok.tokenize("hi")
     assert ids[0] == 1  # bos
     assert len(ids) >= 2
+
+
+def test_cli_self_draft(tmp_path, capsys):
+    """`run --self-draft-layers N` greedy output equals plain greedy."""
+    from powerserve_tpu.core.gguf import GGMLType
+    from powerserve_tpu.run import main as run_main
+    from powerserve_tpu.tools.synthetic import make_synthetic_gguf
+
+    ws = tmp_path / "ws"
+    make_synthetic_gguf(ws, "tiny", GGMLType.Q8_0, seed=0, seq_len=128)
+    base_args = ["-d", str(ws), "-p", "hello", "-n", "8",
+                 "--temperature", "0", "--backend", "xla", "--no-progress"]
+    assert run_main(base_args) == 0
+    plain = capsys.readouterr().out
+    from powerserve_tpu.models.loader import load_gguf_model
+    cfg, _ = load_gguf_model(str(ws / "model"))
+    n_layers = cfg.llm.n_layers
+    assert run_main(base_args + ["--self-draft-layers", str(n_layers)]) == 0
+    spec = capsys.readouterr().out
+    assert spec.splitlines()[:1] == plain.splitlines()[:1]

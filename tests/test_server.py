@@ -292,3 +292,25 @@ def test_stop_matcher_holdback():
     assert m2.push("abcST") == "abc"
     assert m2.push("xy") == "STxy"      # disambiguated: released
     assert m2.flush() == ""
+
+
+def test_self_draft_spec_model(ws_dir):
+    """"model+self:N" selects the on-device chain engine with a
+    LayerSkip self-draft; greedy output must equal the plain model's
+    (full-depth self-draft -> 100% acceptance, same numerics)."""
+    async def go(client):
+        r0 = await client.post("/v1/completions", json={
+            "model": "model", "prompt": "hello", "max_tokens": 8,
+            "temperature": 0.0})
+        base = (await r0.json())["choices"][0]["text"]
+        from powerserve_tpu.core.gguf import GGMLType  # noqa: F401
+        n_layers = _CTX["ctx"].models["model"].scheduler.cfg.llm.n_layers
+        r = await client.post("/v1/completions", json={
+            "model": f"model+self:{n_layers}", "prompt": "hello",
+            "max_tokens": 8, "temperature": 0.0})
+        assert r.status == 200
+        body = await r.json()
+        assert body["usage"]["completion_tokens"] >= 1
+        assert body["choices"][0]["text"] == base
+
+    _run(ws_dir, go)
