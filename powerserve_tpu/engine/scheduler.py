@@ -73,7 +73,20 @@ class BatchScheduler:
     """Owns the KV cache and the step loop; thread-safe submit()."""
 
     def __init__(self, params: LlamaParams, cfg: ModelConfig,
-                 hp: HyperParams | None = None, backend: str = "auto"):
+                 hp: HyperParams | None = None, backend: str = "auto",
+                 draft_params: LlamaParams | None = None,
+                 draft_llm=None, spec_k: int = 4):
+        """draft_params/draft_llm: enable BATCHED chain speculation —
+        every decode tick drafts a k-chain per active slot (one batched
+        draft scan), verifies all slots in one target forward, and
+        accepts per-slot (speculation composes with continuous batching
+        instead of serializing behind a lock; net-new vs the reference's
+        single-stream spec, spec_model.hpp:96-113). Pass the target's
+        own params with a layer-truncated config for LayerSkip
+        self-drafting. Spec mode samples each chain position with the
+        slot's sampler params (emitted tokens are exact target samples;
+        acceptance = draft token equals the target's sampled token);
+        repeat penalties and logprobs are not applied in spec mode."""
         self.params = params
         self.cfg = cfg
         self.hp = hp or HyperParams()
@@ -85,6 +98,16 @@ class BatchScheduler:
         self.kv = KVCache.create(llm.n_layers, self.S, self.max_seq,
                                  llm.n_kv_heads, llm.head_size,
                                  self.hp.kv_dtype)
+        self.dparams = draft_params
+        self.d_llm = draft_llm
+        self.spec_k = spec_k
+        self.d_kv = None
+        if draft_params is not None:
+            assert draft_llm is not None
+            self.d_kv = KVCache.create(
+                draft_llm.n_layers, self.S, self.max_seq,
+                draft_llm.n_kv_heads, draft_llm.head_size,
+                self.hp.kv_dtype)
         self.penalty = PenaltyState.create(
             self.S, max(self.hp.sampler.penalty_last_n, 1))
         # per-slot raw PRNG keys [S, 2]: a request with an explicit seed
@@ -162,6 +185,83 @@ class BatchScheduler:
         self._decode_all = decode_all
         self.horizon = horizon
         self.n_top = n_top
+        if self.dparams is not None:
+            self._mk_spec_jits()
+
+    def _mk_spec_jits(self) -> None:
+        llm = self.cfg.llm
+        d_llm = self.d_llm
+        backend = self.backend
+        vocab = llm.vocab_size
+        k = self.spec_k
+        dparams = self.dparams
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def spec_prefill_chunk(params, kv, d_kv, tokens, positions, active):
+            _, kv = forward(params, llm, kv, tokens, positions,
+                            active=active, backend=backend,
+                            logits_mode="none")
+            _, d_kv = forward(dparams, d_llm, d_kv, tokens, positions,
+                              active=active, backend=backend,
+                              logits_mode="none")
+            return kv, d_kv
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def spec_decode_all(params, kv, d_kv, tokens, rngs, active,
+                            temp, top_k, top_p):
+            """One batched chain-speculation step for all slots:
+            draft k+1 (the +1 keeps the draft cache complete when the
+            whole chain is accepted), verify once, accept per slot.
+            Returns (sampled [S, k+1], counts [S], next_tok [S], ...)"""
+            S = tokens.shape[0]
+
+            def draft_body(carry, _):
+                tok, dkv = carry
+                pos = jnp.where(active[:, None],
+                                dkv.pos[:, None].astype(jnp.int32), -1)
+                logits, dkv = forward(dparams, d_llm, dkv, tok[:, None],
+                                      pos, active=active, backend=backend,
+                                      logits_mode="last")
+                nxt = jnp.argmax(logits[:, :d_llm.vocab_size],
+                                 axis=-1).astype(jnp.int32)
+                return (nxt, dkv), tok
+
+            (_, d_kv), fed = jax.lax.scan(
+                draft_body, (tokens, d_kv), None, length=k + 1)
+            fed = fed.T  # [S, k+1]: [root, d0 .. d_{k-1}] per slot
+
+            c = kv.pos.astype(jnp.int32)
+            positions = jnp.where(active[:, None],
+                                  c[:, None] + jnp.arange(k + 1)[None, :],
+                                  -1)
+            logits, kv = forward(params, llm, kv, fed, positions,
+                                 active=active, backend=backend,
+                                 logits_mode="all")  # [S, k+1, V]
+
+            # sample every chain position with the slot's params (each
+            # emitted token is a true target sample given its prefix)
+            split = jax.vmap(lambda r: jax.random.split(r, k + 2))(rngs)
+            rngs = split[:, 0]
+            keys = split[:, 1:].reshape(S * (k + 1), 2)
+            rep = lambda a: jnp.repeat(a, k + 1, axis=0)  # noqa: E731
+            sampled = sample_logits_batched(
+                keys[0], logits.reshape(S * (k + 1), -1),
+                rep(temp), rep(top_k), rep(top_p),
+                vocab_size=vocab, keys=keys,
+            ).astype(jnp.int32).reshape(S, k + 1)
+
+            match = (sampled[:, :k] == fed[:, 1:]).astype(jnp.int32)
+            n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [S]
+            next_tok = jnp.take_along_axis(sampled, n_acc[:, None],
+                                           axis=1)[:, 0]
+            drop = jnp.int32(k) - n_acc
+            kv = kv.rollback(drop, active=active)
+            d_kv = d_kv.rollback(drop, active=active)
+            counts = jnp.where(active, n_acc + 1, 0)
+            return sampled, counts, next_tok, kv, d_kv, rngs
+
+        self._spec_prefill_chunk = spec_prefill_chunk
+        self._spec_decode_all = spec_decode_all
 
     # -- public API ---------------------------------------------------------
 
@@ -220,6 +320,8 @@ class BatchScheduler:
             slot.prefilling = True
             slot.cur_token = req.prompt_ids[-1]
             self.kv = self.kv.reset_slot(i)
+            if self.d_kv is not None:
+                self.d_kv = self.d_kv.reset_slot(i)
             self.penalty = self.penalty.reset_slot(i)
             seed = req.seed if req.seed is not None \
                 else self.hp.sampler.seed + req.id * 7919 + i
@@ -251,9 +353,14 @@ class BatchScheduler:
                 slot.prefilling = False
             ran = True
         if ran:
-            _, self.kv = self._prefill_chunk(
-                self.params, self.kv, jnp.asarray(tokens),
-                jnp.asarray(positions), jnp.asarray(active))
+            if self.d_kv is not None:
+                self.kv, self.d_kv = self._spec_prefill_chunk(
+                    self.params, self.kv, self.d_kv, jnp.asarray(tokens),
+                    jnp.asarray(positions), jnp.asarray(active))
+            else:
+                _, self.kv = self._prefill_chunk(
+                    self.params, self.kv, jnp.asarray(tokens),
+                    jnp.asarray(positions), jnp.asarray(active))
         return ran
 
     def _cancel_tick(self) -> None:
@@ -265,11 +372,65 @@ class BatchScheduler:
                 self._emit(s.req, None)
                 self.slots[i] = _Slot()
 
+    def _spec_decode_tick(self, decoding: list[int]) -> bool:
+        """Batched chain-speculation tick (spec x continuous batching)."""
+        tokens = np.zeros(self.S, np.int32)
+        active = np.zeros(self.S, bool)
+        temp = np.zeros(self.S, np.float32)
+        top_k = np.zeros(self.S, np.int32)
+        top_p = np.ones(self.S, np.float32)
+        pos_host = np.asarray(self.kv.pos)
+        for i in decoding:
+            s = self.slots[i]
+            tokens[i] = s.cur_token
+            active[i] = True
+            temp[i] = s.req.temperature
+            top_k[i] = s.req.top_k
+            top_p[i] = s.req.top_p
+        (sampled, counts, next_tok, self.kv, self.d_kv,
+         self.rngs) = self._spec_decode_all(
+            self.params, self.kv, self.d_kv, jnp.asarray(tokens),
+            self.rngs, jnp.asarray(active), jnp.asarray(temp),
+            jnp.asarray(top_k), jnp.asarray(top_p))
+        sampled = np.asarray(sampled)
+        counts = np.asarray(counts)
+        next_tok = np.asarray(next_tok)
+        room = self.max_seq - (self.spec_k + 2)
+        for i in decoding:
+            s = self.slots[i]
+            s.cur_token = int(next_tok[i])
+            done = False
+            for h in range(int(counts[i])):
+                tok = int(sampled[i, h])
+                s.req.n_generated += 1
+                self.n_tokens_generated += 1
+                self._emit(s.req, tok)
+                if s.req.cancelled:
+                    s.req.finish_reason = s.req.finish_reason or "stop"
+                    done = True
+                elif tok in s.req.stop_ids:
+                    s.req.finish_reason = "stop"
+                    done = True
+                elif s.req.n_generated >= s.req.max_tokens:
+                    s.req.finish_reason = "length"
+                    done = True
+                elif int(pos_host[i]) + h + 1 >= room:
+                    s.req.finish_reason = "length"
+                    done = True
+                if done:
+                    break
+            if done:
+                self._emit(s.req, None)
+                self.slots[i] = _Slot()
+        return True
+
     def _decode_tick(self) -> bool:
         decoding = [i for i, s in enumerate(self.slots)
                     if s.req is not None and not s.prefilling]
         if not decoding:
             return False
+        if self.d_kv is not None:
+            return self._spec_decode_tick(decoding)
         tokens = np.zeros(self.S, np.int32)
         active = np.zeros(self.S, bool)
         temp = np.zeros(self.S, np.float32)

@@ -138,37 +138,44 @@ class ServerContext:
         if "+" in name:
             import os
 
-            from ..speculative.chain import ChainSpecEngine
-
             main_name, draft_name = name.split("+", 1)
             t_cfg, t_params = load_gguf_model(self.resolve_dir(main_name))
             tok = Tokenizer.from_model_dir(self.resolve_dir(main_name))
             engine_kind = os.environ.get("POWERSERVE_SPEC_ENGINE", "chain")
-            if draft_name.startswith("self:"):
-                # "model+self:N" — LayerSkip self-draft over the
-                # target's own stacked weights, N layers deep
-                spec = ChainSpecEngine(
-                    t_params, t_cfg,
-                    self_draft_layers=int(draft_name[5:]),
-                    kv_dtype=self.hp.kv_dtype, backend=self.backend)
-            elif engine_kind == "tree":
+            if engine_kind == "tree":
+                # host-driven token tree, single-stream behind a lock
                 d_cfg, d_params = load_gguf_model(
                     self.resolve_dir(draft_name))
                 spec = SpeculativeEngine(t_params, t_cfg, d_params, d_cfg,
                                          SpeculativeConfig(),
                                          kv_dtype=self.hp.kv_dtype,
                                          backend=self.backend)
+                base = self.get(main_name)
+                ctx = ModelContext(name, base.scheduler, tok, spec,
+                                   asyncio.Lock())
             else:
-                # chain engine: the whole speculative cycle runs
-                # on-device (one dispatch per block of steps)
-                d_cfg, d_params = load_gguf_model(
-                    self.resolve_dir(draft_name))
-                spec = ChainSpecEngine(t_params, t_cfg, d_params, d_cfg,
-                                       kv_dtype=self.hp.kv_dtype,
-                                       backend=self.backend)
-            base = self.get(main_name)
-            ctx = ModelContext(name, base.scheduler, tok, spec,
-                               asyncio.Lock())
+                # batched chain speculation: spec requests share a
+                # continuous-batching scheduler (each tick drafts a
+                # chain per slot and verifies all slots in one target
+                # forward) instead of serializing behind a lock.
+                # "model+self:N" runs a LayerSkip self-draft over the
+                # target's own stacked weights, N layers deep.
+                from ..speculative.chain import self_draft_config
+
+                if draft_name.startswith("self:"):
+                    d_params = t_params
+                    d_llm = self_draft_config(t_cfg.llm,
+                                              int(draft_name[5:]))
+                else:
+                    d_cfg, d_params = load_gguf_model(
+                        self.resolve_dir(draft_name))
+                    d_llm = d_cfg.llm
+                sched = BatchScheduler(t_params, t_cfg, self.hp,
+                                       self.backend,
+                                       draft_params=d_params,
+                                       draft_llm=d_llm)
+                sched.start()
+                ctx = ModelContext(name, sched, tok)
         else:
             cfg, params = load_gguf_model(self.resolve_dir(name))
             sched = BatchScheduler(params, cfg, self.hp, self.backend)

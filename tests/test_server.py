@@ -314,3 +314,31 @@ def test_self_draft_spec_model(ws_dir):
         assert body["choices"][0]["text"] == base
 
     _run(ws_dir, go)
+
+
+def test_spec_concurrent_requests(ws_dir):
+    """4 concurrent speculative requests run through the shared
+    continuous-batching scheduler (no serializing lock) and each
+    matches the plain greedy output for its prompt."""
+    async def go(client):
+        prompts = ["hello", "the fox", "a b c", "zzz"]
+        base = []
+        for p in prompts:
+            r = await client.post("/v1/completions", json={
+                "model": "model", "prompt": p, "max_tokens": 6,
+                "temperature": 0.0})
+            base.append((await r.json())["choices"][0]["text"])
+
+        n_layers = _CTX["ctx"].models["model"].scheduler.cfg.llm.n_layers
+
+        async def one(p):
+            r = await client.post("/v1/completions", json={
+                "model": f"model+self:{n_layers}", "prompt": p,
+                "max_tokens": 6, "temperature": 0.0})
+            return (await r.json())["choices"][0]["text"]
+
+        import asyncio as aio
+        outs = await aio.gather(*[one(p) for p in prompts])
+        assert list(outs) == base
+
+    _run(ws_dir, go)
