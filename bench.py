@@ -35,7 +35,16 @@ def main() -> None:
     ap.add_argument("--prefill", type=int, default=512)
     ap.add_argument("--max-seq", type=int, default=1024)
     ap.add_argument("--backend", default="auto")
+    ap.add_argument("-d", "--workspace", default=None,
+                    help="measure the REAL path instead of device-native "
+                         "random params: GGUF load+repack, tokenizer, "
+                         "engine block-decode (end-to-end evidence; the "
+                         "default mode isolates device step time)")
     args = ap.parse_args()
+
+    if args.workspace:
+        run_real(args)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -86,6 +95,66 @@ def main() -> None:
         "extra": {"prefill_tok_s": round(prefill_s, 1),
                   "steps": args.steps, "backend": args.backend,
                   "device": str(jax.devices()[0])},
+    }))
+
+
+def run_real(args) -> None:
+    """End-to-end measurement over a real workspace: GGUF load+repack,
+    tokenize, chunked prefill, block decode through InferenceEngine —
+    the path a user actually runs (`powerserve-tpu run`)."""
+    import numpy as np
+
+    from powerserve_tpu.core.config import HyperParams
+    from powerserve_tpu.engine.generator import GenerationStats, InferenceEngine
+    from powerserve_tpu.models.loader import load_gguf_model
+    from powerserve_tpu.tokenizer import Tokenizer
+
+    t0 = time.perf_counter()
+    cfg, params = load_gguf_model(args.workspace)
+    import jax
+
+    jax.block_until_ready(jax.tree.leaves(params)[0])
+    np.asarray(jax.tree.leaves(params)[0].ravel()[0])  # true upload sync
+    load_s = time.perf_counter() - t0
+
+    tok = Tokenizer.from_model_dir(args.workspace)
+    hp = HyperParams()
+    hp.max_slots = 1
+    hp.max_seq_len = args.max_seq
+    hp.batch_size = args.prefill
+    hp.decode_horizon = 16
+    hp.sampler.temperature = 0.0
+    engine = InferenceEngine(params, cfg, hp, backend=args.backend)
+
+    text = ("The quick brown fox jumps over the lazy dog. " * 200)
+    ids = tok.tokenize(text)[: args.prefill]
+    t0 = time.perf_counter()
+    n_tok = len(ids)
+    tokenize_ms = (time.perf_counter() - t0) * 1e3
+
+    stats = GenerationStats()
+    out = [t for t in engine.generate(ids, args.steps, stats=stats)]
+    # warm run measured; run once more for steady-state decode speed
+    engine.reset()
+    stats = GenerationStats()
+    out = [t for t in engine.generate(ids, args.steps, stats=stats)]
+    assert len(out) >= 1
+
+    from pathlib import Path
+
+    name = Path(args.workspace).resolve().name
+    baseline = BASELINES.get(args.preset, BASELINES["llama-8b"])
+    print(json.dumps({
+        "metric": f"decode_tok_s_real_{name}_{args.quant}",
+        "value": round(stats.decode_speed, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(stats.decode_speed / baseline, 2),
+        "extra": {"prefill_tok_s": round(stats.prefill_speed, 1),
+                  "load_s": round(load_s, 1),
+                  "tokenize_ms": round(tokenize_ms, 2),
+                  "prompt_tokens": n_tok,
+                  "steps": args.steps, "backend": args.backend,
+                  "real_path": True},
     }))
 
 

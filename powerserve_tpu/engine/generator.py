@@ -94,6 +94,9 @@ class InferenceEngine:
         return self._prefill_fns[chunk]
 
     def _get_decode_fn(self) -> Callable:
+        """Block decode: `horizon` steps per device dispatch inside one
+        lax.scan — over remote-TPU links a per-token dispatch costs
+        ~25ms of fixed latency, which dwarfed the 14ms step itself."""
         if self._decode_fn is None:
             llm = self.cfg.llm
             backend = self.backend
@@ -101,18 +104,31 @@ class InferenceEngine:
             vocab = llm.vocab_size
             eos_id = self.eos_id if self.eos_id >= 0 else None
             nl_id = self.nl_id if self.nl_id >= 0 else None
+            horizon = max(int(getattr(self.hp, "decode_horizon", 1)), 1)
+            self.horizon = horizon
 
-            @functools.partial(jax.jit, donate_argnums=(1, 4))
-            def decode(params, kv, tokens, positions, penalty, rng, active):
-                logits, kv = forward(params, llm, kv, tokens, positions,
-                                     active=active, backend=backend,
-                                     logits_mode="last")
-                rng, sub = jax.random.split(rng)
-                next_tok = sample_logits(sub, logits, scfg, penalty,
-                                         vocab_size=vocab,
-                                         eos_id=eos_id, nl_id=nl_id)
-                penalty = penalty.push(next_tok, active)
-                return next_tok, kv, penalty, rng
+            @functools.partial(jax.jit, donate_argnums=(1, 3))
+            def decode(params, kv, tokens, penalty, rng, active):
+                def body(carry, _):
+                    tok, kv, penalty, rng = carry
+                    positions = jnp.where(
+                        active[:, None], kv.pos[:, None].astype(jnp.int32),
+                        -1)
+                    logits, kv = forward(params, llm, kv, tok[:, None],
+                                         positions, active=active,
+                                         backend=backend,
+                                         logits_mode="last")
+                    rng, sub = jax.random.split(rng)
+                    nxt = sample_logits(sub, logits, scfg, penalty,
+                                        vocab_size=vocab,
+                                        eos_id=eos_id, nl_id=nl_id
+                                        ).astype(jnp.int32)
+                    penalty = penalty.push(nxt, active)
+                    return (nxt, kv, penalty, rng), nxt
+
+                (_, kv, penalty, rng), toks = jax.lax.scan(
+                    body, (tokens, kv, penalty, rng), None, length=horizon)
+                return toks.T, kv, penalty, rng  # [S, horizon]
 
             self._decode_fn = decode
         return self._decode_fn
@@ -173,19 +189,39 @@ class InferenceEngine:
         active[slot] = True
         active = jnp.asarray(active)
         timer = Timer()
-        for i in range(n_predict):
-            pos = self.kv.pos[slot]
-            tokens = jnp.full((self.n_slots, 1), cur, jnp.int32)
-            positions = jnp.where(
-                jnp.arange(self.n_slots)[:, None] == slot,
-                pos[None, None].astype(jnp.int32), -1)
+        emitted: list[int] = []
+        out = 0
+        while out < n_predict:
+            tokens = jnp.full(self.n_slots, cur, jnp.int32)
             with Trace.span(Trace.SPAN_DECODE):
-                next_tok, self.kv, self.penalty, self.rng = decode(
-                    self.params, self.kv, tokens, positions, self.penalty,
+                toks, self.kv, self.penalty, self.rng = decode(
+                    self.params, self.kv, tokens, self.penalty,
                     self.rng, active)
-            cur = int(np.asarray(next_tok)[slot])
-            stats.decode_tokens += 1
-            stats.decode_ms = timer.elapsed_time_ms()
-            yield cur
-            if stop_fn is not None and stop_fn(cur):
-                break
+            block = np.asarray(toks)[slot]
+            stopped_at = -1
+            for h in range(len(block)):
+                if out >= n_predict:
+                    stopped_at = h
+                    break
+                t = int(block[h])
+                emitted.append(t)
+                out += 1
+                stats.decode_tokens += 1
+                stats.decode_ms = timer.elapsed_time_ms()
+                yield t
+                if stop_fn is not None and stop_fn(t):
+                    stopped_at = h + 1
+                    break
+            if 0 <= stopped_at < len(block):
+                # drop KV entries of the unconsumed tail so the slot can
+                # continue cleanly (multi-turn); re-seed the penalty
+                # window from the actual sequence (its ring saw the
+                # discarded tokens)
+                extra = len(block) - stopped_at
+                act = np.zeros(self.n_slots, bool)
+                act[slot] = True
+                self.kv = self.kv.rollback(extra, active=jnp.asarray(act))
+                self.penalty = self.penalty.seed_slot(
+                    slot, list(prompt_tokens) + emitted)
+                return
+            cur = int(block[-1])

@@ -75,7 +75,7 @@ class BatchScheduler:
     def __init__(self, params: LlamaParams, cfg: ModelConfig,
                  hp: HyperParams | None = None, backend: str = "auto",
                  draft_params: LlamaParams | None = None,
-                 draft_llm=None, spec_k: int = 4):
+                 draft_llm=None, spec_k: int = 4, mesh=None):
         """draft_params/draft_llm: enable BATCHED chain speculation —
         every decode tick drafts a k-chain per active slot (one batched
         draft scan), verifies all slots in one target forward, and
@@ -108,6 +108,20 @@ class BatchScheduler:
                 draft_llm.n_layers, self.S, self.max_seq,
                 draft_llm.n_kv_heads, draft_llm.head_size,
                 self.hp.kv_dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            # multichip serving (GSPMD): params must already be sharded
+            # (parallel/mesh.py:shard_params); the KV cache shards kv
+            # heads over "tp" and slots over "dp", and XLA partitions
+            # every jitted step. Pallas kernels are GSPMD-opaque, so the
+            # sharded path runs backend="xla" (the shard_map kernel path
+            # is parallel/tp.py for single-sequence workloads).
+            from ..parallel.mesh import shard_kv
+
+            self.backend = backend = "xla"
+            self.kv = shard_kv(self.kv, mesh)
+            if self.d_kv is not None:
+                self.d_kv = shard_kv(self.d_kv, mesh)
         self.penalty = PenaltyState.create(
             self.S, max(self.hp.sampler.penalty_last_n, 1))
         # per-slot raw PRNG keys [S, 2]: a request with an explicit seed
@@ -194,10 +208,15 @@ class BatchScheduler:
         backend = self.backend
         vocab = llm.vocab_size
         k = self.spec_k
-        dparams = self.dparams
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def spec_prefill_chunk(params, kv, d_kv, tokens, positions, active):
+        # NOTE: dparams is a jit ARGUMENT, not a closure capture — a
+        # captured pytree of weights would be lowered as multi-GB
+        # constants (catastrophic compile + HBM duplication, and for
+        # self-drafting it would duplicate the whole target model)
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def spec_prefill_chunk(params, dparams, kv, d_kv, tokens,
+                               positions, active):
             _, kv = forward(params, llm, kv, tokens, positions,
                             active=active, backend=backend,
                             logits_mode="none")
@@ -206,8 +225,8 @@ class BatchScheduler:
                               logits_mode="none")
             return kv, d_kv
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def spec_decode_all(params, kv, d_kv, tokens, rngs, active,
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def spec_decode_all(params, dparams, kv, d_kv, tokens, rngs, active,
                             temp, top_k, top_p):
             """One batched chain-speculation step for all slots:
             draft k+1 (the +1 keeps the draft cache complete when the
@@ -355,8 +374,9 @@ class BatchScheduler:
         if ran:
             if self.d_kv is not None:
                 self.kv, self.d_kv = self._spec_prefill_chunk(
-                    self.params, self.kv, self.d_kv, jnp.asarray(tokens),
-                    jnp.asarray(positions), jnp.asarray(active))
+                    self.params, self.dparams, self.kv, self.d_kv,
+                    jnp.asarray(tokens), jnp.asarray(positions),
+                    jnp.asarray(active))
             else:
                 _, self.kv = self._prefill_chunk(
                     self.params, self.kv, jnp.asarray(tokens),
@@ -389,9 +409,9 @@ class BatchScheduler:
             top_p[i] = s.req.top_p
         (sampled, counts, next_tok, self.kv, self.d_kv,
          self.rngs) = self._spec_decode_all(
-            self.params, self.kv, self.d_kv, jnp.asarray(tokens),
-            self.rngs, jnp.asarray(active), jnp.asarray(temp),
-            jnp.asarray(top_k), jnp.asarray(top_p))
+            self.params, self.dparams, self.kv, self.d_kv,
+            jnp.asarray(tokens), self.rngs, jnp.asarray(active),
+            jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p))
         sampled = np.asarray(sampled)
         counts = np.asarray(counts)
         next_tok = np.asarray(next_tok)
