@@ -14,6 +14,7 @@ Commands:
   cos-sim      compare activation dumps (numerics debugging)
   dump-activations  per-layer hidden-state dumps
   bench-kernels     quantized-matmul microbenchmarks
+  deploy       launch serving across a TPU pod slice (docs/DEPLOY.md)
 """
 
 from __future__ import annotations
@@ -64,6 +65,9 @@ def main() -> int:
         return m(argv)
     if cmd == "bench-kernels":
         from .tools.bench_kernels import main as m
+        return m(argv)
+    if cmd == "deploy":
+        from .tools.deploy import main as m
         return m(argv)
     print(f"unknown command '{cmd}'\n{__doc__}")
     return 1

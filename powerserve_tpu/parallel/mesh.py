@@ -72,6 +72,12 @@ def _put(x, mesh: Mesh, spec: P):
 def _shard_qlinear(lin: QLinear, mesh: Mesh, col_parallel: bool) -> QLinear:
     tp = mesh.shape["tp"]
     qspec, sspec = _qlinear_spec(lin.q.shape, col_parallel, tp)
+    # row-parallel shards the K axis of BOTH q and the per-block scales;
+    # the scales have K/32 rows, which must also divide (tiny models
+    # fail this even when K itself divides) — else replicate
+    if not col_parallel and sspec != P() \
+            and lin.scales.shape[-2] % tp != 0:
+        qspec, sspec = P(), P()
     import dataclasses
 
     return dataclasses.replace(

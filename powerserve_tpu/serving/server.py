@@ -10,10 +10,10 @@ SSE streaming emits `data: {...}` chunks then `data: [DONE]`
 (server_handler.hpp:455-506). The reference's "target+draft" model-name
 syntax selects speculative decoding (server_handler.hpp:250-262).
 
-Unlike the reference (one sequence at a time behind a mutex), plain
-requests share a continuous-batching scheduler; speculative requests run
-single-sequence behind a lock, as speculation+batching composition is a
-separate road-mapped feature.
+Unlike the reference (one sequence at a time behind a mutex), plain AND
+speculative requests share continuous-batching schedulers (batched chain
+speculation); `--tp/--dp/--distributed` shard serving over a device mesh
+(GSPMD), net-new scale-out vs the single-device reference.
 """
 
 from __future__ import annotations
@@ -81,12 +81,24 @@ class ServerContext:
     builds a speculative engine pair."""
 
     def __init__(self, model_root: str | Path, default_model: str = "",
-                 hp: HyperParams | None = None, backend: str = "auto"):
+                 hp: HyperParams | None = None, backend: str = "auto",
+                 mesh=None):
         self.root = Path(model_root)
         self.hp = hp or HyperParams()
         self.backend = backend
+        # multichip serving: shard every loaded model + KV over this
+        # (dp, tp) device mesh; GSPMD partitions the scheduler's steps
+        self.mesh = mesh
         self.models: dict[str, ModelContext] = {}
         self.default_model = default_model
+
+    def _load(self, d):
+        cfg, params = load_gguf_model(d)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, self.mesh)
+        return cfg, params
 
     def resolve_dir(self, name: str) -> Path:
         p = self.root / name
@@ -139,12 +151,12 @@ class ServerContext:
             import os
 
             main_name, draft_name = name.split("+", 1)
-            t_cfg, t_params = load_gguf_model(self.resolve_dir(main_name))
+            t_cfg, t_params = self._load(self.resolve_dir(main_name))
             tok = Tokenizer.from_model_dir(self.resolve_dir(main_name))
             engine_kind = os.environ.get("POWERSERVE_SPEC_ENGINE", "chain")
             if engine_kind == "tree":
                 # host-driven token tree, single-stream behind a lock
-                d_cfg, d_params = load_gguf_model(
+                d_cfg, d_params = self._load(
                     self.resolve_dir(draft_name))
                 spec = SpeculativeEngine(t_params, t_cfg, d_params, d_cfg,
                                          SpeculativeConfig(),
@@ -167,18 +179,19 @@ class ServerContext:
                     d_llm = self_draft_config(t_cfg.llm,
                                               int(draft_name[5:]))
                 else:
-                    d_cfg, d_params = load_gguf_model(
+                    d_cfg, d_params = self._load(
                         self.resolve_dir(draft_name))
                     d_llm = d_cfg.llm
                 sched = BatchScheduler(t_params, t_cfg, self.hp,
                                        self.backend,
                                        draft_params=d_params,
-                                       draft_llm=d_llm)
+                                       draft_llm=d_llm, mesh=self.mesh)
                 sched.start()
                 ctx = ModelContext(name, sched, tok)
         else:
-            cfg, params = load_gguf_model(self.resolve_dir(name))
-            sched = BatchScheduler(params, cfg, self.hp, self.backend)
+            cfg, params = self._load(self.resolve_dir(name))
+            sched = BatchScheduler(params, cfg, self.hp, self.backend,
+                                   mesh=self.mesh)
             sched.start()
             tok = Tokenizer.from_model_dir(self.resolve_dir(name))
             ctx = ModelContext(name, sched, tok)
@@ -656,7 +669,28 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--max-slots", type=int, default=4)
+    ap.add_argument("--tp", type=int, default=0,
+                    help="tensor-parallel ways: shard the model over a "
+                         "device mesh (multichip serving; 0 = off)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel ways (slots sharded across; "
+                         "used with --tp)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: jax.distributed.initialize from "
+                         "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                         "JAX_PROCESS_ID (auto-detected on TPU pods)")
     args = ap.parse_args(argv)
+
+    mesh = None
+    if args.distributed:
+        from ..parallel.distributed import init_distributed, make_multihost_mesh
+
+        init_distributed()
+        mesh = make_multihost_mesh(tp=args.tp or None)
+    elif args.tp:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh({"dp": args.dp, "tp": args.tp})
 
     root = Path(args.model_root)
     hp = HyperParams(max_slots=args.max_slots)
@@ -667,7 +701,7 @@ def main(argv: list[str] | None = None) -> None:
         root_dir, default = ws.main_model_dir.parent, ws.main_model_dir.name
     else:
         root_dir, default = root, args.model
-    ctx = ServerContext(root_dir, default, hp, args.backend)
+    ctx = ServerContext(root_dir, default, hp, args.backend, mesh=mesh)
     app = build_app(ctx)
     log.info(f"serving on http://{args.host}:{args.port}")
     try:

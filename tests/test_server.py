@@ -342,3 +342,36 @@ def test_spec_concurrent_requests(ws_dir):
         assert list(outs) == base
 
     _run(ws_dir, go)
+
+
+def test_sharded_serving_matches_single(ws_dir):
+    """A server whose ServerContext carries a (dp=2, tp=4) mesh serves
+    byte-identical greedy output to the unsharded server (GSPMD
+    multichip serving path)."""
+    from powerserve_tpu.parallel.mesh import make_mesh
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "model": "model", "prompt": "hello", "max_tokens": 6,
+            "temperature": 0.0})
+        return (await r.json())["choices"][0]["text"]
+
+    base = _run(ws_dir, go)
+
+    async def sharded():
+        ctx = ServerContext(ws_dir, "model",
+                            HyperParams(max_slots=2, batch_size=8),
+                            backend="xla",
+                            mesh=make_mesh({"dp": 2, "tp": 4}))
+        client = TestClient(TestServer(build_app(ctx)))
+        await client.start_server()
+        try:
+            out = await go(client)
+        finally:
+            await client.close()
+            for m in ctx.models.values():
+                if m.scheduler is not None:
+                    m.scheduler.stop()
+        return out
+
+    assert asyncio.run(sharded()) == base

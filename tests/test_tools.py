@@ -94,3 +94,19 @@ def test_dump_activations_and_cos_sim(tmp_path):
     rows = compare(out1, out2)
     assert len(rows) == cfg.llm.n_layers + 1
     assert all(abs(cs - 1.0) < 1e-5 for _, cs, _ in rows)
+
+
+def test_deploy_print_only(capsys):
+    """deploy --print-only emits the per-host gcloud/serve commands."""
+    from powerserve_tpu.tools.deploy import main as deploy_main
+
+    assert deploy_main(["-d", "/models/m", "--tp", "4", "--print-only"]) == 0
+    out = capsys.readouterr().out
+    assert "powerserve_tpu serve" in out and "--tp 4" in out
+
+    assert deploy_main(["-d", "/models/m", "--tpu", "myslice",
+                        "--zone", "us-east1-d", "--multihost", "--tp", "4",
+                        "--print-only"]) == 0
+    out = capsys.readouterr().out
+    assert "gcloud compute tpus tpu-vm ssh" in out
+    assert "--worker=all" in out and "--distributed" in out
