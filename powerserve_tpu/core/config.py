@@ -145,6 +145,8 @@ class HyperParams:
     mesh_shape: dict[str, int] = field(default_factory=dict)  # e.g. {"tp": 4}
     kernel_backend: str = "auto"  # auto | pallas | xla
     decode_horizon: int = 4  # decode steps per device dispatch (scheduler)
+    prefix_cache: int = 4  # cached prompt prefixes per scheduler (0 = off)
+    prefix_cache_min: int = 16  # shortest prefix worth caching (tokens)
 
     @classmethod
     def from_json(cls, d: dict[str, Any]) -> "HyperParams":

@@ -69,6 +69,47 @@ class _Slot:
     prefilling: bool = False
 
 
+class PrefixCache:
+    """LRU of prompt-prefix KV snapshots (device arrays). Requests that
+    share a prefix (system prompts, few-shot headers) skip its prefill:
+    KV for positions 0..n-1 depends only on tokens 0..n-1, so reuse is
+    exact. Net-new vs the reference (kv/persist.py covers only an
+    explicit --save-kv/--load-kv flow)."""
+
+    def __init__(self, capacity: int, min_len: int):
+        self.capacity = capacity
+        self.min_len = min_len
+        self.entries: dict[tuple, dict] = {}
+        self._order: list[tuple] = []
+        self.hits = 0
+        self.misses = 0
+
+    def match(self, prompt_ids: list[int]) -> tuple[int, dict] | None:
+        """Longest cached entry that is a prefix of prompt_ids."""
+        best = None
+        t = tuple(prompt_ids)
+        for key, saved in self.entries.items():
+            n = len(key)
+            if n <= len(t) and t[:n] == key and (
+                    best is None or n > best[0]):
+                best = (n, saved)
+        if best is None:
+            self.misses += 1
+            return None
+        self.hits += 1
+        return best
+
+    def put(self, prefix_ids: list[int], saved: dict) -> None:
+        key = tuple(prefix_ids)
+        if len(key) < self.min_len or key in self.entries:
+            return
+        if len(self.entries) >= self.capacity and self._order:
+            old = self._order.pop(0)
+            self.entries.pop(old, None)
+        self.entries[key] = saved
+        self._order.append(key)
+
+
 class BatchScheduler:
     """Owns the KV cache and the step loop; thread-safe submit()."""
 
@@ -129,6 +170,13 @@ class BatchScheduler:
         self.rngs = jax.vmap(jax.random.PRNGKey)(
             jnp.arange(self.S) + self.hp.sampler.seed)
         self.slots = [_Slot() for _ in range(self.S)]
+        # prompt-prefix KV reuse (plain scheduler only: the spec
+        # scheduler would need matching draft-cache prefixes)
+        self.prefix_cache = None
+        if getattr(self.hp, "prefix_cache", 0) > 0 and self.d_kv is None:
+            self.prefix_cache = PrefixCache(
+                self.hp.prefix_cache,
+                max(int(getattr(self.hp, "prefix_cache_min", 16)), 1))
         # /metrics counters
         self.n_requests = 0
         self.n_tokens_generated = 0
@@ -339,6 +387,13 @@ class BatchScheduler:
             slot.prefilling = True
             slot.cur_token = req.prompt_ids[-1]
             self.kv = self.kv.reset_slot(i)
+            if self.prefix_cache is not None:
+                hit = self.prefix_cache.match(req.prompt_ids[:-1])
+                if hit is not None:
+                    n, saved = hit
+                    self.kv = self.kv.restore_slot_prefix(i, saved)
+                    slot.prefill_off = n
+                    log.debug(f"req {req.id}: prefix cache hit ({n} tok)")
             if self.d_kv is not None:
                 self.d_kv = self.d_kv.reset_slot(i)
             self.penalty = self.penalty.reset_slot(i)
@@ -356,6 +411,7 @@ class BatchScheduler:
         positions = np.full((self.S, C), -1, np.int32)
         active = np.zeros(self.S, bool)
         ran = False
+        stores: list[tuple[int, list[int]]] = []
         for i, slot in enumerate(self.slots):
             if slot.req is None or not slot.prefilling:
                 continue
@@ -370,6 +426,8 @@ class BatchScheduler:
             slot.prefill_off += len(part)
             if slot.prefill_off >= len(prompt):
                 slot.prefilling = False
+                if self.prefix_cache is not None:
+                    stores.append((i, prompt[:slot.prefill_off]))
             ran = True
         if ran:
             if self.d_kv is not None:
@@ -381,6 +439,11 @@ class BatchScheduler:
                 _, self.kv = self._prefill_chunk(
                     self.params, self.kv, jnp.asarray(tokens),
                     jnp.asarray(positions), jnp.asarray(active))
+            if self.prefix_cache is not None:
+                for i, prefix in stores:
+                    if len(prefix) >= self.prefix_cache.min_len:
+                        self.prefix_cache.put(
+                            prefix, self.kv.save_slot_prefix(i, len(prefix)))
         return ran
 
     def _cancel_tick(self) -> None:
@@ -529,6 +592,10 @@ class BatchScheduler:
             "queue_depth": self.pending.qsize(),
             "uptime_seconds": up,
             "generated_tokens_per_second": self.n_tokens_generated / up,
+            "prefix_cache_hits": (self.prefix_cache.hits
+                                  if self.prefix_cache else 0),
+            "prefix_cache_misses": (self.prefix_cache.misses
+                                    if self.prefix_cache else 0),
         }
 
     def _loop(self) -> None:

@@ -289,6 +289,43 @@ class KVCache:
         return replace(out, mask=mask,
                        pos=self.pos + n_accept.astype(jnp.int32))
 
+    def save_slot_prefix(self, slot: int, n: int) -> dict:
+        """Snapshot the first n cached tokens of one slot (device
+        arrays) — the in-server prefix cache (shared system prompts)
+        stores these and restore_slot_prefix re-seeds new requests
+        without re-prefilling. Prefix KV depends only on the prefix
+        tokens and positions 0..n-1, so reuse across requests is exact."""
+        out = {"n": n,
+               "k": self.k[:, slot, :, :n],
+               "v": self.v[:, slot, :, :n]}
+        if self.quantized:
+            out["k_scale"] = self.k_scale[:, slot, :, :n]
+            out["v_scale"] = self.v_scale[:, slot, :, :n]
+        return out
+
+    def restore_slot_prefix(self, slot: int, saved: dict) -> "KVCache":
+        """Write a saved prefix into a (freshly reset) slot; mask/pos
+        cover exactly the prefix."""
+        n = saved["n"]
+        T = self.max_seq
+        out = replace(
+            self,
+            k=self.k.at[:, slot, :, :n].set(saved["k"]),
+            v=self.v.at[:, slot, :, :n].set(saved["v"]),
+            mask=self.mask.at[slot].set(
+                jnp.arange(T) < n),
+            pos=self.pos.at[slot].set(n),
+        )
+        if self.quantized:
+            out = replace(
+                out,
+                k_scale=self.k_scale.at[:, slot, :, :n].set(
+                    saved["k_scale"]),
+                v_scale=self.v_scale.at[:, slot, :, :n].set(
+                    saved["v_scale"]),
+            )
+        return out
+
     def reset_slot(self, slot: int | jax.Array) -> "KVCache":
         """Clear one slot (new request in continuous batching)."""
         return replace(

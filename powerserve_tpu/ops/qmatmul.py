@@ -473,15 +473,24 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
     def _tile_ok(bk_: int) -> bool:
         return k % bk_ == 0 and ((bk_ // QK) % 8 == 0 or bk_ == k)
 
+    # cap the K-tile so the x block stays within a VMEM budget: large
+    # full-K tiles win at decode (bm=16; down-proj 101 -> 84us) but at
+    # prefill (bm=256) the [bm, bk] bf16 x block alone can blow the
+    # 16MB scoped-vmem limit
+    x_budget = 4 << 20
+
+    def _fits(bk_: int) -> bool:
+        return bm * bk_ * 2 <= x_budget
+
     try:
         group = lin.pack_group if lin.packed else 0
         if lin.packed:
             bk = 0
             for gpt in range(max(_ENV_GROUPS, 1), 0, -1):
-                if _tile_ok(group * gpt):
+                if _tile_ok(group * gpt) and _fits(group * gpt):
                     bk, n_groups = group * gpt, gpt
                     break
-            if not bk and k <= 8192 and k % group == 0:
+            if not bk and k <= 8192 and k % group == 0 and _fits(k):
                 bk, n_groups = k, k // group  # single full-K tile
             if not bk:
                 return _qmatmul_xla(x, _slice_layer(lin, layer),
@@ -489,8 +498,8 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
         else:
             n_groups = 1
             bk = choose_pack_group(k, block_k)
-            if not _tile_ok(bk):
-                bk = k if k <= 8192 else 0
+            if not _tile_ok(bk) or not _fits(bk):
+                bk = k if (k <= 8192 and _fits(k)) else 0
             if not bk:
                 return _qmatmul_xla(x, _slice_layer(lin, layer),
                                     compute_dtype)

@@ -97,3 +97,55 @@ def test_huge_max_tokens_does_not_kill_scheduler(sched):
     req2, out2, done2 = _collect(sched, [1, 2, 3], 4)
     assert done2.wait(timeout=120)
     assert len(out2) == 4
+
+
+def test_prefix_cache_reuse():
+    """A second request sharing a long prompt prefix skips its prefill
+    via the KV prefix cache and produces identical greedy output."""
+    import queue as _q
+
+    from powerserve_tpu.core.config import HyperParams
+    from powerserve_tpu.core.gguf import GGMLType  # noqa: F401
+    from powerserve_tpu.engine.scheduler import BatchScheduler, Request
+    from powerserve_tpu.tools.bench_params import make_device_params
+
+    cfg, params = make_device_params("tiny", "q8_0")
+    hp = HyperParams(max_slots=2, batch_size=8)
+    hp.max_seq_len = 128
+    hp.prefix_cache_min = 16
+
+    def run_req(sched, prompt):
+        out: list[int] = []
+        done = _q.Queue()
+
+        def sink(t):
+            if t is None:
+                done.put(True)
+            else:
+                out.append(t)
+
+        sched.submit(Request(prompt_ids=prompt, max_tokens=6,
+                             temperature=0.0, sink=sink))
+        while done.empty():
+            if not sched.step():
+                break
+        return out
+
+    prompt = list(range(3, 43))  # 40 tokens, prefill region 39
+    sched = BatchScheduler(params, cfg, hp, backend="xla")
+    first = run_req(sched, prompt)
+    assert sched.prefix_cache.hits == 0
+    second = run_req(sched, prompt)
+    assert sched.prefix_cache.hits == 1
+    assert second == first
+    # extended prompt still matches the shorter cached prefix
+    third = run_req(sched, prompt + [7, 9])
+    assert sched.prefix_cache.hits == 2
+
+    # no-cache scheduler agrees (restore path is exact)
+    hp2 = HyperParams(max_slots=2, batch_size=8)
+    hp2.max_seq_len = 128
+    hp2.prefix_cache = 0
+    sched2 = BatchScheduler(params, cfg, hp2, backend="xla")
+    assert sched2.prefix_cache is None
+    assert run_req(sched2, prompt) == first
