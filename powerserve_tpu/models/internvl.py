@@ -137,6 +137,36 @@ class InternVLModel:
                        backend=backend, logits_mode="last", embeds=embeds)
 
 
+def internvl_from_workspace(model_dir) -> InternVLModel:
+    """Load a VLM from a GGUF workspace: text weights from weights.gguf
+    (standard loader) + vision tower/projector from vision.gguf (HF
+    tensor names, vlm.* metadata) — written by
+    tools/convert_hf.py:convert_internvl. The reference loads its VLM
+    from NPU context binaries; here the whole model is GGUF-native."""
+    from pathlib import Path
+
+    from ..core.gguf import GGUFReader
+    from .loader import load_gguf_model
+    from .vit import vision_params_from_hf
+
+    model_dir = Path(model_dir)
+    cfg_text, llm_params = load_gguf_model(model_dir)
+    with GGUFReader(model_dir / "vision.gguf") as r:
+        md = r.metadata
+        sd = {name: r.tensor_float(name) for name in r.tensors}
+        vision = vision_params_from_hf(
+            sd, int(md["vlm.block_count"]),
+            int(md["vlm.attention.head_count"]),
+            int(md["vlm.patch_size"]),
+            float(md["vlm.layer_norm_epsilon"]),
+            float(md["vlm.downsample_ratio"]))
+        return InternVLModel(
+            vision=vision, llm_params=llm_params, cfg=cfg_text,
+            image_token_id=int(md["vlm.image_token_id"]),
+            tokens_per_tile=int(md["vlm.image_seq_length"]),
+            image_size=int(md["vlm.image_size"]))
+
+
 def internvl_from_hf(model, cfg_text: ModelConfig | None = None
                      ) -> InternVLModel:
     """Build from a transformers InternVLForConditionalGeneration."""

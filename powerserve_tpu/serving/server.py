@@ -111,6 +111,8 @@ class ServerContext:
         raise web.HTTPNotFound(text=f"unknown model '{name}'")
 
     def _is_vlm_dir(self, d: Path) -> bool:
+        if (d / "vision.gguf").exists():  # GGUF-native VLM workspace
+            return True
         cfg = d / "config.json"
         if not cfg.exists():
             return False
@@ -121,18 +123,25 @@ class ServerContext:
         return any("InternVL" in a for a in archs)
 
     def _load_vlm(self, name: str, d: Path) -> ModelContext:
-        """InternVL HF checkpoint dir -> VLM engine (reference loads its
-        VLM from NPU context binaries; here from the HF checkpoint)."""
-        import torch
-        from transformers import InternVLForConditionalGeneration
+        """VLM from a GGUF workspace (vision.gguf, preferred) or an
+        InternVL HF checkpoint dir (reference loads its VLM from NPU
+        context binaries; here from GGUF or the HF checkpoint)."""
+        if (d / "vision.gguf").exists():
+            from ..models.internvl import internvl_from_workspace
 
+            ivl = internvl_from_workspace(d)
+        else:
+            import torch
+            from transformers import InternVLForConditionalGeneration
+
+            from ..models.internvl import internvl_from_hf
+
+            m = InternVLForConditionalGeneration.from_pretrained(
+                d, torch_dtype=torch.float32)
+            ivl = internvl_from_hf(m)
+            del m
         from ..engine.vlm import VLMEngine
-        from ..models.internvl import internvl_from_hf
 
-        m = InternVLForConditionalGeneration.from_pretrained(
-            d, torch_dtype=torch.float32)
-        ivl = internvl_from_hf(m)
-        del m
         tok = Tokenizer.from_model_dir(d)
         eng = VLMEngine(ivl, self.hp, self.backend)
         return ModelContext(name, None, tok, vlm=eng, vlm_lock=asyncio.Lock())

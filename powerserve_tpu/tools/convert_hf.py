@@ -181,13 +181,92 @@ def convert_hf_model(model_dir: str | Path, out_dir: str | Path,
     return out_dir
 
 
+def convert_internvl(model_dir: str | Path, out_dir: str | Path,
+                     quant: str = "q4_k") -> Path:
+    """InternVL VLM checkpoint -> workspace with BOTH weight files:
+    text weights quantized into weights.gguf (llama.cpp naming) and the
+    vision tower + projector into vision.gguf (HF tensor names, F32,
+    plus vlm.* metadata) — the reference ships its VLM as NPU context
+    binaries; here the whole VLM lives in the GGUF workspace and loads
+    via models/internvl.py:internvl_from_workspace."""
+    model_dir = Path(model_dir)
+    out_dir = Path(out_dir)
+    hf_cfg = json.loads((model_dir / "config.json").read_text())
+    tc = hf_cfg["text_config"]
+    vc = hf_cfg["vision_config"]
+
+    # --- text model: write a flat llama/qwen2 config + tensors --------
+    flat = dict(tc)
+    flat["architectures"] = tc.get("architectures", ["Qwen2ForCausalLM"
+                                   if "qwen2" in str(tc.get("model_type", ""))
+                                   else "LlamaForCausalLM"])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tmpd = Path(tmp)
+        (tmpd / "config.json").write_text(json.dumps(flat))
+        # re-shard text tensors under the names convert_hf_model expects
+        from safetensors.numpy import save_file
+
+        tsd = {}
+        vsd = {}
+        # two checkpoint layouts exist: "model.language_model.X" /
+        # "model.vision_tower.X" (state_dict) and
+        # "language_model.model.X" / "vision_tower.X" (save_pretrained)
+        for name, arr in _iter_hf_tensors(model_dir):
+            if name.startswith("model.language_model."):
+                tsd["model." + name[len("model.language_model."):]] = \
+                    np.asarray(arr, np.float32)
+            elif name.startswith("language_model.model."):
+                tsd["model." + name[len("language_model.model."):]] = \
+                    np.asarray(arr, np.float32)
+            elif name in ("lm_head.weight", "language_model.lm_head.weight"):
+                tsd["lm_head.weight"] = np.asarray(arr, np.float32)
+            elif name.startswith(("model.vision_tower.",
+                                  "model.multi_modal_projector.")):
+                vsd[name] = np.asarray(arr, np.float32)
+            elif name.startswith(("vision_tower.",
+                                  "multi_modal_projector.")):
+                vsd["model." + name] = np.asarray(arr, np.float32)
+        save_file(tsd, str(tmpd / "model.safetensors"))
+        for f in ("tokenizer.json", "tokenizer_config.json"):
+            if (model_dir / f).exists():
+                shutil.copy(model_dir / f, tmpd / f)
+        convert_hf_model(tmpd, out_dir, quant)
+
+    # --- vision tower + projector --------------------------------------
+    target = out_dir / "model"
+    w = GGUFWriter()
+    md = w.metadata
+    md["general.architecture"] = "internvl-vision"
+    md["vlm.block_count"] = int(vc["num_hidden_layers"])
+    md["vlm.attention.head_count"] = int(vc["num_attention_heads"])
+    patch = vc["patch_size"]
+    md["vlm.patch_size"] = int(patch[0] if isinstance(patch, list) else patch)
+    img = vc["image_size"]
+    md["vlm.image_size"] = int(img[0] if isinstance(img, list) else img)
+    md["vlm.layer_norm_epsilon"] = float(vc.get("layer_norm_eps", 1e-6))
+    md["vlm.downsample_ratio"] = float(hf_cfg.get("downsample_ratio", 0.5))
+    md["vlm.image_token_id"] = int(hf_cfg["image_token_id"])
+    md["vlm.image_seq_length"] = int(hf_cfg["image_seq_length"])
+    for name, arr in vsd.items():
+        w.add_float_tensor(name, np.asarray(arr, np.float32))
+    w.write(target / "vision.gguf")
+    print(f"wrote {len(vsd)} vision tensors -> {target / 'vision.gguf'}")
+    return out_dir
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="powerserve-tpu convert")
     ap.add_argument("model_dir", help="HF model dir")
     ap.add_argument("out_dir", help="workspace output dir")
     ap.add_argument("--quant", default="q4_k", choices=sorted(QUANTS))
     args = ap.parse_args(argv)
-    convert_hf_model(args.model_dir, args.out_dir, args.quant)
+    cfg = json.loads((Path(args.model_dir) / "config.json").read_text())
+    if any("InternVL" in a for a in cfg.get("architectures", [])):
+        convert_internvl(args.model_dir, args.out_dir, args.quant)
+    else:
+        convert_hf_model(args.model_dir, args.out_dir, args.quant)
     return 0
 
 

@@ -118,3 +118,45 @@ def test_preprocess_image_tiles():
     assert px.shape == (3, 3, 448, 448)
     assert px.dtype == np.float32
     assert abs(px.mean()) < 3.0  # normalized
+
+
+def test_vlm_gguf_workspace_roundtrip(tmp_path):
+    """save_pretrained -> convert_internvl -> internvl_from_workspace:
+    the GGUF-native VLM matches the HF-loaded one (vision exactly, text
+    config fields; logits path covered by the multimodal golden test)."""
+    from powerserve_tpu.models.internvl import internvl_from_workspace
+    from powerserve_tpu.tools.convert_hf import convert_internvl
+
+    m = _mk_hf_internvl()
+    src = tmp_path / "hf"
+    m.save_pretrained(src)
+    ws = tmp_path / "ws"
+    convert_internvl(src, ws, quant="q8_0")
+
+    ivl = internvl_from_workspace(ws / "model")
+    ref = internvl_from_hf(m)
+    assert ivl.image_token_id == ref.image_token_id
+    assert ivl.tokens_per_tile == ref.tokens_per_tile
+    assert ivl.image_size == ref.image_size
+    assert ivl.cfg.llm.n_layers == ref.cfg.llm.n_layers
+    assert ivl.cfg.llm.vocab_size == ref.cfg.llm.vocab_size
+
+    rng = np.random.default_rng(0)
+    px = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+    a = np.asarray(encode_images(ivl.vision, jnp.asarray(px)))
+    b = np.asarray(encode_images(ref.vision, jnp.asarray(px)))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    # multimodal prefill end-to-end on the GGUF-loaded model
+    ids = ivl.expand_image_tokens([5, 250, 9], n_tiles=1)
+    kv = KVCache.create(ivl.cfg.llm.n_layers, 1, 64,
+                        ivl.cfg.llm.n_kv_heads, ivl.cfg.llm.head_size)
+    logits, _ = ivl.prefill_multimodal(kv, np.asarray(ids, np.int32), px,
+                                       backend="xla")
+    kv2 = KVCache.create(ivl.cfg.llm.n_layers, 1, 64,
+                         ivl.cfg.llm.n_kv_heads, ivl.cfg.llm.head_size)
+    logits2, _ = ref.prefill_multimodal(kv2, np.asarray(ids, np.int32), px,
+                                        backend="xla")
+    # both q8_0-quantized paths: argmax must agree
+    assert int(np.argmax(np.asarray(logits))) == \
+        int(np.argmax(np.asarray(logits2)))
