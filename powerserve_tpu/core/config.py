@@ -145,6 +145,7 @@ class HyperParams:
     mesh_shape: dict[str, int] = field(default_factory=dict)  # e.g. {"tp": 4}
     kernel_backend: str = "auto"  # auto | pallas | xla
     decode_horizon: int = 4  # decode steps per device dispatch (scheduler)
+    spec_horizon: int = 2  # speculative steps per device dispatch
     prefix_cache: int = 4  # cached prompt prefixes per scheduler (0 = off)
     prefix_cache_min: int = 16  # shortest prefix worth caching (tokens)
 

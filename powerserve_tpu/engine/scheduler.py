@@ -273,59 +273,79 @@ class BatchScheduler:
                               logits_mode="none")
             return kv, d_kv
 
+        spec_horizon = max(int(getattr(self.hp, "spec_horizon", 1)), 1)
+        self.spec_horizon = spec_horizon
+
         @functools.partial(jax.jit, donate_argnums=(2, 3))
         def spec_decode_all(params, dparams, kv, d_kv, tokens, rngs, active,
                             temp, top_k, top_p):
-            """One batched chain-speculation step for all slots:
-            draft k+1 (the +1 keeps the draft cache complete when the
-            whole chain is accepted), verify once, accept per slot.
-            Returns (sampled [S, k+1], counts [S], next_tok [S], ...)"""
+            """`spec_horizon` batched chain-speculation steps in one
+            dispatch. Each step: draft k+1 per slot (the +1 keeps the
+            draft cache complete when the whole chain is accepted),
+            verify once, accept per slot.
+            Returns (sampled [S, H, k+1], counts [S, H], next_tok [S], ...)"""
             S = tokens.shape[0]
 
-            def draft_body(carry, _):
-                tok, dkv = carry
-                pos = jnp.where(active[:, None],
-                                dkv.pos[:, None].astype(jnp.int32), -1)
-                logits, dkv = forward(dparams, d_llm, dkv, tok[:, None],
-                                      pos, active=active, backend=backend,
-                                      logits_mode="last")
-                nxt = jnp.argmax(logits[:, :d_llm.vocab_size],
-                                 axis=-1).astype(jnp.int32)
-                return (nxt, dkv), tok
+            def one_spec_step(tokens, kv, d_kv, rngs):
+                def draft_body(carry, _):
+                    tok, dkv = carry
+                    pos = jnp.where(active[:, None],
+                                    dkv.pos[:, None].astype(jnp.int32), -1)
+                    logits, dkv = forward(dparams, d_llm, dkv, tok[:, None],
+                                          pos, active=active,
+                                          backend=backend,
+                                          logits_mode="last")
+                    nxt = jnp.argmax(logits[:, :d_llm.vocab_size],
+                                     axis=-1).astype(jnp.int32)
+                    return (nxt, dkv), tok
 
-            (_, d_kv), fed = jax.lax.scan(
-                draft_body, (tokens, d_kv), None, length=k + 1)
-            fed = fed.T  # [S, k+1]: [root, d0 .. d_{k-1}] per slot
+                (_, d_kv), fed = jax.lax.scan(
+                    draft_body, (tokens, d_kv), None, length=k + 1)
+                fed = fed.T  # [S, k+1]: [root, d0 .. d_{k-1}] per slot
 
-            c = kv.pos.astype(jnp.int32)
-            positions = jnp.where(active[:, None],
-                                  c[:, None] + jnp.arange(k + 1)[None, :],
-                                  -1)
-            logits, kv = forward(params, llm, kv, fed, positions,
-                                 active=active, backend=backend,
-                                 logits_mode="all")  # [S, k+1, V]
+                c = kv.pos.astype(jnp.int32)
+                positions = jnp.where(
+                    active[:, None],
+                    c[:, None] + jnp.arange(k + 1)[None, :], -1)
+                logits, kv = forward(params, llm, kv, fed, positions,
+                                     active=active, backend=backend,
+                                     logits_mode="all")  # [S, k+1, V]
 
-            # sample every chain position with the slot's params (each
-            # emitted token is a true target sample given its prefix)
-            split = jax.vmap(lambda r: jax.random.split(r, k + 2))(rngs)
-            rngs = split[:, 0]
-            keys = split[:, 1:].reshape(S * (k + 1), 2)
-            rep = lambda a: jnp.repeat(a, k + 1, axis=0)  # noqa: E731
-            sampled = sample_logits_batched(
-                keys[0], logits.reshape(S * (k + 1), -1),
-                rep(temp), rep(top_k), rep(top_p),
-                vocab_size=vocab, keys=keys,
-            ).astype(jnp.int32).reshape(S, k + 1)
+                # sample every chain position with the slot's params
+                # (each emitted token is a true target sample given its
+                # prefix)
+                split = jax.vmap(lambda r: jax.random.split(r, k + 2))(rngs)
+                rngs = split[:, 0]
+                keys = split[:, 1:].reshape(S * (k + 1), 2)
+                rep = lambda a: jnp.repeat(a, k + 1, axis=0)  # noqa: E731
+                sampled = sample_logits_batched(
+                    keys[0], logits.reshape(S * (k + 1), -1),
+                    rep(temp), rep(top_k), rep(top_p),
+                    vocab_size=vocab, keys=keys,
+                ).astype(jnp.int32).reshape(S, k + 1)
 
-            match = (sampled[:, :k] == fed[:, 1:]).astype(jnp.int32)
-            n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [S]
-            next_tok = jnp.take_along_axis(sampled, n_acc[:, None],
-                                           axis=1)[:, 0]
-            drop = jnp.int32(k) - n_acc
-            kv = kv.rollback(drop, active=active)
-            d_kv = d_kv.rollback(drop, active=active)
-            counts = jnp.where(active, n_acc + 1, 0)
-            return sampled, counts, next_tok, kv, d_kv, rngs
+                match = (sampled[:, :k] == fed[:, 1:]).astype(jnp.int32)
+                n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [S]
+                next_tok = jnp.take_along_axis(sampled, n_acc[:, None],
+                                               axis=1)[:, 0]
+                drop = jnp.int32(k) - n_acc
+                kv = kv.rollback(drop, active=active)
+                d_kv = d_kv.rollback(drop, active=active)
+                counts = jnp.where(active, n_acc + 1, 0)
+                return sampled, counts, next_tok, kv, d_kv, rngs
+
+            def spec_step(carry, _):
+                tokens, kv, d_kv, rngs = carry
+                (sampled, counts, next_tok, kv, d_kv,
+                 rngs) = one_spec_step(tokens, kv, d_kv, rngs)
+                return (next_tok, kv, d_kv, rngs), (sampled, counts)
+
+            (next_tok, kv, d_kv, rngs), (sampled, counts) = jax.lax.scan(
+                spec_step, (tokens, kv, d_kv, rngs), None,
+                length=spec_horizon)
+            # [H, S, k+1] -> [S, H, k+1]; [H, S] -> [S, H]
+            return (sampled.transpose(1, 0, 2), counts.T, next_tok,
+                    kv, d_kv, rngs)
 
         self._spec_prefill_chunk = spec_prefill_chunk
         self._spec_decode_all = spec_decode_all
@@ -475,31 +495,36 @@ class BatchScheduler:
             self.params, self.dparams, self.kv, self.d_kv,
             jnp.asarray(tokens), self.rngs, jnp.asarray(active),
             jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p))
-        sampled = np.asarray(sampled)
-        counts = np.asarray(counts)
+        sampled = np.asarray(sampled)  # [S, H, k+1]
+        counts = np.asarray(counts)  # [S, H]
         next_tok = np.asarray(next_tok)
-        room = self.max_seq - (self.spec_k + 2)
+        room = self.max_seq - self.spec_horizon * (self.spec_k + 2)
         for i in decoding:
             s = self.slots[i]
             s.cur_token = int(next_tok[i])
             done = False
-            for h in range(int(counts[i])):
-                tok = int(sampled[i, h])
-                s.req.n_generated += 1
-                self.n_tokens_generated += 1
-                self._emit(s.req, tok)
-                if s.req.cancelled:
-                    s.req.finish_reason = s.req.finish_reason or "stop"
-                    done = True
-                elif tok in s.req.stop_ids:
-                    s.req.finish_reason = "stop"
-                    done = True
-                elif s.req.n_generated >= s.req.max_tokens:
-                    s.req.finish_reason = "length"
-                    done = True
-                elif int(pos_host[i]) + h + 1 >= room:
-                    s.req.finish_reason = "length"
-                    done = True
+            emitted = 0
+            for h in range(self.spec_horizon):
+                for j in range(int(counts[i, h])):
+                    tok = int(sampled[i, h, j])
+                    emitted += 1
+                    s.req.n_generated += 1
+                    self.n_tokens_generated += 1
+                    self._emit(s.req, tok)
+                    if s.req.cancelled:
+                        s.req.finish_reason = s.req.finish_reason or "stop"
+                        done = True
+                    elif tok in s.req.stop_ids:
+                        s.req.finish_reason = "stop"
+                        done = True
+                    elif s.req.n_generated >= s.req.max_tokens:
+                        s.req.finish_reason = "length"
+                        done = True
+                    elif int(pos_host[i]) + emitted >= room:
+                        s.req.finish_reason = "length"
+                        done = True
+                    if done:
+                        break
                 if done:
                     break
             if done:

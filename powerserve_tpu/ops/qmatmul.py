@@ -473,10 +473,13 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
     def _tile_ok(bk_: int) -> bool:
         return k % bk_ == 0 and ((bk_ // QK) % 8 == 0 or bk_ == k)
 
-    # cap the K-tile so the x block stays within a VMEM budget: large
-    # full-K tiles win at decode (bm=16; down-proj 101 -> 84us) but at
-    # prefill (bm=256) the [bm, bk] bf16 x block alone can blow the
-    # 16MB scoped-vmem limit
+    # K-tile sizing vs VMEM: fat full-K tiles win at decode shapes
+    # (bm=16; 8B down-proj 101 -> 84us) but together with the unpack
+    # temporaries they blow the 16MB scoped-vmem limit once bm grows
+    # (measured: bm=256 prefill and bm=48 spec-verify both OOM at
+    # bk=14336). Keep fat tiles for decode-sized M only; larger M uses
+    # the long-proven <=2-group tiles.
+    gpt_max = max(_ENV_GROUPS, 1) if bm <= 16 else min(_ENV_GROUPS, 2)
     x_budget = 4 << 20
 
     def _fits(bk_: int) -> bool:
@@ -486,7 +489,7 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
         group = lin.pack_group if lin.packed else 0
         if lin.packed:
             bk = 0
-            for gpt in range(max(_ENV_GROUPS, 1), 0, -1):
+            for gpt in range(gpt_max, 0, -1):
                 if _tile_ok(group * gpt) and _fits(group * gpt):
                     bk, n_groups = group * gpt, gpt
                     break
