@@ -59,6 +59,7 @@ class Request:
     finish_reason: str = ""
     token_logprobs: list = field(default_factory=list)  # [float]
     top_logprobs: list = field(default_factory=list)  # [[(id, lp)]]
+    submitted_at: float = 0.0  # set by submit(); drives latency metrics
 
 
 @dataclass
@@ -74,13 +75,17 @@ class PrefixCache:
     share a prefix (system prompts, few-shot headers) skip its prefill:
     KV for positions 0..n-1 depends only on tokens 0..n-1, so reuse is
     exact. Net-new vs the reference (kv/persist.py covers only an
-    explicit --save-kv/--load-kv flow)."""
+    explicit --save-kv/--load-kv flow).
+
+    Pinned entries (HTTP sessions, /v1/sessions) bypass the min-length
+    rule and are never evicted by capacity pressure."""
 
     def __init__(self, capacity: int, min_len: int):
         self.capacity = capacity
         self.min_len = min_len
         self.entries: dict[tuple, dict] = {}
-        self._order: list[tuple] = []
+        self._order: list[tuple] = []  # eviction order; excludes pinned
+        self.pinned: set[tuple] = set()
         self.hits = 0
         self.misses = 0
 
@@ -99,15 +104,32 @@ class PrefixCache:
         self.hits += 1
         return best
 
-    def put(self, prefix_ids: list[int], saved: dict) -> None:
+    def put(self, prefix_ids: list[int], saved: dict,
+            pin: bool = False) -> None:
         key = tuple(prefix_ids)
-        if len(key) < self.min_len or key in self.entries:
+        if key in self.entries:
+            if pin:
+                self.pinned.add(key)
+                if key in self._order:
+                    self._order.remove(key)
             return
-        if len(self.entries) >= self.capacity and self._order:
+        if not pin and len(key) < self.min_len:
+            return
+        if len(self._order) >= self.capacity and self._order:
             old = self._order.pop(0)
             self.entries.pop(old, None)
         self.entries[key] = saved
-        self._order.append(key)
+        if pin:
+            self.pinned.add(key)
+        else:
+            self._order.append(key)
+
+    def drop(self, prefix_ids: list[int]) -> bool:
+        key = tuple(prefix_ids)
+        self.pinned.discard(key)
+        if key in self._order:
+            self._order.remove(key)
+        return self.entries.pop(key, None) is not None
 
 
 class BatchScheduler:
@@ -170,18 +192,26 @@ class BatchScheduler:
         self.rngs = jax.vmap(jax.random.PRNGKey)(
             jnp.arange(self.S) + self.hp.sampler.seed)
         self.slots = [_Slot() for _ in range(self.S)]
-        # prompt-prefix KV reuse (plain scheduler only: the spec
-        # scheduler would need matching draft-cache prefixes)
+        # prompt-prefix KV reuse; in spec mode entries carry BOTH the
+        # target and the draft cache prefixes (the spec prefill writes
+        # the same tokens/positions to both, so the prefixes match)
         self.prefix_cache = None
-        if getattr(self.hp, "prefix_cache", 0) > 0 and self.d_kv is None:
+        if getattr(self.hp, "prefix_cache", 0) > 0:
             self.prefix_cache = PrefixCache(
                 self.hp.prefix_cache,
                 max(int(getattr(self.hp, "prefix_cache_min", 16)), 1))
+        # prefixes to pin (HTTP sessions): consumed by _prefill_tick
+        self._pin_reqs: set[tuple] = set()
         # /metrics counters
         self.n_requests = 0
         self.n_tokens_generated = 0
         self.n_prompt_tokens = 0
         self.started_at = time.time()
+        # sliding windows for latency percentiles (seconds)
+        from collections import deque
+
+        self._ttft = deque(maxlen=512)
+        self._req_latency = deque(maxlen=512)
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._ids = itertools.count()
         self._stop = threading.Event()
@@ -354,9 +384,28 @@ class BatchScheduler:
 
     def submit(self, req: Request) -> Request:
         req.id = next(self._ids)
+        req.submitted_at = time.time()
         self.pending.put(req)
         self._wake.set()
         return req
+
+    def pin_prefix(self, prefix_ids: list[int]) -> None:
+        """Mark a prefix so its KV snapshot is pinned in the prefix
+        cache when its prefill completes (HTTP session creation)."""
+        if self.prefix_cache is not None:
+            self._pin_reqs.add(tuple(prefix_ids))
+
+    def insert_prefix(self, prefix_ids: list[int], saved: dict,
+                      pin: bool = True) -> None:
+        """Insert an externally-built prefix snapshot (session restore
+        from disk). `saved` is {"kv": <save_slot_prefix dict>[, "d": ...]}."""
+        if self.prefix_cache is not None:
+            self.prefix_cache.put(list(prefix_ids), saved, pin=pin)
+
+    def drop_prefix(self, prefix_ids: list[int]) -> bool:
+        if self.prefix_cache is None:
+            return False
+        return self.prefix_cache.drop(list(prefix_ids))
 
     def start(self) -> None:
         if self._thread is None:
@@ -375,11 +424,16 @@ class BatchScheduler:
     def n_active(self) -> int:
         return sum(1 for s in self.slots if s.req is not None)
 
-    @staticmethod
-    def _emit(req: Request, tok: int | None) -> None:
+    def _emit(self, req: Request, tok: int | None) -> None:
         """Deliver to the consumer's sink; a consumer that went away
         (closed event loop, dropped generator) must never kill the
-        scheduler thread."""
+        scheduler thread. Also records TTFT (first emitted token) and
+        end-to-end latency (finish) for /metrics percentiles."""
+        if req.submitted_at:
+            if tok is None:
+                self._req_latency.append(time.time() - req.submitted_at)
+            elif req.n_generated == 1:
+                self._ttft.append(time.time() - req.submitted_at)
         try:
             req.sink(tok)
         except Exception:  # noqa: BLE001
@@ -407,15 +461,20 @@ class BatchScheduler:
             slot.prefilling = True
             slot.cur_token = req.prompt_ids[-1]
             self.kv = self.kv.reset_slot(i)
-            if self.prefix_cache is not None:
-                hit = self.prefix_cache.match(req.prompt_ids[:-1])
-                if hit is not None:
-                    n, saved = hit
-                    self.kv = self.kv.restore_slot_prefix(i, saved)
-                    slot.prefill_off = n
-                    log.debug(f"req {req.id}: prefix cache hit ({n} tok)")
             if self.d_kv is not None:
                 self.d_kv = self.d_kv.reset_slot(i)
+            if self.prefix_cache is not None:
+                hit = self.prefix_cache.match(req.prompt_ids[:-1])
+                # spec mode requires a matching draft-cache prefix
+                if hit is not None and (self.d_kv is None
+                                        or "d" in hit[1]):
+                    n, saved = hit
+                    self.kv = self.kv.restore_slot_prefix(i, saved["kv"])
+                    if self.d_kv is not None:
+                        self.d_kv = self.d_kv.restore_slot_prefix(
+                            i, saved["d"])
+                    slot.prefill_off = n
+                    log.debug(f"req {req.id}: prefix cache hit ({n} tok)")
             self.penalty = self.penalty.reset_slot(i)
             seed = req.seed if req.seed is not None \
                 else self.hp.sampler.seed + req.id * 7919 + i
@@ -461,9 +520,15 @@ class BatchScheduler:
                     jnp.asarray(positions), jnp.asarray(active))
             if self.prefix_cache is not None:
                 for i, prefix in stores:
-                    if len(prefix) >= self.prefix_cache.min_len:
-                        self.prefix_cache.put(
-                            prefix, self.kv.save_slot_prefix(i, len(prefix)))
+                    pin = tuple(prefix) in self._pin_reqs
+                    if pin or len(prefix) >= self.prefix_cache.min_len:
+                        saved = {"kv": self.kv.save_slot_prefix(
+                            i, len(prefix))}
+                        if self.d_kv is not None:
+                            saved["d"] = self.d_kv.save_slot_prefix(
+                                i, len(prefix))
+                        self.prefix_cache.put(prefix, saved, pin=pin)
+                        self._pin_reqs.discard(tuple(prefix))
         return ran
 
     def _cancel_tick(self) -> None:
@@ -605,10 +670,19 @@ class BatchScheduler:
             return True
         return self._decode_tick()
 
+    @staticmethod
+    def _pct(window, q: float) -> float:
+        if not window:
+            return 0.0
+        xs = sorted(window)
+        return xs[min(int(q * len(xs)), len(xs) - 1)]
+
     def metrics(self) -> dict:
-        """Counters for the /metrics endpoint."""
+        """Counters + latency percentiles for the /metrics endpoint.
+        Percentiles are over sliding windows of the last 512 requests:
+        ttft = submit -> first emitted token, latency = submit -> done."""
         up = max(time.time() - self.started_at, 1e-9)
-        return {
+        out = {
             "requests_total": self.n_requests,
             "prompt_tokens_total": self.n_prompt_tokens,
             "generated_tokens_total": self.n_tokens_generated,
@@ -622,6 +696,11 @@ class BatchScheduler:
             "prefix_cache_misses": (self.prefix_cache.misses
                                     if self.prefix_cache else 0),
         }
+        for name, win in (("ttft_seconds", self._ttft),
+                          ("request_latency_seconds", self._req_latency)):
+            for q in (0.5, 0.9, 0.99):
+                out[f"{name}_p{int(q * 100)}"] = self._pct(win, q)
+        return out
 
     def _loop(self) -> None:
         while not self._stop.is_set():

@@ -91,6 +91,11 @@ class ServerContext:
         self.mesh = mesh
         self.models: dict[str, ModelContext] = {}
         self.default_model = default_model
+        # HTTP sessions: named, pinned KV prefixes (agent workloads
+        # resume a long system prompt / conversation without re-prefill;
+        # the reference's converter-time persistent system-prompt KV —
+        # graph_interface.cpp:218-260 — generalized to a runtime API)
+        self.sessions: dict[str, dict] = {}
 
     def _load(self, d):
         cfg, params = load_gguf_model(d)
@@ -210,6 +215,48 @@ class ServerContext:
 
 def _now_id(prefix: str) -> str:
     return f"{prefix}-{uuid.uuid4().hex[:24]}"
+
+
+def _session_prefix_ids(server_ctx: ServerContext, body: dict) -> list[int]:
+    """Token ids of the session named in the request body (prepended to
+    the request's own prompt so the pinned KV prefix is reused)."""
+    sid = body.get("session")
+    if not sid:
+        return []
+    sess = server_ctx.sessions.get(sid)
+    if sess is None:
+        raise web.HTTPNotFound(text=f"unknown session '{sid}'")
+    return list(sess["ids"])
+
+
+def _save_session_npz(path: str, ids: list[int], saved: dict) -> None:
+    """Serialize a prefix-cache entry ({"kv": {...}[, "d": {...}]}) to
+    .npz (kv/persist.py's format, extended with the token ids and the
+    optional draft-cache prefix)."""
+    import numpy as np
+
+    flat = {"ids": np.asarray(ids, np.int64)}
+    for group, sub in saved.items():
+        for k, v in sub.items():
+            flat[f"{group}.{k}"] = np.asarray(v)
+    np.savez_compressed(path, **flat)
+
+
+def _load_session_npz(path: str) -> tuple[list[int], dict]:
+    import jax.numpy as jnp
+    import numpy as np
+
+    z = np.load(path)
+    ids = [int(t) for t in z["ids"]]
+    saved: dict = {}
+    for key in z.files:
+        if key == "ids":
+            continue
+        group, _, name = key.partition(".")
+        arr = z[key]
+        saved.setdefault(group, {})[name] = (
+            int(arr) if name == "n" else jnp.asarray(arr))
+    return ids, saved
 
 
 class StopMatcher:
@@ -597,6 +644,7 @@ def build_app(server_ctx: ServerContext) -> web.Application:
             prompt = "".join(prompt)
         prompt_ids = ctx.tokenizer.tokenize(
             prompt, parse_special=bool(body.get("parse_special", True)))
+        prompt_ids = _session_prefix_ids(server_ctx, body) + prompt_ids
         sampling = _sampling_from_body(body)
         return await _respond(request, ctx, prompt_ids, sampling,
                               chat=False, stream=bool(body.get("stream")),
@@ -610,7 +658,8 @@ def build_app(server_ctx: ServerContext) -> web.Application:
         ctx = await loop.run_in_executor(None, server_ctx.get, model_name)
         messages, images = _split_multimodal(body.get("messages", []))
         prompt = ctx.tokenizer.apply_chat_template(messages)
-        prompt_ids = ctx.tokenizer.tokenize(prompt)
+        prompt_ids = _session_prefix_ids(server_ctx, body) \
+            + ctx.tokenizer.tokenize(prompt)
         sampling = _sampling_from_body(body, chat=True)
         return await _respond(request, ctx, prompt_ids, sampling,
                               chat=True, stream=bool(body.get("stream")),
@@ -645,6 +694,83 @@ def build_app(server_ctx: ServerContext) -> web.Application:
             {"status": "ok" if ok else "error",
              "models_loaded": list(server_ctx.models)})
 
+    async def handle_session_create(request: web.Request) -> web.Response:
+        """Create (or load from disk) a named pinned KV-prefix session.
+
+        Body: {"model": ..., "prompt": ... | "messages": [...],
+               "id": optional, "save_path": optional, "load_path": optional}.
+        Later /completions-style requests pass {"session": id} to resume
+        on the cached prefix (their prompt is appended to the session's
+        tokens)."""
+        body = await request.json()
+        model_name = body.get("model", server_ctx.default_model)
+        loop = asyncio.get_running_loop()
+        ctx = await loop.run_in_executor(None, server_ctx.get, model_name)
+        if ctx.scheduler is None:
+            raise web.HTTPBadRequest(
+                text="sessions require a scheduler-backed model")
+        if ctx.scheduler.prefix_cache is None:
+            raise web.HTTPBadRequest(
+                text="prefix cache disabled (hp.prefix_cache = 0)")
+        sid = body.get("id") or _now_id("sess")
+
+        if body.get("load_path"):
+            ids, saved = _load_session_npz(body["load_path"])
+            if ("d" in saved) != (ctx.scheduler.d_kv is not None):
+                raise web.HTTPBadRequest(
+                    text="session draft-cache mismatch with model")
+            ctx.scheduler.insert_prefix(ids, saved, pin=True)
+        else:
+            if body.get("messages"):
+                messages, _ = _split_multimodal(body["messages"])
+                prompt = ctx.tokenizer.apply_chat_template(
+                    messages, add_assistant_prompt=False)
+            else:
+                prompt = body.get("prompt", "")
+            if not prompt:
+                raise web.HTTPBadRequest(text="empty session prompt")
+            ids = ctx.tokenizer.tokenize(prompt)
+            if len(ids) >= ctx.scheduler.max_seq - 2:
+                raise web.HTTPBadRequest(text="session prompt exceeds n_ctx")
+            ctx.scheduler.pin_prefix(ids)
+            # priming request: prefill ids (+ a dummy feed token) so the
+            # scheduler snapshots and pins the prefix; 1 junk decode
+            # token is discarded
+            sampling = dict(temperature=0.0, top_k=1, top_p=1.0,
+                            penalty_repeat=1.0, max_tokens=1, seed=0,
+                            logprobs=0)
+            async for _tok, _req in _run_batched(
+                    ctx, ids + [ids[-1]], sampling, set()):
+                pass
+            if tuple(ids) not in ctx.scheduler.prefix_cache.entries:
+                raise web.HTTPInternalServerError(
+                    text="session prefill did not produce a prefix")
+        if body.get("save_path"):
+            _save_session_npz(body["save_path"], ids,
+                              ctx.scheduler.prefix_cache.entries[tuple(ids)])
+        server_ctx.sessions[sid] = {
+            "id": sid, "model": model_name or ctx.name, "ids": ids,
+            "created": int(time.time())}
+        return web.json_response({"id": sid, "object": "session",
+                                  "model": model_name or ctx.name,
+                                  "tokens": len(ids)})
+
+    async def handle_session_list(request: web.Request) -> web.Response:
+        data = [{"id": s["id"], "object": "session", "model": s["model"],
+                 "tokens": len(s["ids"]), "created": s["created"]}
+                for s in server_ctx.sessions.values()]
+        return web.json_response({"object": "list", "data": data})
+
+    async def handle_session_delete(request: web.Request) -> web.Response:
+        sid = request.match_info["sid"]
+        sess = server_ctx.sessions.pop(sid, None)
+        if sess is None:
+            raise web.HTTPNotFound(text=f"unknown session '{sid}'")
+        ctx = server_ctx.models.get(sess["model"])
+        if ctx is not None and ctx.scheduler is not None:
+            ctx.scheduler.drop_prefix(sess["ids"])
+        return web.json_response({"id": sid, "deleted": True})
+
     async def handle_metrics(request: web.Request) -> web.Response:
         """Prometheus-style text metrics aggregated over schedulers."""
         lines = []
@@ -662,6 +788,9 @@ def build_app(server_ctx: ServerContext) -> web.Application:
     for route in ("/chat/completions", "/v1/chat/completions"):
         app.router.add_post(route, handle_chat)
     app.router.add_get("/v1/models", handle_models)
+    app.router.add_post("/v1/sessions", handle_session_create)
+    app.router.add_get("/v1/sessions", handle_session_list)
+    app.router.add_delete("/v1/sessions/{sid}", handle_session_delete)
     app.router.add_get("/health", handle_health)
     app.router.add_get("/metrics", handle_metrics)
     return app

@@ -375,3 +375,106 @@ def test_sharded_serving_matches_single(ws_dir):
         return out
 
     assert asyncio.run(sharded()) == base
+
+
+def test_sessions_api(ws_dir, tmp_path):
+    """HTTP sessions: pinned KV-prefix create/use/save/delete/load.
+    Correctness: output with a session cache HIT equals output after the
+    prefix cache is cleared (full recompute of the same token stream),
+    and equals output restored from the on-disk .npz."""
+    async def go(client):
+        sess_prompt = "You are a terse assistant with strong opinions."
+        r = await client.post("/v1/sessions", json={
+            "model": "model", "prompt": sess_prompt, "id": "s1",
+            "save_path": str(tmp_path / "s1.npz")})
+        assert r.status == 200
+        body = await r.json()
+        assert body["id"] == "s1" and body["tokens"] > 0
+
+        lst = await (await client.get("/v1/sessions")).json()
+        assert any(s["id"] == "s1" for s in lst["data"])
+
+        async def ask():
+            r = await client.post("/v1/completions", json={
+                "model": "model", "session": "s1", "prompt": " hello",
+                "max_tokens": 6, "temperature": 0.0})
+            assert r.status == 200
+            return (await r.json())["choices"][0]["text"]
+
+        sched = _CTX["ctx"].models["model"].scheduler
+        hits0 = sched.prefix_cache.hits
+        hit_text = await ask()
+        assert sched.prefix_cache.hits > hits0
+
+        # clear the cache (keep the session registered): same request
+        # now fully re-prefills the identical token stream
+        sched.prefix_cache.entries.clear()
+        sched.prefix_cache.pinned.clear()
+        sched.prefix_cache._order.clear()
+        assert await ask() == hit_text
+
+        # delete, then restore from disk; output must still match
+        r = await client.delete("/v1/sessions/s1")
+        assert (await r.json())["deleted"] is True
+        r = await client.post("/v1/completions", json={
+            "model": "model", "session": "s1", "prompt": " hello",
+            "max_tokens": 6, "temperature": 0.0})
+        assert r.status == 404
+
+        r = await client.post("/v1/sessions", json={
+            "model": "model", "id": "s1",
+            "load_path": str(tmp_path / "s1.npz")})
+        assert r.status == 200
+        assert (await r.json())["tokens"] == body["tokens"]
+        assert await ask() == hit_text
+
+    _run(ws_dir, go)
+
+
+def test_spec_prefix_cache(ws_dir, tmp_path):
+    """Prefix cache in SPEC mode snapshots both target and draft caches;
+    a session on a "model+self:N" spec scheduler restores both, and the
+    output matches a cleared-cache recompute."""
+    async def go(client):
+        n_layers = _CTX["ctx"].models["model"].scheduler.cfg.llm.n_layers
+        name = f"model+self:{n_layers}"
+        r = await client.post("/v1/sessions", json={
+            "model": name, "prompt": "A long shared system preamble.",
+            "id": "sp1"})
+        assert r.status == 200
+
+        async def ask():
+            r = await client.post("/v1/completions", json={
+                "model": name, "session": "sp1", "prompt": " go",
+                "max_tokens": 6, "temperature": 0.0})
+            assert r.status == 200
+            return (await r.json())["choices"][0]["text"]
+
+        sched = _CTX["ctx"].models[name].scheduler
+        key = tuple(_CTX["ctx"].sessions["sp1"]["ids"])
+        assert "d" in sched.prefix_cache.entries[key]  # draft prefix too
+        hit_text = await ask()
+        sched.prefix_cache.entries.clear()
+        sched.prefix_cache.pinned.clear()
+        sched.prefix_cache._order.clear()
+        assert await ask() == hit_text
+        await client.delete("/v1/sessions/sp1")
+
+    _run(ws_dir, go)
+
+
+def test_metrics_latency_percentiles(ws_dir):
+    async def go(client):
+        await client.post("/v1/completions", json={
+            "model": "model", "prompt": "x", "max_tokens": 2,
+            "temperature": 0.0})
+        text = await (await client.get("/metrics")).text()
+        for k in ("ttft_seconds_p50", "ttft_seconds_p99",
+                  "request_latency_seconds_p50",
+                  "request_latency_seconds_p90"):
+            line = [ln for ln in text.splitlines() if k in ln
+                    and 'model="model"' in ln]
+            assert line, f"missing {k}"
+            assert float(line[0].split()[-1]) > 0.0
+
+    _run(ws_dir, go)
