@@ -100,6 +100,7 @@ struct PsvFile {
     int fd = -1;
     const uint8_t *data = nullptr;
     size_t size = 0;
+    bool owned = false;  // heap buffer (BIO/DIO/async) vs mmap
     uint64_t data_offset = 0;
     std::vector<PsvTensor> tensors;
     std::string meta_json;
@@ -181,23 +182,127 @@ void value_to_json(Cursor &c, uint32_t vtype, std::string &out, int depth = 0) {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// file loading strategies (reference src/storage/file_loader.cpp:16-35
+// factory: MMap / BIO buffered read / DIO O_DIRECT / UV async; here the
+// async role is a thread-pool of range preads — overlapped IO without a
+// loop dependency)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+enum PsvLoadMethod { PSV_MMAP = 0, PSV_BIO = 1, PSV_DIO = 2, PSV_ASYNC = 3 };
+
+// buffered whole-file read into a heap buffer
+uint8_t *load_bio(int fd, size_t size) {
+    uint8_t *buf = (uint8_t *)malloc(size ? size : 1);
+    if (!buf) return nullptr;
+    size_t off = 0;
+    while (off < size) {
+        size_t chunk = size - off;
+        if (chunk > (16u << 20)) chunk = 16u << 20;
+        ssize_t r = pread(fd, buf + off, chunk, (off_t)off);
+        if (r <= 0) { free(buf); return nullptr; }
+        off += (size_t)r;
+    }
+    return buf;
+}
+
+// O_DIRECT read: page-aligned buffer, 4K-multiple reads (tail read falls
+// back to buffered IO on the same fd range)
+uint8_t *load_dio(const char *path, size_t size) {
+    int fd = open(path, O_RDONLY | O_DIRECT);
+    if (fd < 0) return nullptr;
+    const size_t align = 4096;
+    size_t rounded = (size + align - 1) / align * align;
+    uint8_t *buf = nullptr;
+    if (posix_memalign((void **)&buf, align, rounded ? rounded : align)) {
+        close(fd);
+        return nullptr;
+    }
+    size_t aligned_end = size / align * align;
+    size_t off = 0;
+    bool ok = true;
+    while (off < aligned_end && ok) {
+        size_t chunk = aligned_end - off;
+        if (chunk > (16u << 20)) chunk = 16u << 20;
+        ssize_t r = pread(fd, buf + off, chunk, (off_t)off);
+        if (r <= 0 || ((size_t)r % align) != 0) { ok = false; break; }
+        off += (size_t)r;
+    }
+    close(fd);
+    if (ok && aligned_end < size) {  // unaligned tail via buffered fd
+        int bfd = open(path, O_RDONLY);
+        ok = bfd >= 0;
+        size_t toff = aligned_end;
+        while (ok && toff < size) {
+            ssize_t r = pread(bfd, buf + toff, size - toff, (off_t)toff);
+            if (r <= 0) { ok = false; break; }
+            toff += (size_t)r;
+        }
+        if (bfd >= 0) close(bfd);
+    }
+    if (!ok) { free(buf); return nullptr; }
+    return buf;
+}
+
+// overlapped range reads across a thread pool (the libuv-async role)
+uint8_t *load_async(int fd, size_t size) {
+    uint8_t *buf = (uint8_t *)malloc(size ? size : 1);
+    if (!buf) return nullptr;
+    std::atomic<bool> ok{true};
+    parallel_for((int64_t)((size + (4u << 20) - 1) / (4u << 20)),
+                 [&](int64_t lo, int64_t hi) {
+        for (int64_t c = lo; c < hi && ok.load(); c++) {
+            size_t off = (size_t)c * (4u << 20);
+            size_t want = size - off;
+            if (want > (4u << 20)) want = 4u << 20;
+            size_t done = 0;
+            while (done < want) {
+                ssize_t r = pread(fd, buf + off + done, want - done,
+                                  (off_t)(off + done));
+                if (r <= 0) { ok.store(false); break; }
+                done += (size_t)r;
+            }
+        }
+    });
+    if (!ok.load()) { free(buf); return nullptr; }
+    return buf;
+}
+
+}  // namespace
+
 extern "C" {
 
 void psv_close(void *h);  // fwd decl (used by psv_open error paths)
 
-void *psv_open(const char *path) {
+void *psv_open_ex(const char *path, int method) {
     int fd = open(path, O_RDONLY);
     if (fd < 0) return nullptr;
     struct stat st;
     if (fstat(fd, &st) != 0) { close(fd); return nullptr; }
-    void *map = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
-    if (map == MAP_FAILED) { close(fd); return nullptr; }
-    madvise(map, st.st_size, MADV_SEQUENTIAL);
 
     auto *f = new PsvFile;
-    f->fd = fd;
-    f->data = (const uint8_t *)map;
     f->size = st.st_size;
+    if (method == PSV_BIO || method == PSV_DIO || method == PSV_ASYNC) {
+        uint8_t *buf = nullptr;
+        if (method == PSV_BIO) buf = load_bio(fd, f->size);
+        else if (method == PSV_ASYNC) buf = load_async(fd, f->size);
+        else {
+            buf = load_dio(path, f->size);
+            if (!buf) buf = load_bio(fd, f->size);  // O_DIRECT unsupported fs
+        }
+        close(fd);
+        if (!buf) { delete f; return nullptr; }
+        f->data = buf;
+        f->owned = true;
+    } else {
+        void *map = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+        if (map == MAP_FAILED) { close(fd); delete f; return nullptr; }
+        madvise(map, st.st_size, MADV_SEQUENTIAL);
+        f->fd = fd;
+        f->data = (const uint8_t *)map;
+    }
 
     Cursor c{f->data, f->data + f->size};
     uint32_t magic = c.read<uint32_t>();
@@ -244,10 +349,26 @@ void *psv_open(const char *path) {
     return f;
 }
 
+// default method from POWERSERVE_FILE_LOAD (mmap|bio|dio|async), mmap
+// when unset — the reference's build_file_loader default
+void *psv_open(const char *path) {
+    int method = PSV_MMAP;
+    const char *env = getenv("POWERSERVE_FILE_LOAD");
+    if (env) {
+        if (!strcmp(env, "bio")) method = PSV_BIO;
+        else if (!strcmp(env, "dio")) method = PSV_DIO;
+        else if (!strcmp(env, "async")) method = PSV_ASYNC;
+    }
+    return psv_open_ex(path, method);
+}
+
 void psv_close(void *h) {
     auto *f = (PsvFile *)h;
     if (!f) return;
-    if (f->data) munmap((void *)f->data, f->size);
+    if (f->data) {
+        if (f->owned) free((void *)f->data);
+        else munmap((void *)f->data, f->size);
+    }
     if (f->fd >= 0) close(f->fd);
     delete f;
 }

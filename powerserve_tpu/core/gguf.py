@@ -177,18 +177,86 @@ class _Reader:
         return self.read(_SCALAR_FMT[vtype])
 
 
+def _load_file(path: str, method: str) -> tuple[Any, Any, memoryview]:
+    """File-loading strategies (reference src/storage/file_loader.cpp:16-35
+    strategy factory: MMap / BIO buffered / DIO O_DIRECT / UV async).
+
+    Returns (file_obj, mm_or_none, view). "mmap" gives zero-copy views;
+    the read strategies materialize the file in anonymous memory —
+    "bio" is one buffered read, "dio" bypasses the page cache
+    (O_DIRECT, page-aligned anonymous map), "async" overlaps pread
+    ranges across threads (the reference's libuv role)."""
+    f = open(path, "rb")
+    size = os.fstat(f.fileno()).st_size
+    if method == "mmap":
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        return f, mm, memoryview(mm)
+    buf = mmap.mmap(-1, max(size, 1))  # page-aligned anonymous buffer
+    if method == "dio":
+        try:
+            fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECT", 0))
+            try:
+                align = 4096
+                aligned = size // align * align
+                off = 0
+                view = memoryview(buf)
+                while off < aligned:
+                    chunk = min(aligned - off, 16 << 20)
+                    n = os.preadv(fd, [view[off:off + chunk]], off)
+                    if n <= 0 or n % align:
+                        raise OSError("short O_DIRECT read")
+                    off += n
+            finally:
+                os.close(fd)
+            if aligned < size:  # unaligned tail via the buffered handle
+                f.seek(aligned)
+                buf[aligned:size] = f.read(size - aligned)
+            return f, buf, memoryview(buf)
+        except OSError:
+            pass  # filesystem without O_DIRECT: fall through to bio
+    if method == "async":
+        import concurrent.futures as _fut
+
+        chunk = 8 << 20
+        view = memoryview(buf)
+
+        def read_range(off: int) -> None:
+            want = min(size - off, chunk)
+            done = 0
+            while done < want:
+                n = os.preadv(f.fileno(),
+                              [view[off + done:off + want]], off + done)
+                if n <= 0:
+                    raise OSError(f"short read at {off + done}")
+                done += n
+
+        with _fut.ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(read_range, range(0, max(size, 1), chunk)))
+        return f, buf, memoryview(buf)
+    # bio: one buffered sequential read
+    f.seek(0)
+    got = f.readinto(buf)
+    if size and got != size:
+        raise OSError(f"short read: {got}/{size}")
+    return f, buf, memoryview(buf)
+
+
 class GGUFReader:
-    """mmap-backed GGUF reader.
+    """GGUF reader with pluggable file-loading strategy.
 
     Tensor payloads are exposed as zero-copy numpy uint8 views into the
-    mapped file; `dequantize()` in quant.py turns them into float arrays.
+    loaded buffer; `dequantize()` in quant.py turns them into float
+    arrays. method: "mmap" (default) | "bio" | "dio" | "async" — see
+    _load_file; default overridable via POWERSERVE_FILE_LOAD.
     """
 
-    def __init__(self, path: str | os.PathLike):
+    def __init__(self, path: str | os.PathLike, method: str | None = None):
         self.path = os.fspath(path)
-        self._file = open(self.path, "rb")
-        self._mm = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
-        self._view = memoryview(self._mm)
+        method = method or os.environ.get("POWERSERVE_FILE_LOAD", "mmap")
+        if method not in ("mmap", "bio", "dio", "async"):
+            raise ValueError(f"unknown file load method: {method}")
+        self.method = method
+        self._file, self._mm, self._view = _load_file(self.path, method)
         self.metadata: dict[str, Any] = {}
         self.tensors: dict[str, GGUFTensorInfo] = {}
         self._parse()

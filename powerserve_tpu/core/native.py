@@ -53,6 +53,8 @@ def get_lib() -> ctypes.CDLL | None:
         return None
     lib.psv_open.restype = ctypes.c_void_p
     lib.psv_open.argtypes = [ctypes.c_char_p]
+    lib.psv_open_ex.restype = ctypes.c_void_p
+    lib.psv_open_ex.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.psv_close.argtypes = [ctypes.c_void_p]
     lib.psv_meta_json.restype = ctypes.c_char_p
     lib.psv_meta_json.argtypes = [ctypes.c_void_p]
@@ -87,15 +89,24 @@ def get_lib() -> ctypes.CDLL | None:
     return _lib
 
 
-class NativeGGUFReader:
-    """Drop-in alternative to gguf.GGUFReader backed by the C++ parser."""
+_LOAD_METHODS = {"mmap": 0, "bio": 1, "dio": 2, "async": 3}
 
-    def __init__(self, path: str | os.PathLike):
+
+class NativeGGUFReader:
+    """Drop-in alternative to gguf.GGUFReader backed by the C++ parser.
+
+    method selects the file-loading strategy (reference
+    src/storage/file_loader.cpp:16-35 factory): mmap | bio | dio |
+    async; default from POWERSERVE_FILE_LOAD."""
+
+    def __init__(self, path: str | os.PathLike, method: str | None = None):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native library unavailable")
         self._lib = lib
-        self._h = lib.psv_open(os.fspath(path).encode())
+        method = method or os.environ.get("POWERSERVE_FILE_LOAD", "mmap")
+        self._h = lib.psv_open_ex(os.fspath(path).encode(),
+                                  _LOAD_METHODS[method])
         if not self._h:
             raise ValueError(f"psv_open failed for {path}")
         self.metadata = json.loads(lib.psv_meta_json(self._h).decode())
