@@ -20,11 +20,13 @@ from ..kv.cache import KVCache
 from ..models.llama import LlamaParams, forward
 
 
-@functools.partial(jax.jit, static_argnames=("llm", "n_steps", "backend"),
+@functools.partial(jax.jit,
+                   static_argnames=("llm", "n_steps", "backend", "kv_update"),
                    donate_argnums=(2,))
 def decode_scan(params: LlamaParams, tokens: jax.Array, kv: KVCache,
                 llm: LLMConfig, n_steps: int,
-                backend: str = "auto") -> tuple[jax.Array, KVCache]:
+                backend: str = "auto",
+                kv_update: str | None = None) -> tuple[jax.Array, KVCache]:
     """Greedy-decode n_steps tokens for every slot.
 
     tokens: [S] int32 (current token per slot). Returns ([S, n_steps]
@@ -34,7 +36,8 @@ def decode_scan(params: LlamaParams, tokens: jax.Array, kv: KVCache,
         tok, kv = carry
         pos = kv.pos.astype(jnp.int32)
         logits, kv = forward(params, llm, kv, tok[:, None], pos[:, None],
-                             backend=backend, logits_mode="last")
+                             backend=backend, logits_mode="last",
+                             kv_update=kv_update)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt, kv), nxt
 
@@ -42,11 +45,13 @@ def decode_scan(params: LlamaParams, tokens: jax.Array, kv: KVCache,
     return toks.T, kv
 
 
-@functools.partial(jax.jit, static_argnames=("llm", "backend"),
+@functools.partial(jax.jit,
+                   static_argnames=("llm", "backend", "kv_update"),
                    donate_argnums=(3,))
 def prefill_step(params: LlamaParams, tokens: jax.Array,
                  positions: jax.Array, kv: KVCache, llm: LLMConfig,
-                 backend: str = "auto") -> tuple[jax.Array, KVCache]:
+                 backend: str = "auto",
+                 kv_update: str | None = None) -> tuple[jax.Array, KVCache]:
     """One prefill chunk: tokens/positions [S, T]."""
     return forward(params, llm, kv, tokens, positions, backend=backend,
-                   logits_mode="last")
+                   logits_mode="last", kv_update=kv_update)

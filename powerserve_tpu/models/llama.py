@@ -25,9 +25,17 @@ from ..ops.attention import (
     build_visibility,
     gqa_attention,
     gqa_attention_quant,
+    gqa_attention_quant_deferred,
 )
 from ..ops.elementwise import apply_rope, rms_norm, rope_cos_sin, silu_hadamard
 from ..ops.qmatmul import QLinear, qmatmul
+
+import os as _os
+
+# decode-path default for forward(kv_update=None): measured on-TPU per
+# shape; "deferred" avoids per-layer cache-slab copies inside the layer
+# scan (see forward docstring)
+_KV_UPDATE_DEFAULT = _os.environ.get("POWERSERVE_KV_UPDATE", "inline")
 
 
 @functools.partial(
@@ -106,7 +114,8 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             logits_mode: str = "last",
             embeds: jax.Array | None = None,
             return_hidden: bool = False,
-            tp_axis: str | None = None):
+            tp_axis: str | None = None,
+            kv_update: str | None = None):
     """One forward pass over a batch of slots.
 
     tokens/positions: [S, Tq] int32 (positions drive RoPE). active: [S]
@@ -127,6 +136,16 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     return_hidden: also return per-layer hidden states [L, S, Tq, dim]
                  (numerics debugging — the reference's
                  POWERSERVE_DUMP_TENSORS role, executor.cpp:52-75).
+    kv_update: "inline" — each layer scatters its new K/V into the
+                 cache before attention (required for vis_override
+                 paths); "deferred" — the layer scan collects the new
+                 quantized K/V as small scan outputs, attention treats
+                 them as an in-flight block past the cache, and ONE
+                 batched scatter after the scan commits all layers
+                 (avoids per-layer slab copies XLA materializes for
+                 scatters on loop-sliced cache slabs). None -> the
+                 POWERSERVE_KV_UPDATE env default. Falls back to inline
+                 for vis_override / float-cache / unrolled layers.
     tp_axis: when called inside a shard_map over a mesh axis of that
                  name (parallel/tp.py), params hold LOCAL tensor-
                  parallel shards and cfg holds LOCAL head counts; the
@@ -168,6 +187,22 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     rope_type = llm.rope.rope_type
 
     quantized = kv.quantized
+    if kv_update is None:
+        kv_update = _KV_UPDATE_DEFAULT
+    deferred = (kv_update == "deferred" and vis_override is None
+                and quantized
+                and not isinstance(params.layers, (tuple, list)))
+    if deferred:
+        # in-flight visibility: intra mask with padded/OOB lanes' columns
+        # masked off (inline gets this for free — their scatters drop)
+        if intra_mask is None:
+            qi = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tq), 0)
+            ji = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tq), 1)
+            intra_vis_new = ji <= qi
+        else:
+            intra_vis_new = intra_mask
+        valid_new = (cache_positions >= 0) & (cache_positions < kv.max_seq)
+        intra_vis_new = intra_vis_new[None, :, :] & valid_new[:, None, :]
 
     def layer_body(x, lw, k_l, v_l, ks_l, vs_l, layer=None):
         # layer!=None: lw holds stacked [L, ...] weights (scan mode) —
@@ -208,7 +243,21 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             return cache_s.at[:, pos_s].set(new_s.astype(cache_s.dtype),
                                             mode="drop")
 
-        if quantized:
+        if deferred:
+            # no scatter here: attention treats this layer's quantized
+            # new K/V as an in-flight block; the post-scan batch write
+            # commits every layer at once
+            kq, ks = KVCache.quantize_kv(knew)
+            vq, vsc = KVCache.quantize_kv(vnew)
+            kqh = kq.transpose(0, 2, 1, 3)  # [S, Hkv, Tq, D]
+            vqh = vq.transpose(0, 2, 1, 3)
+            ksh = ks.transpose(0, 2, 1)  # [S, Hkv, Tq]
+            vsh = vsc.transpose(0, 2, 1)
+            attn = gqa_attention_quant_deferred(
+                q, k_l, ks_l, v_l, vs_l, kv.mask, kqh, ksh, vqh, vsh,
+                intra_vis_new, scale)
+            k_l, v_l, ks_l, vs_l = kqh, vqh, ksh, vsh
+        elif quantized:
             kq, ks = KVCache.quantize_kv(knew)
             vq, vsc = KVCache.quantize_kv(vnew)
             k_l = jax.vmap(scat)(k_l, kq.transpose(0, 2, 1, 3), safe_pos)
@@ -290,9 +339,28 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         k_new, v_new, ks_new, vs_new = ys[:4]
         if return_hidden:
             hidden = ys[4]
-        kv = _dc.replace(kv, k=k_new, v=v_new,
-                         k_scale=ks_new if quantized else kv.k_scale,
-                         v_scale=vs_new if quantized else kv.v_scale)
+        if deferred:
+            # one batched scatter commits every layer's in-flight K/V:
+            # stacked new [L, S, Hkv, Tq, ...] into cache [L, S, Hkv, T, ...]
+            safe_pos = jnp.where(
+                (cache_positions >= 0) & (cache_positions < kv.max_seq),
+                cache_positions, kv.max_seq)
+
+            def commit(cache, new, pos_s):
+                # per slot: cache [L, Hkv, T, ...], new [L, Hkv, Tq, ...]
+                return cache.at[:, :, pos_s].set(new.astype(cache.dtype),
+                                                 mode="drop")
+
+            scat_all = jax.vmap(commit, in_axes=(1, 1, 0), out_axes=1)
+            kv = _dc.replace(kv,
+                             k=scat_all(kv.k, k_new, safe_pos),
+                             v=scat_all(kv.v, v_new, safe_pos),
+                             k_scale=scat_all(kv.k_scale, ks_new, safe_pos),
+                             v_scale=scat_all(kv.v_scale, vs_new, safe_pos))
+        else:
+            kv = _dc.replace(kv, k=k_new, v=v_new,
+                             k_scale=ks_new if quantized else kv.k_scale,
+                             v_scale=vs_new if quantized else kv.v_scale)
     kv = kv.advance(cache_positions, active=active, visible=visible)
 
     xf = rms_norm(x, params.out_norm, llm.norm_eps).astype(jnp.bfloat16)

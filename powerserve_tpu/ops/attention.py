@@ -120,6 +120,115 @@ def gqa_attention_quant(q: jax.Array, kq: jax.Array, ks: jax.Array,
     return out.reshape(S, Tq, H * D)
 
 
+def gqa_attention_quant_deferred(q: jax.Array, kq: jax.Array, ks: jax.Array,
+                                 vq: jax.Array, vs: jax.Array,
+                                 cache_mask: jax.Array,
+                                 knew_q: jax.Array, knew_s: jax.Array,
+                                 vnew_q: jax.Array, vnew_s: jax.Array,
+                                 intra_vis: jax.Array, scale: float,
+                                 chunk: int = 1024) -> jax.Array:
+    """Attention when the batch's K/V are NOT yet in the cache.
+
+    The cache slabs hold only committed tokens (mask = cache_mask
+    [S, T]); the in-flight batch contributes an extra [Tq] block of
+    int8 K/V (knew_q/vnew_q [S, Hkv, Tq, D] + scales [S, Hkv, Tq] —
+    already quantized, so numerics match the write-then-read path).
+    intra_vis [S, Tq, Tq] masks the in-flight block (causal / tree
+    ancestors, with padded lanes' columns off).
+
+    This exists so the layer scan can defer all KV scatters to one
+    post-scan write: slab updates inside lax.scan force XLA to
+    materialize per-layer cache copies (scatter on a loop-sliced
+    operand), which dominates the decode step at depth.
+    Softmax runs over the concatenated [T + Tq] axis.
+    """
+    S, Tq, H, D = q.shape
+    Hkv, T = kq.shape[1], kq.shape[2]
+    G = H // Hkv
+    dt = _attn_dtype()
+    qg = q.reshape(S, Tq, Hkv, G, D).astype(dt)
+    sn = jnp.einsum("sqhgd,shkd->shgqk", qg, knew_q.astype(dt),
+                    preferred_element_type=jnp.float32)
+    sn = sn * (knew_s[:, :, None, None, :] * scale)
+    sn = jnp.where(intra_vis[:, None, None, :, :], sn, NEG_INF)
+    if T <= chunk:
+        sc = jnp.einsum("sqhgd,shkd->shgqk", qg, kq.astype(dt),
+                        preferred_element_type=jnp.float32)
+        sc = sc * (ks[:, :, None, None, :] * scale)
+        sc = jnp.where(cache_mask[:, None, None, None, :], sc, NEG_INF)
+        scores = jnp.concatenate([sc, sn], axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1)
+        pc = (probs[..., :T] * vs[:, :, None, None, :]).astype(dt)
+        pn = (probs[..., T:] * vnew_s[:, :, None, None, :]).astype(dt)
+        out = jnp.einsum("shgqk,shkd->sqhgd", pc, vq.astype(dt),
+                         preferred_element_type=jnp.float32) \
+            + jnp.einsum("shgqk,shkd->sqhgd", pn, vnew_q.astype(dt),
+                         preferred_element_type=jnp.float32)
+        return out.reshape(S, Tq, H * D)
+    # long context: stream the cache, then merge the in-flight block as
+    # one more online-softmax step
+    m, l, o = _chunked_quant_mlo(qg, kq, ks, vq, vs,
+                                 cache_mask[:, None, :].astype(bool)
+                                 | jnp.zeros((S, Tq, T), bool),
+                                 scale, chunk)
+    m_new = jnp.maximum(m, sn.max(axis=-1))
+    alpha = jnp.exp(m - m_new)
+    p = jnp.exp(sn - m_new[..., None])
+    l = l * alpha + p.sum(axis=-1)
+    pf = (p * vnew_s[:, :, None, None, :]).astype(dt)
+    pv = jnp.einsum("shgqk,shkd->shgqd", pf, vnew_q.astype(dt),
+                    preferred_element_type=jnp.float32)
+    o = o * alpha[..., None] + pv
+    safe_l = jnp.where(l > 0, l, 1.0)
+    o = o / safe_l[..., None]
+    return o.transpose(0, 3, 1, 2, 4).reshape(S, Tq, H * D)
+
+
+def _chunked_quant_mlo(qg, kq, ks, vq, vs, visibility, scale, chunk):
+    """Unnormalized online-softmax state (m, l, o) over int8 KV chunks;
+    shared by the chunked path and the deferred in-flight merge."""
+    S, Tq, Hkv, G, D = qg.shape
+    T = kq.shape[2]
+    pad = (-T) % chunk
+    if pad:
+        kq = jnp.pad(kq, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vq = jnp.pad(vq, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad)))
+        vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad)))
+        visibility = jnp.pad(visibility, ((0, 0), (0, 0), (0, pad)))
+    n_chunks = kq.shape[2] // chunk
+    kc = kq.reshape(S, Hkv, n_chunks, chunk, D).transpose(2, 0, 1, 3, 4)
+    vc = vq.reshape(S, Hkv, n_chunks, chunk, D).transpose(2, 0, 1, 3, 4)
+    ksc = ks.reshape(S, Hkv, n_chunks, chunk).transpose(2, 0, 1, 3)
+    vsc = vs.reshape(S, Hkv, n_chunks, chunk).transpose(2, 0, 1, 3)
+    visc = visibility.reshape(S, Tq, n_chunks, chunk).transpose(2, 0, 1, 3)
+
+    m0 = jnp.full((S, Hkv, G, Tq), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((S, Hkv, G, Tq), jnp.float32)
+    o0 = jnp.zeros((S, Hkv, G, Tq, D), jnp.float32)
+
+    def body(carry, inputs):
+        m, l, o = carry
+        k_i, v_i, ks_i, vs_i, vis_i = inputs
+        s_i = jnp.einsum("sqhgd,shkd->shgqk", qg, k_i.astype(_attn_dtype()),
+                         preferred_element_type=jnp.float32)
+        s_i = s_i * (ks_i[:, :, None, None, :] * scale)
+        s_i = jnp.where(vis_i[:, None, None, :, :], s_i, NEG_INF)
+        m_new = jnp.maximum(m, s_i.max(axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s_i - m_new[..., None])
+        l = l * alpha + p.sum(axis=-1)
+        pf = (p * vs_i[:, :, None, None, :]).astype(_attn_dtype())
+        pv = jnp.einsum("shgqk,shkd->shgqd", pf, v_i.astype(_attn_dtype()),
+                        preferred_element_type=jnp.float32)
+        o = o * alpha[..., None] + pv
+        return (m_new, l, o), None
+
+    (m, l, o), _ = jax.lax.scan(body, (m0, l0, o0),
+                                (kc, vc, ksc, vsc, visc))
+    return m, l, o
+
+
 def _gqa_chunked_quant(q, kq, ks, vq, vs, visibility, scale, chunk):
     """Online-softmax streaming over int8 KV chunks with scale folding
     ([S, Hkv, T, D] cache layout)."""
