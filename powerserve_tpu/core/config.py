@@ -146,6 +146,9 @@ class HyperParams:
     kernel_backend: str = "auto"  # auto | pallas | xla
     decode_horizon: int = 4  # decode steps per device dispatch (scheduler)
     spec_horizon: int = 2  # speculative steps per device dispatch
+    # speculation-tree widths per depth, e.g. "2,1,1" (node at depth d
+    # gets widths[d] children); "" = chain of length spec_k
+    spec_tree: str = ""
     prefix_cache: int = 4  # cached prompt prefixes per scheduler (0 = off)
     prefix_cache_min: int = 16  # shortest prefix worth caching (tokens)
 

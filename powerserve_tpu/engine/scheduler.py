@@ -284,8 +284,6 @@ class BatchScheduler:
         llm = self.cfg.llm
         d_llm = self.d_llm
         backend = self.backend
-        vocab = llm.vocab_size
-        k = self.spec_k
 
         # NOTE: dparams is a jit ARGUMENT, not a closure capture — a
         # captured pytree of weights would be lowered as multi-GB
@@ -303,82 +301,19 @@ class BatchScheduler:
                               logits_mode="none")
             return kv, d_kv
 
-        spec_horizon = max(int(getattr(self.hp, "spec_horizon", 1)), 1)
-        self.spec_horizon = spec_horizon
+        self.spec_horizon = max(int(getattr(self.hp, "spec_horizon", 1)), 1)
+        # speculation topology: hp.spec_tree widths, or a spec_k-chain.
+        # Per spec step every slot drafts the template's tree (one
+        # batched draft forward per level), ONE batched target forward
+        # verifies all slots' trees, and acceptance/commit is per-slot —
+        # speculative/device_tree.py runs spec_horizon such steps in a
+        # single device dispatch.
+        from ..speculative.device_tree import TreeTemplate
 
-        @functools.partial(jax.jit, donate_argnums=(2, 3))
-        def spec_decode_all(params, dparams, kv, d_kv, tokens, rngs, active,
-                            temp, top_k, top_p):
-            """`spec_horizon` batched chain-speculation steps in one
-            dispatch. Each step: draft k+1 per slot (the +1 keeps the
-            draft cache complete when the whole chain is accepted),
-            verify once, accept per slot.
-            Returns (sampled [S, H, k+1], counts [S, H], next_tok [S], ...)"""
-            S = tokens.shape[0]
-
-            def one_spec_step(tokens, kv, d_kv, rngs):
-                def draft_body(carry, _):
-                    tok, dkv = carry
-                    pos = jnp.where(active[:, None],
-                                    dkv.pos[:, None].astype(jnp.int32), -1)
-                    logits, dkv = forward(dparams, d_llm, dkv, tok[:, None],
-                                          pos, active=active,
-                                          backend=backend,
-                                          logits_mode="last")
-                    nxt = jnp.argmax(logits[:, :d_llm.vocab_size],
-                                     axis=-1).astype(jnp.int32)
-                    return (nxt, dkv), tok
-
-                (_, d_kv), fed = jax.lax.scan(
-                    draft_body, (tokens, d_kv), None, length=k + 1)
-                fed = fed.T  # [S, k+1]: [root, d0 .. d_{k-1}] per slot
-
-                c = kv.pos.astype(jnp.int32)
-                positions = jnp.where(
-                    active[:, None],
-                    c[:, None] + jnp.arange(k + 1)[None, :], -1)
-                logits, kv = forward(params, llm, kv, fed, positions,
-                                     active=active, backend=backend,
-                                     logits_mode="all")  # [S, k+1, V]
-
-                # sample every chain position with the slot's params
-                # (each emitted token is a true target sample given its
-                # prefix)
-                split = jax.vmap(lambda r: jax.random.split(r, k + 2))(rngs)
-                rngs = split[:, 0]
-                keys = split[:, 1:].reshape(S * (k + 1), 2)
-                rep = lambda a: jnp.repeat(a, k + 1, axis=0)  # noqa: E731
-                sampled = sample_logits_batched(
-                    keys[0], logits.reshape(S * (k + 1), -1),
-                    rep(temp), rep(top_k), rep(top_p),
-                    vocab_size=vocab, keys=keys,
-                ).astype(jnp.int32).reshape(S, k + 1)
-
-                match = (sampled[:, :k] == fed[:, 1:]).astype(jnp.int32)
-                n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [S]
-                next_tok = jnp.take_along_axis(sampled, n_acc[:, None],
-                                               axis=1)[:, 0]
-                drop = jnp.int32(k) - n_acc
-                kv = kv.rollback(drop, active=active)
-                d_kv = d_kv.rollback(drop, active=active)
-                counts = jnp.where(active, n_acc + 1, 0)
-                return sampled, counts, next_tok, kv, d_kv, rngs
-
-            def spec_step(carry, _):
-                tokens, kv, d_kv, rngs = carry
-                (sampled, counts, next_tok, kv, d_kv,
-                 rngs) = one_spec_step(tokens, kv, d_kv, rngs)
-                return (next_tok, kv, d_kv, rngs), (sampled, counts)
-
-            (next_tok, kv, d_kv, rngs), (sampled, counts) = jax.lax.scan(
-                spec_step, (tokens, kv, d_kv, rngs), None,
-                length=spec_horizon)
-            # [H, S, k+1] -> [S, H, k+1]; [H, S] -> [S, H]
-            return (sampled.transpose(1, 0, 2), counts.T, next_tok,
-                    kv, d_kv, rngs)
-
+        widths = ([int(w) for w in self.hp.spec_tree.split(",")]
+                  if getattr(self.hp, "spec_tree", "") else [1] * self.spec_k)
+        self.spec_template = TreeTemplate.from_widths(widths)
         self._spec_prefill_chunk = spec_prefill_chunk
-        self._spec_decode_all = spec_decode_all
 
     # -- public API ---------------------------------------------------------
 
@@ -541,7 +476,10 @@ class BatchScheduler:
                 self.slots[i] = _Slot()
 
     def _spec_decode_tick(self, decoding: list[int]) -> bool:
-        """Batched chain-speculation tick (spec x continuous batching)."""
+        """Batched tree-speculation tick (spec x continuous batching)."""
+        from ..speculative.device_tree import tree_spec_scan
+
+        tpl = self.spec_template
         tokens = np.zeros(self.S, np.int32)
         active = np.zeros(self.S, bool)
         temp = np.zeros(self.S, np.float32)
@@ -555,23 +493,27 @@ class BatchScheduler:
             temp[i] = s.req.temperature
             top_k[i] = s.req.top_k
             top_p[i] = s.req.top_p
-        (sampled, counts, next_tok, self.kv, self.d_kv,
-         self.rngs) = self._spec_decode_all(
+        (emitted_d, counts, self.kv, self.d_kv, next_tok,
+         self.rngs) = tree_spec_scan(
             self.params, self.dparams, self.kv, self.d_kv,
-            jnp.asarray(tokens), self.rngs, jnp.asarray(active),
-            jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p))
-        sampled = np.asarray(sampled)  # [S, H, k+1]
-        counts = np.asarray(counts)  # [S, H]
+            jnp.asarray(tokens), self.cfg.llm, self.d_llm,
+            self.spec_horizon, tpl.key(), self.backend,
+            active=jnp.asarray(active), rngs=self.rngs,
+            temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
+            top_p=jnp.asarray(top_p), sample=True)
+        emitted_d = np.asarray(emitted_d)  # [H, S, D+1]
+        counts = np.asarray(counts)  # [H, S]
         next_tok = np.asarray(next_tok)
-        room = self.max_seq - self.spec_horizon * (self.spec_k + 2)
+        room = (self.max_seq - self.spec_horizon * (tpl.max_depth + 1)
+                - tpl.n_nodes)
         for i in decoding:
             s = self.slots[i]
             s.cur_token = int(next_tok[i])
             done = False
             emitted = 0
             for h in range(self.spec_horizon):
-                for j in range(int(counts[i, h])):
-                    tok = int(sampled[i, h, j])
+                for j in range(int(counts[h, i])):
+                    tok = int(emitted_d[h, i, j])
                     emitted += 1
                     s.req.n_generated += 1
                     self.n_tokens_generated += 1

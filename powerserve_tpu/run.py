@@ -62,11 +62,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="LayerSkip self-draft depth (no draft model "
                          "needed; chain engine only)")
     ap.add_argument("--spec-engine", default="chain",
-                    choices=["chain", "tree"],
+                    choices=["chain", "tree", "device-tree"],
                     help="chain: on-device loop (fast over remote "
-                         "links); tree: host-driven token tree")
+                         "links); tree: host-driven token tree; "
+                         "device-tree: on-device batched token tree")
     ap.add_argument("--spec-k", type=int, default=4,
                     help="chain draft length per speculative step")
+    ap.add_argument("--spec-tree", default="2,1,1",
+                    help="device-tree widths per depth (node at depth d "
+                         "spawns widths[d] draft children)")
     args = ap.parse_args(argv)
 
     root = Path(args.work_folder)
@@ -154,6 +158,19 @@ def _run_speculative(args, model_dir, hp) -> int:
         d_cfg, d_params = load_gguf_model(args.draft)
         eng = SpeculativeEngine(params, cfg, d_params, d_cfg,
                                 SpeculativeConfig(), backend=args.backend)
+    elif args.spec_engine == "device-tree":
+        from .speculative.device_tree import DeviceTreeEngine, TreeTemplate
+
+        tpl = TreeTemplate.from_widths(
+            [int(w) for w in args.spec_tree.split(",")])
+        kw = {}
+        if args.self_draft_layers:
+            kw["self_draft_layers"] = args.self_draft_layers
+        else:
+            d_cfg, d_params = load_gguf_model(args.draft)
+            kw.update(draft_params=d_params, draft_cfg=d_cfg)
+        eng = DeviceTreeEngine(params, cfg, template=tpl,
+                               backend=args.backend, **kw)
     else:
         from .speculative.chain import ChainSpecEngine
 

@@ -817,6 +817,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="multi-host: jax.distributed.initialize from "
                          "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
                          "JAX_PROCESS_ID (auto-detected on TPU pods)")
+    ap.add_argument("--spec-tree", default="",
+                    help="speculation-tree widths per depth for "
+                         "\"main+draft\" models, e.g. 2,1,1 "
+                         "(default: chain)")
     args = ap.parse_args(argv)
 
     mesh = None
@@ -839,6 +843,8 @@ def main(argv: list[str] | None = None) -> None:
         root_dir, default = ws.main_model_dir.parent, ws.main_model_dir.name
     else:
         root_dir, default = root, args.model
+    if args.spec_tree:
+        hp.spec_tree = args.spec_tree
     ctx = ServerContext(root_dir, default, hp, args.backend, mesh=mesh)
     app = build_app(ctx)
     log.info(f"serving on http://{args.host}:{args.port}")

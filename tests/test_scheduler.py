@@ -149,3 +149,43 @@ def test_prefix_cache_reuse():
     sched2 = BatchScheduler(params, cfg, hp2, backend="xla")
     assert sched2.prefix_cache is None
     assert run_req(sched2, prompt) == first
+
+
+def test_spec_tree_scheduler_matches_plain(tmp_path):
+    """hp.spec_tree picks a TREE template for the batched spec path;
+    full-depth self-draft greedy output equals the plain scheduler's."""
+    import queue
+
+    out_ws = tmp_path / "ws"
+    make_synthetic_gguf(out_ws, "tiny", GGMLType.Q8_0, seed=0, seq_len=128)
+    cfg, params = load_gguf_model(out_ws / "model")
+
+    def run_req(sched, prompt):
+        out, done = [], queue.Queue()
+
+        def sink(t):
+            if t is None:
+                done.put(True)
+            else:
+                out.append(t)
+
+        sched.submit(Request(prompt_ids=prompt, max_tokens=6,
+                             temperature=0.0, sink=sink))
+        while done.empty():
+            if not sched.step():
+                break
+        return out
+
+    hp = HyperParams(max_slots=2, batch_size=8)
+    hp.max_seq_len = 128
+    plain = BatchScheduler(params, cfg, hp, backend="xla")
+    want = run_req(plain, [3, 17, 5, 9])
+
+    hp2 = HyperParams(max_slots=2, batch_size=8)
+    hp2.max_seq_len = 128
+    hp2.spec_tree = "2,1"
+    tree = BatchScheduler(params, cfg, hp2, backend="xla",
+                          draft_params=params, draft_llm=cfg.llm)
+    assert tree.spec_template.n_nodes == 5
+    got = run_req(tree, [3, 17, 5, 9])
+    assert got == want
