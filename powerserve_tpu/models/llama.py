@@ -114,6 +114,7 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             logits_mode: str = "last",
             embeds: jax.Array | None = None,
             return_hidden: bool = False,
+            return_final_hidden: bool = False,
             tp_axis: str | None = None,
             kv_update: str | None = None):
     """One forward pass over a batch of slots.
@@ -136,6 +137,9 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     return_hidden: also return per-layer hidden states [L, S, Tq, dim]
                  (numerics debugging — the reference's
                  POWERSERVE_DUMP_TENSORS role, executor.cpp:52-75).
+    return_final_hidden: also return the last layer's PRE-norm hidden
+                 state [S, Tq, dim] — the "feature" an EAGLE-style
+                 draft head autoregresses over (speculative/eagle.py).
     kv_update: "inline" — each layer scatters its new K/V into the
                  cache before attention (required for vis_override
                  paths); "deferred" — the layer scan collects the new
@@ -383,4 +387,6 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
                                         tiled=True)
     if return_hidden:
         return logits, kv, hidden
+    if return_final_hidden:
+        return logits, kv, x
     return logits, kv

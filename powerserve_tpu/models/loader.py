@@ -374,3 +374,91 @@ def params_from_hf_state_dict(sd: dict[str, np.ndarray], cfg: ModelConfig,
         embed=embed,
         layers=stack_layers(layers) if stacked else tuple(layers),
         out_norm=out_norm, lm_head=lm_head)
+
+
+# ---------------------------------------------------------------------------
+# EAGLE draft heads (speculative/eagle.py)
+# ---------------------------------------------------------------------------
+
+
+def load_eagle_gguf(path: str | os.PathLike, target_params: LlamaParams,
+                    target_llm: LLMConfig, pack: bool = True):
+    """Load an EAGLE head GGUF (tools/convert_hf.py::convert_eagle,
+    general.architecture == "eagle") against its target model.
+
+    The head shares the target's embedding and lm_head unless the file
+    carries its own token_embd / output tensors; blk.0 without an
+    attn_norm tensor means EAGLE-1 identity input-norm semantics.
+    Returns (e_llm: LLMConfig, EagleParams).
+    """
+    import dataclasses
+
+    from ..speculative.eagle import EagleParams
+
+    p = Path(path)
+    if p.is_dir():
+        p = p / "weights.gguf"
+    reader = GGUFReader(p)
+    md = reader.metadata
+    if md.get("general.architecture") != "eagle":
+        raise ValueError(f"{p}: not an eagle head "
+                         f"(arch={md.get('general.architecture')})")
+    L = int(md.get("eagle.block_count", 1))
+    dim = int(md.get("eagle.embedding_length", target_llm.dim))
+    n_heads = int(md.get("eagle.attention.head_count", target_llm.n_heads))
+    n_kv = int(md.get("eagle.attention.head_count_kv",
+                      target_llm.n_kv_heads))
+    head_dim = int(md.get("eagle.rope.dimension_count",
+                          dim // max(n_heads, 1)))
+    rope = dataclasses.replace(
+        target_llm.rope,
+        freq_base=float(md.get("eagle.rope.freq_base",
+                               target_llm.rope.freq_base)),
+        rope_type=int(md.get("powerserve.rope_type",
+                             target_llm.rope.rope_type)),
+        n_dims=head_dim)
+    e_llm = dataclasses.replace(
+        target_llm, n_layers=L, dim=dim, n_heads=n_heads, n_kv_heads=n_kv,
+        head_size=head_dim, kv_dim=n_kv * head_dim, rope=rope,
+        hidden_dim=int(md.get("eagle.feed_forward_length",
+                              target_llm.hidden_dim)),
+        norm_eps=float(md.get("eagle.attention.layer_norm_rms_epsilon",
+                              target_llm.norm_eps)))
+
+    layers = []
+    input_norm = "blk.0.attn_norm.weight" in reader.tensors
+    for i in range(L):
+        pre = f"blk.{i}."
+        if pre + "attn_norm.weight" in reader.tensors:
+            attn_norm = _norm_from_gguf(reader, pre + "attn_norm.weight")
+        else:
+            attn_norm = jnp.ones(dim, jnp.float32)  # unused at i==0
+        layers.append(LayerWeights(
+            attn_norm=attn_norm,
+            ffn_norm=_norm_from_gguf(reader, pre + "ffn_norm.weight"),
+            wq=_qlinear_from_gguf(reader, pre + "attn_q.weight", pack),
+            wk=_qlinear_from_gguf(reader, pre + "attn_k.weight", pack),
+            wv=_qlinear_from_gguf(reader, pre + "attn_v.weight", pack),
+            wo=_qlinear_from_gguf(reader, pre + "attn_output.weight", pack),
+            bq=_maybe_bias(reader, pre + "attn_q.bias"),
+            bk=_maybe_bias(reader, pre + "attn_k.bias"),
+            bv=_maybe_bias(reader, pre + "attn_v.bias"),
+            w_gate=_qlinear_from_gguf(reader, pre + "ffn_gate.weight", pack),
+            w_up=_qlinear_from_gguf(reader, pre + "ffn_up.weight", pack),
+            w_down=_qlinear_from_gguf(reader, pre + "ffn_down.weight", pack),
+        ))
+    fc = _qlinear_from_gguf(reader, "fc.weight", pack)
+    fc_bias = _maybe_bias(reader, "fc.bias")
+    embed = (_embedding_from_gguf(reader, "token_embd.weight")
+             if "token_embd.weight" in reader.tensors
+             else target_params.embed)
+    if "output.weight" in reader.tensors:
+        lm_head = _qlinear_from_gguf(reader, "output.weight", pack)
+    else:
+        lm_head = target_params.lm_head
+    out_norm = (_norm_from_gguf(reader, "output_norm.weight")
+                if "output_norm.weight" in reader.tensors else None)
+    reader.close()
+    return e_llm, EagleParams(
+        fc=fc, fc_bias=fc_bias, layers=tuple(layers), embed=embed,
+        lm_head=lm_head, out_norm=out_norm, input_norm=input_norm)

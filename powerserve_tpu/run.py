@@ -62,10 +62,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="LayerSkip self-draft depth (no draft model "
                          "needed; chain engine only)")
     ap.add_argument("--spec-engine", default="chain",
-                    choices=["chain", "tree", "device-tree"],
+                    choices=["chain", "tree", "device-tree", "eagle"],
                     help="chain: on-device loop (fast over remote "
                          "links); tree: host-driven token tree; "
-                         "device-tree: on-device batched token tree")
+                         "device-tree: on-device batched token tree; "
+                         "eagle: feature-level draft head (--draft "
+                         "must be a converted EAGLE head; auto-"
+                         "selected when the draft GGUF arch is eagle)")
     ap.add_argument("--spec-k", type=int, default=4,
                     help="chain draft length per speculative step")
     ap.add_argument("--spec-tree", default="2,1,1",
@@ -148,6 +151,30 @@ def _run_speculative(args, model_dir, hp) -> int:
     ids = tok.tokenize(prompt)
     log.info(f"prompt tokens: {len(ids)}")
 
+    if args.draft and args.spec_engine in ("chain", "eagle"):
+        # an EAGLE head GGUF auto-selects the eagle engine
+        from .core.gguf import GGUFReader
+
+        dp = Path(args.draft)
+        rd = GGUFReader(dp / "weights.gguf" if dp.is_dir() else dp)
+        draft_arch = rd.metadata.get("general.architecture")
+        rd.close()
+        if draft_arch == "eagle" or args.spec_engine == "eagle":
+            if draft_arch != "eagle":
+                log.error(f"--spec-engine eagle needs an eagle head GGUF "
+                          f"(got arch={draft_arch})")
+                return 1
+            from .models.loader import load_eagle_gguf
+            from .speculative.eagle import EagleChainEngine
+
+            e_llm, ep = load_eagle_gguf(args.draft, params, cfg.llm)
+            eng = EagleChainEngine(params, cfg, ep, e_llm, k=args.spec_k,
+                                   backend=args.backend)
+            return _spec_generate(args, tok, eng, prompt, ids)
+    elif args.spec_engine == "eagle":
+        log.error("--spec-engine eagle needs --draft <eagle head dir>")
+        return 1
+
     if args.spec_engine == "tree":
         from .speculative.engine import SpeculativeEngine
         from .speculative.tree import SpeculativeConfig
@@ -183,7 +210,12 @@ def _run_speculative(args, model_dir, hp) -> int:
             eng = ChainSpecEngine(params, cfg, d_params, d_cfg,
                                   k=args.spec_k, backend=args.backend)
 
+    return _spec_generate(args, tok, eng, prompt, ids)
+
+
+def _spec_generate(args, tok, eng, prompt, ids) -> int:
     from .core.logging import Timer
+    from .speculative.engine import SpecStats
 
     stats = SpecStats()
     timer = Timer()

@@ -127,6 +127,18 @@ class ServerContext:
             return False
         return any("InternVL" in a for a in archs)
 
+    def _is_eagle_dir(self, d: Path) -> bool:
+        gg = d / "weights.gguf" if d.is_dir() else d
+        if not gg.exists():
+            return False
+        from ..core.gguf import GGUFReader
+
+        rd = GGUFReader(gg)
+        try:
+            return rd.metadata.get("general.architecture") == "eagle"
+        finally:
+            rd.close()
+
     def _load_vlm(self, name: str, d: Path) -> ModelContext:
         """VLM from a GGUF workspace (vision.gguf, preferred) or an
         InternVL HF checkpoint dir (reference loads its VLM from NPU
@@ -192,6 +204,23 @@ class ServerContext:
                     d_params = t_params
                     d_llm = self_draft_config(t_cfg.llm,
                                               int(draft_name[5:]))
+                elif self._is_eagle_dir(self.resolve_dir(draft_name)):
+                    # EAGLE feature-level draft head: single-stream
+                    # engine behind a lock (batched EAGLE x scheduler
+                    # composition not implemented yet)
+                    from ..models.loader import load_eagle_gguf
+                    from ..speculative.eagle import EagleChainEngine
+
+                    e_llm, ep = load_eagle_gguf(
+                        self.resolve_dir(draft_name), t_params, t_cfg.llm)
+                    spec = EagleChainEngine(t_params, t_cfg, ep, e_llm,
+                                            kv_dtype=self.hp.kv_dtype,
+                                            backend=self.backend)
+                    base = self.get(main_name)
+                    ctx = ModelContext(name, base.scheduler, tok, spec,
+                                       asyncio.Lock())
+                    self.models[name] = ctx
+                    return ctx
                 else:
                     d_cfg, d_params = self._load(
                         self.resolve_dir(draft_name))

@@ -1,0 +1,378 @@
+"""EAGLE-style draft head: feature-level autoregression.
+
+The reference's speculation cost model is bounded by draft quality per
+FLOP; its smallest drafts are full 0.5B models (README.md draft pairs).
+EAGLE (Li et al., 2024) replaces the draft model with ONE decoder layer
+that autoregresses over the TARGET's last-layer hidden states
+("features"): the input at position j is fc([embed(t_j); f_{j-1}]) —
+the token at j concatenated with the target feature that produced it —
+and the output approximates f_j, decoded through the target's own
+lm_head. Draft cost: ~1/L of a target step, far below layer-skip
+self-drafting at equal acceptance.
+
+TPU design mirrors speculative/chain.py: the whole
+draft->verify->accept->commit cycle runs inside one jitted lax.scan
+(one device dispatch per block of speculative steps). The EAGLE cache
+is rebuilt from TRUE target features after each verify (one extra
+Tq=k+1 head forward, cheap at 1 layer), so drafted-feature noise never
+accumulates in the head's KV — the official EAGLE re-prefills its
+stable_kv the same way.
+
+No trained EAGLE checkpoints ship with this environment; the head loads
+from a converted GGUF (tools/convert_hf.py::convert_eagle) and the
+numerics/acceptance machinery is exercised with synthetic weights
+(tests/test_eagle.py), including an exact-replica construction that
+proves lossless acceptance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import LLMConfig, ModelConfig
+from ..kv.cache import KVCache
+from ..models.llama import LayerWeights, LlamaParams, QEmbedding, forward
+from ..ops.attention import build_visibility, gqa_attention_quant
+from ..ops.elementwise import apply_rope, rms_norm, rope_cos_sin, silu_hadamard
+from ..ops.qmatmul import QLinear, qmatmul
+from .engine import SpecStats
+
+__all__ = ["EagleParams", "eagle_forward", "eagle_chain_spec_scan",
+           "EagleChainEngine"]
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["fc", "fc_bias", "layers", "embed", "lm_head", "out_norm"],
+    meta_fields=["input_norm"],
+)
+@dataclasses.dataclass
+class EagleParams:
+    """Draft-head weights.
+
+    fc: [2*dim, dim] feature-fusion projection (input order
+    [embedding; feature], matching the official EAGLE fc).
+    layers: decoder layers (typically one), unrolled tuple.
+    embed / lm_head: usually aliases of the target's tables (EAGLE
+    shares both; a head GGUF may carry its own).
+    out_norm: optional RMS-norm weight applied before lm_head (None =
+    head reads the raw feature, EAGLE-1 semantics).
+    input_norm: layer 0 applies its attn_norm (EAGLE-1 sets the first
+    input_layernorm to identity -> False).
+    """
+
+    fc: QLinear
+    fc_bias: jax.Array | None
+    layers: tuple[LayerWeights, ...]
+    embed: QEmbedding
+    lm_head: QLinear
+    out_norm: jax.Array | None
+    input_norm: bool = False
+
+
+def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
+                  tokens: jax.Array, features: jax.Array,
+                  positions: jax.Array, *,
+                  active: jax.Array | None = None,
+                  cache_positions: jax.Array | None = None,
+                  vis_override: jax.Array | None = None,
+                  intra_mask: jax.Array | None = None,
+                  backend: str = "auto",
+                  logits_mode: str = "last"):
+    """One head forward: tokens [S, Tq] with their paired features
+    [S, Tq, dim] (feature at position j-1 pairs with the token at j).
+
+    llm carries the head's geometry (n_layers == len(ep.layers), head
+    counts, rope); kv is the head's own cache. Returns
+    (logits, feature_out [S, Tq, dim], kv) — feature_out is the head's
+    predicted next feature, fed back in autoregressive drafting.
+    """
+    S, Tq = tokens.shape
+    H, Hkv, D = llm.n_heads, llm.n_kv_heads, llm.head_size
+    if cache_positions is None:
+        cache_positions = positions
+
+    emb = ep.embed.lookup(tokens).astype(jnp.bfloat16)
+    xin = jnp.concatenate([emb, features.astype(jnp.bfloat16)], axis=-1)
+    x = qmatmul(xin.reshape(S * Tq, -1), ep.fc, backend=backend)
+    if ep.fc_bias is not None:
+        x = x + ep.fc_bias
+    x = x.reshape(S, Tq, -1).astype(jnp.float32)
+
+    cos, sin = rope_cos_sin(positions, llm.rope, D)
+    if vis_override is not None:
+        vis = vis_override
+    else:
+        vis = build_visibility(kv.mask, cache_positions, intra_mask)
+    scale = 1.0 / float(np.sqrt(D))
+    safe_pos = jnp.where(
+        (cache_positions >= 0) & (cache_positions < kv.max_seq),
+        cache_positions, kv.max_seq)
+
+    def scat(cache_s, new_s, pos_s):
+        return cache_s.at[:, pos_s].set(new_s.astype(cache_s.dtype),
+                                        mode="drop")
+
+    k_all, v_all = kv.k, kv.v
+    ks_all, vs_all = kv.k_scale, kv.v_scale
+    for i, lw in enumerate(ep.layers):
+        if i == 0 and not ep.input_norm:
+            h = x.astype(jnp.bfloat16)  # EAGLE-1: identity input norm
+        else:
+            h = rms_norm(x, lw.attn_norm, llm.norm_eps).astype(jnp.bfloat16)
+        hf = h.reshape(S * Tq, -1)
+
+        def lin(v, w, b):
+            y = qmatmul(v, w, backend=backend)
+            return y if b is None else y + b
+
+        if lw.wqkv is not None:
+            qkv = lin(hf, lw.wqkv, lw.bqkv)
+            q = qkv[:, : H * D].reshape(S, Tq, H, D)
+            knew = qkv[:, H * D : (H + Hkv) * D].reshape(S, Tq, Hkv, D)
+            vnew = qkv[:, (H + Hkv) * D :].reshape(S, Tq, Hkv, D)
+        else:
+            q = lin(hf, lw.wq, lw.bq).reshape(S, Tq, H, D)
+            knew = lin(hf, lw.wk, lw.bk).reshape(S, Tq, Hkv, D)
+            vnew = lin(hf, lw.wv, lw.bv).reshape(S, Tq, Hkv, D)
+        q = apply_rope(q, cos, sin, llm.rope.rope_type)
+        knew = apply_rope(knew, cos, sin, llm.rope.rope_type)
+
+        if kv.quantized:
+            kq, ks = KVCache.quantize_kv(knew)
+            vq, vsc = KVCache.quantize_kv(vnew)
+            k_l = jax.vmap(scat)(k_all[i], kq.transpose(0, 2, 1, 3), safe_pos)
+            v_l = jax.vmap(scat)(v_all[i], vq.transpose(0, 2, 1, 3), safe_pos)
+            ks_l = jax.vmap(scat)(ks_all[i], ks.transpose(0, 2, 1), safe_pos)
+            vs_l = jax.vmap(scat)(vs_all[i], vsc.transpose(0, 2, 1), safe_pos)
+            attn = gqa_attention_quant(q, k_l, ks_l, v_l, vs_l, vis, scale,
+                                       backend=backend)
+        else:
+            from ..ops.attention import gqa_attention
+
+            k_l = jax.vmap(scat)(k_all[i], knew.transpose(0, 2, 1, 3),
+                                 safe_pos)
+            v_l = jax.vmap(scat)(v_all[i], vnew.transpose(0, 2, 1, 3),
+                                 safe_pos)
+            ks_l, vs_l = ks_all[i], vs_all[i]
+            attn = gqa_attention(q, k_l, v_l, vis, scale)
+        k_all = k_all.at[i].set(k_l)
+        v_all = v_all.at[i].set(v_l)
+        if kv.quantized:
+            ks_all = ks_all.at[i].set(ks_l)
+            vs_all = vs_all.at[i].set(vs_l)
+        attn_out = lin(attn.reshape(S * Tq, -1).astype(jnp.bfloat16),
+                       lw.wo, None)
+        x = x + attn_out.reshape(S, Tq, -1).astype(x.dtype)
+
+        h2 = rms_norm(x, lw.ffn_norm, llm.norm_eps).astype(jnp.bfloat16)
+        h2f = h2.reshape(S * Tq, -1)
+        if lw.wgu is not None:
+            gu = lin(h2f, lw.wgu, None)
+            F = gu.shape[-1] // 2
+            gate, up = gu[:, :F], gu[:, F:]
+        else:
+            gate = lin(h2f, lw.w_gate, None)
+            up = lin(h2f, lw.w_up, None)
+        act = silu_hadamard(gate, up).astype(jnp.bfloat16)
+        x = x + lin(act, lw.w_down, None).reshape(S, Tq, -1).astype(x.dtype)
+
+    kv = dataclasses.replace(kv, k=k_all, v=v_all, k_scale=ks_all,
+                             v_scale=vs_all)
+    kv = kv.advance(cache_positions, active=active)
+
+    feature_out = x
+    xh = x if ep.out_norm is None else rms_norm(x, ep.out_norm, llm.norm_eps)
+    xh = xh.astype(jnp.bfloat16)
+    if logits_mode == "none":
+        logits = jnp.zeros((S, 0), jnp.float32)
+    elif logits_mode == "last":
+        logits = qmatmul(xh[:, -1, :], ep.lm_head,
+                         backend=backend).astype(jnp.float32)
+    else:
+        logits = qmatmul(xh.reshape(S * Tq, -1), ep.lm_head,
+                         backend=backend).reshape(S, Tq, -1
+                                                  ).astype(jnp.float32)
+    return logits, feature_out, kv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_llm", "e_llm", "n_steps", "k", "backend"),
+    donate_argnums=(2, 3),
+)
+def eagle_chain_spec_scan(tparams: LlamaParams, eparams: EagleParams,
+                          t_kv: KVCache, e_kv: KVCache, root: jax.Array,
+                          root_feat: jax.Array, t_llm: LLMConfig,
+                          e_llm: LLMConfig, n_steps: int, k: int,
+                          backend: str = "auto"):
+    """n_steps EAGLE chain-speculation steps in one dispatch.
+
+    root: [] int32 last committed token (position p, not yet fed to the
+    target); root_feat: [dim] the target feature at p-1 (the feature
+    whose logits sampled `root`). Returns (tokens [n_steps, k+1],
+    counts [n_steps], t_kv, e_kv, root, root_feat).
+
+    Per step: k sequential head forwards draft the chain; ONE target
+    verify (logits + true features via return_final_hidden); greedy
+    longest-prefix acceptance; the head cache drops ALL k drafted
+    entries and is re-prefilled with the accepted tokens paired with
+    TRUE features (one padded Tq=k+1 head forward), so its state always
+    reflects target features exactly.
+    """
+    def spec_step(carry, _):
+        t_kv, e_kv, root, root_feat = carry
+        c = t_kv.pos.astype(jnp.int32)  # [1] committed length p
+
+        # -- 1. draft k tokens with the head --------------------------
+        def draft_body(dc, _):
+            tok, feat, kv = dc
+            pos = kv.pos.astype(jnp.int32)[:, None]
+            logits, feat_out, kv = eagle_forward(
+                eparams, e_llm, kv, tok[None, :], feat[None, None, :], pos,
+                backend=backend, logits_mode="last")
+            nxt = jnp.argmax(logits[:, :t_llm.vocab_size],
+                             axis=-1).astype(jnp.int32)
+            return (nxt[0][None], feat_out[0, -1], kv), tok[0]
+
+        (last_tok, _, e_kv), fed_in = jax.lax.scan(
+            draft_body, (root[None], root_feat, e_kv), None, length=k)
+        # the scan collects each step's INPUT token, so fed_in =
+        # [root, d0 .. d_{k-2}] and the final carry holds d_{k-1}
+        fed = jnp.concatenate([fed_in, last_tok])  # [k+1]
+
+        # -- 2. one target verify over the chain ----------------------
+        positions = c[:, None] + jnp.arange(k + 1)[None, :]
+        logits, t_kv, feats = forward(
+            tparams, t_llm, t_kv, fed[None, :], positions, backend=backend,
+            logits_mode="all", return_final_hidden=True)
+        sampled = jnp.argmax(logits[0, :, :t_llm.vocab_size],
+                             axis=-1).astype(jnp.int32)  # [k+1]
+        feats = feats[0].astype(jnp.float32)  # [k+1, dim] true features
+
+        # -- 3. greedy acceptance --------------------------------------
+        match = (sampled[:k] == fed[1:]).astype(jnp.int32)
+        acc = jnp.cumprod(match)
+        n_acc = jnp.sum(acc)  # in [0, k]
+        new_root = jnp.take(sampled, n_acc)
+        new_root_feat = jnp.take(feats, n_acc, axis=0)  # feature at p+n_acc
+
+        # -- 4. commit: rollback, re-prefill the head on true features -
+        drop_t = jnp.int32(k) - n_acc
+        t_kv = t_kv.rollback(jnp.broadcast_to(drop_t, t_kv.pos.shape))
+        # the head wrote k entries (positions p .. p+k-1); drop them all
+        e_kv = e_kv.rollback(
+            jnp.broadcast_to(jnp.int32(k), e_kv.pos.shape))
+        # accepted window: token at p+i pairs with TRUE feature at p+i-1
+        # (root_feat for i=0, feats[i-1] after); lanes past n_acc padded
+        lanes = jnp.arange(k + 1)
+        live = lanes <= n_acc
+        commit_pos = jnp.where(live[None, :], c[:, None] + lanes[None, :],
+                               -1)
+        commit_feats = jnp.concatenate(
+            [root_feat[None, :], feats[:k]], axis=0)  # [k+1, dim]
+        _, _, e_kv = eagle_forward(
+            eparams, e_llm, e_kv, fed[None, :], commit_feats[None],
+            commit_pos, backend=backend, logits_mode="none")
+
+        return ((t_kv, e_kv, new_root, new_root_feat),
+                (sampled, n_acc + 1))
+
+    (t_kv, e_kv, root, root_feat), (tokens, counts) = jax.lax.scan(
+        spec_step, (t_kv, e_kv, root, root_feat), None, length=n_steps)
+    return tokens, counts, t_kv, e_kv, root, root_feat
+
+
+class EagleChainEngine:
+    """Host wrapper: prefill target + head, then emit tokens in blocks
+    of on-device EAGLE steps (one dispatch per block) — the EAGLE
+    analogue of chain.ChainSpecEngine."""
+
+    def __init__(self, target_params: LlamaParams, target_cfg: ModelConfig,
+                 eagle_params: EagleParams, eagle_llm: LLMConfig,
+                 k: int = 4, block_steps: int = 8, max_seq: int = 0,
+                 kv_dtype: str = "int8", backend: str = "auto"):
+        self.tp, self.tcfg = target_params, target_cfg
+        self.ep, self.e_llm = eagle_params, eagle_llm
+        self.t_llm = target_cfg.llm
+        self.k = k
+        self.block_steps = block_steps
+        self.backend = backend
+        self.max_seq = max_seq or target_cfg.llm.seq_len
+        self.kv_dtype = kv_dtype
+        self.reset()
+
+    def reset(self) -> None:
+        t, e = self.t_llm, self.e_llm
+        self.t_kv = KVCache.create(t.n_layers, 1, self.max_seq,
+                                   t.n_kv_heads, t.head_size, self.kv_dtype)
+        self.e_kv = KVCache.create(e.n_layers, 1, self.max_seq,
+                                   e.n_kv_heads, e.head_size, self.kv_dtype)
+
+    def prefill(self, prompt_tokens: list[int], chunk: int = 128) -> None:
+        from ..engine.loops import prefill_step
+
+        toks = np.asarray(prompt_tokens[:-1], np.int32)
+        self._root = jnp.int32(prompt_tokens[-1])
+        if not len(toks):
+            self._root_feat = jnp.zeros(self.t_llm.dim, jnp.float32)
+            return
+        # target prefill, keeping every chunk's final-hidden features to
+        # feed the head's prefill (the head at position j consumes the
+        # target feature from j-1)
+        feats = []
+        for off in range(0, len(toks), chunk):
+            part = toks[off:off + chunk]
+            pos = off + np.arange(len(part), dtype=np.int32)
+            _, self.t_kv, f = forward(
+                self.tp, self.t_llm, self.t_kv, jnp.asarray(part[None, :]),
+                jnp.asarray(pos[None, :]), backend=self.backend,
+                logits_mode="none", return_final_hidden=True)
+            feats.append(f[0])
+        feats = jnp.concatenate(feats, axis=0)  # [n-1, dim]
+        # head prefill: token t_j pairs with feature f_{j-1}; position 0
+        # has no prior feature — EAGLE uses zeros there
+        dim = feats.shape[-1]
+        head_feats = jnp.concatenate(
+            [jnp.zeros((1, dim), feats.dtype), feats[:-1]], axis=0)
+        for off in range(0, len(toks), chunk):
+            part = toks[off:off + chunk]
+            pos = off + np.arange(len(part), dtype=np.int32)
+            _, _, self.e_kv = eagle_forward(
+                self.ep, self.e_llm, self.e_kv, jnp.asarray(part[None, :]),
+                head_feats[off:off + len(part)][None], jnp.asarray(pos[None, :]),
+                backend=self.backend, logits_mode="none")
+        self._root_feat = feats[-1].astype(jnp.float32)
+
+    def generate(self, prompt_tokens: list[int], n_predict: int,
+                 stop_fn=None, stats: SpecStats | None = None):
+        stats = stats if stats is not None else SpecStats()
+        self.prefill(prompt_tokens)
+        out = 0
+        while out < n_predict:
+            room = self.max_seq - int(np.asarray(self.t_kv.pos)[0])
+            if room < self.block_steps * (self.k + 1) + 1:
+                return
+            (tokens, counts, self.t_kv, self.e_kv, self._root,
+             self._root_feat) = eagle_chain_spec_scan(
+                self.tp, self.ep, self.t_kv, self.e_kv, self._root,
+                self._root_feat, self.t_llm, self.e_llm,
+                self.block_steps, self.k, self.backend)
+            tokens = np.asarray(tokens)
+            counts = np.asarray(counts)
+            for i in range(self.block_steps):
+                stats.steps += 1
+                stats.drafted += self.k
+                stats.accepted += int(counts[i]) - 1
+                for t in tokens[i, :counts[i]]:
+                    stats.emitted += 1
+                    out += 1
+                    yield int(t)
+                    if (stop_fn is not None and stop_fn(int(t))) \
+                            or out >= n_predict:
+                        return

@@ -181,6 +181,82 @@ def convert_hf_model(model_dir: str | Path, out_dir: str | Path,
     return out_dir
 
 
+def convert_eagle(model_dir: str | Path, out_dir: str | Path,
+                  quant: str = "q8_0") -> Path:
+    """Convert an EAGLE draft-head checkpoint (official layout:
+    fc.weight [dim, 2*dim] + layers.N.* decoder blocks, e.g.
+    yuhuili/EAGLE-LLaMA3-8B) to a weights.gguf with
+    general.architecture = "eagle". The head shares the target's
+    embedding / lm_head unless the checkpoint carries its own
+    (embed_tokens / lm_head keys). Load with
+    models.loader.load_eagle_gguf against the target params."""
+    model_dir = Path(model_dir)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    fmt = QUANTS[quant]
+
+    hf_cfg = json.loads((model_dir / "config.json").read_text())
+    dim = hf_cfg["hidden_size"]
+    n_heads = hf_cfg["num_attention_heads"]
+    n_kv = hf_cfg.get("num_key_value_heads", n_heads)
+    head_dim = hf_cfg.get("head_dim", dim // n_heads)
+    n_layers = hf_cfg.get("num_hidden_layers", 1)
+
+    w = GGUFWriter()
+    md = w.metadata
+    md["general.architecture"] = "eagle"
+    md["eagle.embedding_length"] = dim
+    md["eagle.feed_forward_length"] = hf_cfg["intermediate_size"]
+    md["eagle.block_count"] = n_layers
+    md["eagle.attention.head_count"] = n_heads
+    md["eagle.attention.head_count_kv"] = n_kv
+    md["eagle.rope.dimension_count"] = head_dim
+    md["eagle.rope.freq_base"] = float(hf_cfg.get("rope_theta", 10000.0))
+    md["eagle.attention.layer_norm_rms_epsilon"] = float(
+        hf_cfg.get("rms_norm_eps", 1e-5))
+    md["eagle.vocab_size"] = hf_cfg.get("vocab_size", 0)
+    md["powerserve.rope_type"] = ROPE_TYPE_NEOX
+
+    def head_name(hf_name: str) -> str | None:
+        if hf_name in ("fc.weight", "fc.bias"):
+            return hf_name
+        # checkpoints use bare "layers.N." (no "model." prefix) and may
+        # or may not carry embedding / norm / head tensors
+        if hf_name in ("embed_tokens.weight", "model.embed_tokens.weight"):
+            return "token_embd.weight"
+        if hf_name in ("norm.weight", "model.norm.weight"):
+            return "output_norm.weight"
+        if hf_name in ("lm_head.weight", "head.weight"):
+            return "output.weight"
+        for pre in ("layers.", "model.layers."):
+            if hf_name.startswith(pre):
+                idx, _, tail = hf_name[len(pre):].partition(".")
+                mapped = _LAYER_MAP.get(tail)
+                if mapped:
+                    return f"blk.{idx}.{mapped}"
+        return None
+
+    n_written = 0
+    for hf_name, arr in _iter_hf_tensors(model_dir):
+        name = head_name(hf_name)
+        if name is None:
+            continue
+        arr = np.asarray(arr, np.float32)
+        if arr.ndim == 1 or name.endswith(".bias"):
+            w.add_float_tensor(name, arr)
+        else:
+            use = fmt
+            block = 256 if fmt == GGMLType.Q4_K else 32
+            if arr.shape[-1] % block != 0:
+                use = GGMLType.F16
+            w.add_tensor(name, tuple(reversed(arr.shape)), use,
+                         quantize(arr, use))
+        n_written += 1
+    w.write(out_dir / "weights.gguf")
+    print(f"wrote {n_written} tensors -> {out_dir / 'weights.gguf'}")
+    return out_dir
+
+
 def convert_internvl(model_dir: str | Path, out_dir: str | Path,
                      quant: str = "q4_k") -> Path:
     """InternVL VLM checkpoint -> workspace with BOTH weight files:
@@ -263,8 +339,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--quant", default="q4_k", choices=sorted(QUANTS))
     args = ap.parse_args(argv)
     cfg = json.loads((Path(args.model_dir) / "config.json").read_text())
-    if any("InternVL" in a for a in cfg.get("architectures", [])):
+    archs = cfg.get("architectures", [])
+    if any("InternVL" in a for a in archs):
         convert_internvl(args.model_dir, args.out_dir, args.quant)
+    elif (any("Eagle" in a for a in archs)
+          or cfg.get("model_type") == "eagle"
+          or cfg.get("draft_architecture") == "eagle"):
+        convert_eagle(args.model_dir, args.out_dir, args.quant)
     else:
         convert_hf_model(args.model_dir, args.out_dir, args.quant)
     return 0

@@ -1,0 +1,246 @@
+"""EAGLE draft-head speculation (speculative/eagle.py).
+
+Losslessness: greedy EAGLE output must equal vanilla greedy decode for
+ANY head weights. Acceptance machinery: an exact-replica head (fc =
+[I; 0], layer = the 1-layer target's own layer) reproduces the target's
+computation, so every draft must be accepted — proving the feature
+plumbing (root_feat carry, true-feature cache re-prefill) is aligned.
+Converter: HF eagle checkpoint -> GGUF -> load round-trips numerics.
+"""
+
+import dataclasses
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from powerserve_tpu.core.config import ModelConfig
+from powerserve_tpu.core.gguf import GGMLType
+from powerserve_tpu.kv.cache import KVCache
+from powerserve_tpu.models.llama import forward
+from powerserve_tpu.models.loader import (
+    _qlinear_from_float,
+    load_eagle_gguf,
+    params_from_hf_state_dict,
+)
+from powerserve_tpu.speculative.eagle import (
+    EagleChainEngine,
+    EagleParams,
+    eagle_forward,
+)
+
+DIM = 64
+
+
+def _mk_target(seed=0, layers=1, stacked=False):
+    import torch
+    import transformers
+
+    torch.manual_seed(seed)
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=DIM, intermediate_size=2 * DIM,
+        num_hidden_layers=layers, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=256,
+        rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=False)
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    model.eval()
+    cfg = ModelConfig(arch="llama")
+    llm = cfg.llm
+    llm.dim = DIM
+    llm.hidden_dim = 2 * DIM
+    llm.n_layers = layers
+    llm.n_heads = 4
+    llm.n_kv_heads = 2
+    llm.head_size = DIM // 4
+    llm.seq_len = 256
+    llm.vocab_size = 256
+    llm.kv_dim = 2 * (DIM // 4)
+    llm.rope.n_dims = DIM // 4
+    sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+    params = params_from_hf_state_dict(sd, cfg, fmt=GGMLType.Q8_0,
+                                       stacked=stacked, fuse=False)
+    return params, cfg, sd
+
+
+def _vanilla_greedy(params, cfg, prompt, n):
+    kv = KVCache.create(cfg.llm.n_layers, 1, 256, cfg.llm.n_kv_heads,
+                        cfg.llm.head_size, dtype="bf16")
+    toks = list(prompt)
+    pos = jnp.arange(len(toks) - 1)[None, :]
+    _, kv = forward(params, cfg.llm, kv, jnp.asarray([toks[:-1]]), pos,
+                    backend="xla", logits_mode="none")
+    cur = toks[-1]
+    out = []
+    for i in range(n):
+        p = len(toks) - 1 + i
+        logits, kv = forward(params, cfg.llm, kv, jnp.asarray([[cur]]),
+                             jnp.asarray([[p]], jnp.int32),
+                             backend="xla", logits_mode="last")
+        cur = int(jnp.argmax(logits[0, : cfg.llm.vocab_size]))
+        out.append(cur)
+    return out
+
+
+def _identity_fc():
+    w = np.concatenate([np.eye(DIM, dtype=np.float32),
+                        np.zeros((DIM, DIM), np.float32)], axis=1)
+    return _qlinear_from_float(w, GGMLType.Q8_0)
+
+
+def test_eagle_exact_replica_full_acceptance():
+    """fc=[I;0] + the 1-layer target's own layer == the target itself:
+    greedy output matches vanilla AND every draft is accepted."""
+    from powerserve_tpu.speculative.engine import SpecStats
+
+    params, cfg, _ = _mk_target(0, layers=1)
+    prompt = [3, 17, 5, 9]
+    want = _vanilla_greedy(params, cfg, prompt, 24)
+
+    ep = EagleParams(
+        fc=_identity_fc(), fc_bias=None, layers=(params.layers[0],),
+        embed=params.embed, lm_head=params.lm_head,
+        out_norm=params.out_norm, input_norm=True)
+    e_llm = dataclasses.replace(cfg.llm, n_layers=1)
+    stats = SpecStats()
+    eng = EagleChainEngine(params, cfg, ep, e_llm, k=3, block_steps=4,
+                           backend="xla", kv_dtype="bf16")
+    got = list(eng.generate(prompt, 24, stats=stats))
+    assert got == want, (got, want)
+    assert stats.accepted / max(stats.drafted, 1) >= 0.8, stats
+
+
+def test_eagle_greedy_matches_vanilla_random_head():
+    """Losslessness holds for an unrelated (random) head too."""
+    params, cfg, _ = _mk_target(0, layers=2)
+    d_params, _, _ = _mk_target(7, layers=1)
+    prompt = [3, 17, 5, 9]
+    want = _vanilla_greedy(params, cfg, prompt, 20)
+
+    rng = np.random.default_rng(11)
+    fc = _qlinear_from_float(
+        rng.standard_normal((DIM, 2 * DIM)).astype(np.float32) * 0.05,
+        GGMLType.Q8_0)
+    ep = EagleParams(
+        fc=fc, fc_bias=None, layers=(d_params.layers[0],),
+        embed=params.embed, lm_head=params.lm_head, out_norm=None,
+        input_norm=False)
+    e_llm = dataclasses.replace(cfg.llm, n_layers=1)
+    eng = EagleChainEngine(params, cfg, ep, e_llm, k=3, block_steps=4,
+                           backend="xla", kv_dtype="bf16")
+    got = list(eng.generate(prompt, 20))
+    assert got == want, (got, want)
+
+
+def _eagle_hf_checkpoint(tmp_path, rng):
+    """Write an official-layout EAGLE checkpoint (bare layers.N names,
+    layer 0 without input_layernorm — EAGLE-1 identity semantics)."""
+    from safetensors.numpy import save_file
+
+    d = tmp_path / "eagle_hf"
+    d.mkdir()
+    H, Hkv, hd = 4, 2, DIM // 4
+    sd = {
+        "fc.weight": rng.standard_normal((DIM, 2 * DIM)).astype(np.float32)
+        * 0.05,
+        "fc.bias": rng.standard_normal(DIM).astype(np.float32) * 0.01,
+        "layers.0.self_attn.q_proj.weight":
+            rng.standard_normal((H * hd, DIM)).astype(np.float32) * 0.05,
+        "layers.0.self_attn.k_proj.weight":
+            rng.standard_normal((Hkv * hd, DIM)).astype(np.float32) * 0.05,
+        "layers.0.self_attn.v_proj.weight":
+            rng.standard_normal((Hkv * hd, DIM)).astype(np.float32) * 0.05,
+        "layers.0.self_attn.o_proj.weight":
+            rng.standard_normal((DIM, H * hd)).astype(np.float32) * 0.05,
+        "layers.0.post_attention_layernorm.weight":
+            np.ones(DIM, np.float32),
+        "layers.0.mlp.gate_proj.weight":
+            rng.standard_normal((2 * DIM, DIM)).astype(np.float32) * 0.05,
+        "layers.0.mlp.up_proj.weight":
+            rng.standard_normal((2 * DIM, DIM)).astype(np.float32) * 0.05,
+        "layers.0.mlp.down_proj.weight":
+            rng.standard_normal((DIM, 2 * DIM)).astype(np.float32) * 0.05,
+    }
+    save_file(sd, str(d / "model.safetensors"))
+    (d / "config.json").write_text(json.dumps({
+        "model_type": "eagle", "hidden_size": DIM,
+        "intermediate_size": 2 * DIM, "num_hidden_layers": 1,
+        "num_attention_heads": H, "num_key_value_heads": Hkv,
+        "rope_theta": 10000.0, "rms_norm_eps": 1e-5, "vocab_size": 256}))
+    return d, sd
+
+
+def test_eagle_convert_load_roundtrip(tmp_path):
+    """convert_eagle -> load_eagle_gguf reproduces in-memory params."""
+    from powerserve_tpu.tools.convert_hf import convert_eagle
+
+    params, cfg, _ = _mk_target(0, layers=1)
+    rng = np.random.default_rng(3)
+    hf_dir, sd = _eagle_hf_checkpoint(tmp_path, rng)
+    out = convert_eagle(hf_dir, tmp_path / "eagle_ws", quant="q8_0")
+    e_llm, ep = load_eagle_gguf(out, params, cfg.llm)
+
+    assert not ep.input_norm  # layer 0 has no input_layernorm tensor
+    assert len(ep.layers) == 1
+    assert ep.out_norm is None
+    assert ep.lm_head is params.lm_head  # shared with the target
+    assert e_llm.n_layers == 1 and e_llm.dim == DIM
+
+    # numerics: loaded head == head built directly from the same floats
+    lw = ep.layers[0]
+    ref = EagleParams(
+        fc=_qlinear_from_float(sd["fc.weight"], GGMLType.Q8_0),
+        fc_bias=jnp.asarray(sd["fc.bias"]),
+        layers=(dataclasses.replace(
+            lw,
+            wq=_qlinear_from_float(sd["layers.0.self_attn.q_proj.weight"],
+                                   GGMLType.Q8_0),
+            wk=_qlinear_from_float(sd["layers.0.self_attn.k_proj.weight"],
+                                   GGMLType.Q8_0),
+            wv=_qlinear_from_float(sd["layers.0.self_attn.v_proj.weight"],
+                                   GGMLType.Q8_0),
+            wo=_qlinear_from_float(sd["layers.0.self_attn.o_proj.weight"],
+                                   GGMLType.Q8_0),
+            w_gate=_qlinear_from_float(sd["layers.0.mlp.gate_proj.weight"],
+                                       GGMLType.Q8_0),
+            w_up=_qlinear_from_float(sd["layers.0.mlp.up_proj.weight"],
+                                     GGMLType.Q8_0),
+            w_down=_qlinear_from_float(sd["layers.0.mlp.down_proj.weight"],
+                                       GGMLType.Q8_0),
+        ),),
+        embed=params.embed, lm_head=params.lm_head, out_norm=None,
+        input_norm=False)
+
+    e_llm2 = dataclasses.replace(cfg.llm, n_layers=1)
+    toks = jnp.asarray([[5, 9, 2]], jnp.int32)
+    feats = jnp.asarray(
+        np.random.default_rng(4).standard_normal((1, 3, DIM)), jnp.float32)
+    pos = jnp.arange(3, dtype=jnp.int32)[None, :]
+
+    def run(p):
+        kv = KVCache.create(1, 1, 64, e_llm2.n_kv_heads, e_llm2.head_size,
+                            dtype="bf16")
+        logits, feat, _ = eagle_forward(p, e_llm2, kv, toks, feats, pos,
+                                        backend="xla", logits_mode="all")
+        return np.asarray(logits), np.asarray(feat)
+
+    la, fa = run(ep)
+    lb, fb = run(ref)
+    np.testing.assert_allclose(la, lb, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(fa, fb, rtol=1e-4, atol=1e-4)
+
+
+def test_eagle_engine_reset_reuse():
+    """Engine state fully resets between prompts (cache isolation)."""
+    params, cfg, _ = _mk_target(0, layers=1)
+    ep = EagleParams(
+        fc=_identity_fc(), fc_bias=None, layers=(params.layers[0],),
+        embed=params.embed, lm_head=params.lm_head,
+        out_norm=params.out_norm, input_norm=True)
+    e_llm = dataclasses.replace(cfg.llm, n_layers=1)
+    eng = EagleChainEngine(params, cfg, ep, e_llm, k=2, block_steps=2,
+                           backend="xla", kv_dtype="bf16")
+    a1 = list(eng.generate([3, 17, 5, 9], 8))
+    eng.reset()
+    a2 = list(eng.generate([3, 17, 5, 9], 8))
+    assert a1 == a2

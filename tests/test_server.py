@@ -478,3 +478,61 @@ def test_metrics_latency_percentiles(ws_dir):
             assert float(line[0].split()[-1]) > 0.0
 
     _run(ws_dir, go)
+
+
+def test_eagle_draft_spec_model(ws_dir):
+    """"model+eagle" (an EAGLE-arch draft GGUF) routes to the
+    feature-level head engine; greedy output equals the plain model's
+    regardless of head quality (lossless verification)."""
+    import numpy as np
+
+    from powerserve_tpu.core.gguf import GGUFWriter
+    from powerserve_tpu.core.quant import quantize
+
+    # head GGUF matching the tiny workspace geometry (dim=64, 4 heads,
+    # 2 kv heads), random weights — written directly (the converter path
+    # is covered by tests/test_eagle.py)
+    dim, H, Hkv, hd = 64, 4, 2, 16
+    rng = np.random.default_rng(9)
+    w = GGUFWriter()
+    md = w.metadata
+    md["general.architecture"] = "eagle"
+    md["eagle.embedding_length"] = dim
+    md["eagle.feed_forward_length"] = 2 * dim
+    md["eagle.block_count"] = 1
+    md["eagle.attention.head_count"] = H
+    md["eagle.attention.head_count_kv"] = Hkv
+    md["eagle.rope.dimension_count"] = hd
+    md["eagle.rope.freq_base"] = 10000.0
+    md["eagle.attention.layer_norm_rms_epsilon"] = 1e-5
+
+    def q8(name, arr):
+        w.add_tensor(name, tuple(reversed(arr.shape)), GGMLType.Q8_0,
+                     quantize(arr.astype(np.float32), GGMLType.Q8_0))
+
+    q8("fc.weight", rng.standard_normal((dim, 2 * dim)) * 0.05)
+    q8("blk.0.attn_q.weight", rng.standard_normal((H * hd, dim)) * 0.05)
+    q8("blk.0.attn_k.weight", rng.standard_normal((Hkv * hd, dim)) * 0.05)
+    q8("blk.0.attn_v.weight", rng.standard_normal((Hkv * hd, dim)) * 0.05)
+    q8("blk.0.attn_output.weight", rng.standard_normal((dim, H * hd)) * 0.05)
+    q8("blk.0.ffn_gate.weight", rng.standard_normal((2 * dim, dim)) * 0.05)
+    q8("blk.0.ffn_up.weight", rng.standard_normal((2 * dim, dim)) * 0.05)
+    q8("blk.0.ffn_down.weight", rng.standard_normal((dim, 2 * dim)) * 0.05)
+    w.add_float_tensor("blk.0.ffn_norm.weight", np.ones(dim, np.float32))
+    eagle_dir = ws_dir / "eagle"
+    eagle_dir.mkdir(exist_ok=True)
+    w.write(eagle_dir / "weights.gguf")
+
+    async def go(client):
+        r0 = await client.post("/v1/completions", json={
+            "model": "model", "prompt": "hello", "max_tokens": 8,
+            "temperature": 0.0})
+        base = (await r0.json())["choices"][0]["text"]
+        r = await client.post("/v1/completions", json={
+            "model": "model+eagle", "prompt": "hello",
+            "max_tokens": 8, "temperature": 0.0})
+        assert r.status == 200
+        body = await r.json()
+        assert body["choices"][0]["text"] == base
+
+    _run(ws_dir, go)
