@@ -146,6 +146,7 @@ class HyperParams:
     kernel_backend: str = "auto"  # auto | pallas | xla
     decode_horizon: int = 4  # decode steps per device dispatch (scheduler)
     spec_horizon: int = 2  # speculative steps per device dispatch
+    spec_k: int = 4  # chain length (draft tokens per spec step)
     # speculation-tree widths per depth, e.g. "2,1,1" (node at depth d
     # gets widths[d] children); "" = chain of length spec_k
     spec_tree: str = ""

@@ -138,7 +138,8 @@ class BatchScheduler:
     def __init__(self, params: LlamaParams, cfg: ModelConfig,
                  hp: HyperParams | None = None, backend: str = "auto",
                  draft_params: LlamaParams | None = None,
-                 draft_llm=None, spec_k: int = 4, mesh=None):
+                 draft_llm=None, spec_k: int = 0, mesh=None,
+                 eagle_params=None, eagle_llm=None):
         """draft_params/draft_llm: enable BATCHED chain speculation —
         every decode tick drafts a k-chain per active slot (one batched
         draft scan), verifies all slots in one target forward, and
@@ -149,7 +150,12 @@ class BatchScheduler:
         self-drafting. Spec mode samples each chain position with the
         slot's sampler params (emitted tokens are exact target samples;
         acceptance = draft token equals the target's sampled token);
-        repeat penalties and logprobs are not applied in spec mode."""
+        repeat penalties and logprobs are not applied in spec mode.
+
+        eagle_params/eagle_llm: BATCHED EAGLE speculation instead — the
+        draft is a feature-level head (speculative/eagle.py) drafting a
+        spec_k chain per slot; the scheduler carries each slot's last
+        target feature across ticks (and through the prefix cache)."""
         self.params = params
         self.cfg = cfg
         self.hp = hp or HyperParams()
@@ -163,9 +169,22 @@ class BatchScheduler:
                                  self.hp.kv_dtype)
         self.dparams = draft_params
         self.d_llm = draft_llm
-        self.spec_k = spec_k
+        self.spec_k = spec_k or max(int(getattr(self.hp, "spec_k", 4)), 1)
+        self.eparams = eagle_params
+        self.e_llm = eagle_llm
+        self.is_eagle = eagle_params is not None
         self.d_kv = None
-        if draft_params is not None:
+        if self.is_eagle:
+            assert eagle_llm is not None and draft_params is None
+            self.d_kv = KVCache.create(
+                eagle_llm.n_layers, self.S, self.max_seq,
+                eagle_llm.n_kv_heads, eagle_llm.head_size,
+                self.hp.kv_dtype)
+            # per-slot carried target feature [S, dim]: during prefill,
+            # the feature at the slot's last prefilled position; during
+            # decode, the feature paired with the slot's root token
+            self.feat = jnp.zeros((self.S, llm.dim), jnp.float32)
+        elif draft_params is not None:
             assert draft_llm is not None
             self.d_kv = KVCache.create(
                 draft_llm.n_layers, self.S, self.max_seq,
@@ -277,7 +296,9 @@ class BatchScheduler:
         self._decode_all = decode_all
         self.horizon = horizon
         self.n_top = n_top
-        if self.dparams is not None:
+        if self.is_eagle:
+            self._mk_eagle_jits()
+        elif self.dparams is not None:
             self._mk_spec_jits()
 
     def _mk_spec_jits(self) -> None:
@@ -314,6 +335,42 @@ class BatchScheduler:
                   if getattr(self.hp, "spec_tree", "") else [1] * self.spec_k)
         self.spec_template = TreeTemplate.from_widths(widths)
         self._spec_prefill_chunk = spec_prefill_chunk
+
+    def _mk_eagle_jits(self) -> None:
+        llm = self.cfg.llm
+        e_llm = self.e_llm
+        backend = self.backend
+        from ..speculative.eagle import eagle_forward
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3, 7))
+        def eagle_prefill_chunk(params, eparams, kv, e_kv, tokens,
+                                positions, active, last_feat, n_real):
+            """Target prefill chunk + head prefill: the head's query at
+            lane 0 pairs with the slot's carried feature (the target
+            feature at the previous position); lane i pairs with this
+            chunk's feature at lane i-1. Returns the new carried
+            feature = the feature at each slot's last REAL lane
+            (n_real[s]-1; padded -1 lanes produce garbage features that
+            must not leak into the carry)."""
+            _, kv, feats = forward(params, llm, kv, tokens, positions,
+                                   active=active, backend=backend,
+                                   logits_mode="none",
+                                   return_final_hidden=True)
+            feats = feats.astype(jnp.float32)  # [S, C, dim]
+            head_feats = jnp.concatenate(
+                [last_feat[:, None, :], feats[:, :-1]], axis=1)
+            _, _, e_kv = eagle_forward(
+                eparams, e_llm, e_kv, tokens, head_feats, positions,
+                active=active, backend=backend, logits_mode="none")
+            idx = jnp.maximum(n_real - 1, 0)
+            new_last = jnp.take_along_axis(
+                feats, idx[:, None, None], axis=1)[:, 0]
+            new_last = jnp.where((active & (n_real > 0))[:, None],
+                                 new_last, last_feat)
+            return kv, e_kv, new_last
+
+        self._eagle_prefill_chunk = eagle_prefill_chunk
+        self.spec_horizon = max(int(getattr(self.hp, "spec_horizon", 1)), 1)
 
     # -- public API ---------------------------------------------------------
 
@@ -398,16 +455,23 @@ class BatchScheduler:
             self.kv = self.kv.reset_slot(i)
             if self.d_kv is not None:
                 self.d_kv = self.d_kv.reset_slot(i)
+            if self.is_eagle:
+                self.feat = self.feat.at[i].set(0.0)
             if self.prefix_cache is not None:
                 hit = self.prefix_cache.match(req.prompt_ids[:-1])
                 # spec mode requires a matching draft-cache prefix
+                # (eagle additionally needs the carried feature)
                 if hit is not None and (self.d_kv is None
-                                        or "d" in hit[1]):
+                                        or "d" in hit[1]) and (
+                        not self.is_eagle or "feat" in hit[1]):
                     n, saved = hit
                     self.kv = self.kv.restore_slot_prefix(i, saved["kv"])
                     if self.d_kv is not None:
                         self.d_kv = self.d_kv.restore_slot_prefix(
                             i, saved["d"])
+                    if self.is_eagle:
+                        self.feat = self.feat.at[i].set(
+                            jnp.asarray(saved["feat"]["v"]))
                     slot.prefill_off = n
                     log.debug(f"req {req.id}: prefix cache hit ({n} tok)")
             self.penalty = self.penalty.reset_slot(i)
@@ -424,6 +488,7 @@ class BatchScheduler:
         tokens = np.zeros((self.S, C), np.int32)
         positions = np.full((self.S, C), -1, np.int32)
         active = np.zeros(self.S, bool)
+        n_real = np.zeros(self.S, np.int32)
         ran = False
         stores: list[tuple[int, list[int]]] = []
         for i, slot in enumerate(self.slots):
@@ -437,6 +502,7 @@ class BatchScheduler:
             tokens[i, :len(part)] = part
             positions[i, :len(part)] = slot.prefill_off + np.arange(len(part))
             active[i] = True
+            n_real[i] = len(part)
             slot.prefill_off += len(part)
             if slot.prefill_off >= len(prompt):
                 slot.prefilling = False
@@ -444,7 +510,12 @@ class BatchScheduler:
                     stores.append((i, prompt[:slot.prefill_off]))
             ran = True
         if ran:
-            if self.d_kv is not None:
+            if self.is_eagle:
+                self.kv, self.d_kv, self.feat = self._eagle_prefill_chunk(
+                    self.params, self.eparams, self.kv, self.d_kv,
+                    jnp.asarray(tokens), jnp.asarray(positions),
+                    jnp.asarray(active), self.feat, jnp.asarray(n_real))
+            elif self.d_kv is not None:
                 self.kv, self.d_kv = self._spec_prefill_chunk(
                     self.params, self.dparams, self.kv, self.d_kv,
                     jnp.asarray(tokens), jnp.asarray(positions),
@@ -462,6 +533,8 @@ class BatchScheduler:
                         if self.d_kv is not None:
                             saved["d"] = self.d_kv.save_slot_prefix(
                                 i, len(prefix))
+                        if self.is_eagle:
+                            saved["feat"] = {"v": np.asarray(self.feat[i])}
                         self.prefix_cache.put(prefix, saved, pin=pin)
                         self._pin_reqs.discard(tuple(prefix))
         return ran
@@ -539,11 +612,77 @@ class BatchScheduler:
                 self.slots[i] = _Slot()
         return True
 
+    def _eagle_decode_tick(self, decoding: list[int]) -> bool:
+        """Batched EAGLE tick: one eagle_spec_scan dispatch advances
+        every decoding slot by spec_horizon chain-spec steps."""
+        from ..speculative.eagle import eagle_spec_scan
+
+        k = self.spec_k
+        tokens = np.zeros(self.S, np.int32)
+        active = np.zeros(self.S, bool)
+        temp = np.zeros(self.S, np.float32)
+        top_k = np.zeros(self.S, np.int32)
+        top_p = np.ones(self.S, np.float32)
+        pos_host = np.asarray(self.kv.pos)
+        for i in decoding:
+            s = self.slots[i]
+            tokens[i] = s.cur_token
+            active[i] = True
+            temp[i] = s.req.temperature
+            top_k[i] = s.req.top_k
+            top_p[i] = s.req.top_p
+        (emitted_d, counts, self.kv, self.d_kv, next_tok, self.feat,
+         self.rngs) = eagle_spec_scan(
+            self.params, self.eparams, self.kv, self.d_kv,
+            jnp.asarray(tokens), self.feat, self.cfg.llm, self.e_llm,
+            self.spec_horizon, k, self.backend,
+            active=jnp.asarray(active), rngs=self.rngs,
+            temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
+            top_p=jnp.asarray(top_p), sample=True)
+        emitted_d = np.asarray(emitted_d)  # [H, S, k+1]
+        counts = np.asarray(counts)  # [H, S]
+        next_tok = np.asarray(next_tok)
+        room = self.max_seq - self.spec_horizon * (k + 1) - (k + 1)
+        for i in decoding:
+            s = self.slots[i]
+            s.cur_token = int(next_tok[i])
+            done = False
+            emitted = 0
+            for h in range(self.spec_horizon):
+                for j in range(int(counts[h, i])):
+                    tok = int(emitted_d[h, i, j])
+                    emitted += 1
+                    s.req.n_generated += 1
+                    self.n_tokens_generated += 1
+                    self._emit(s.req, tok)
+                    if s.req.cancelled:
+                        s.req.finish_reason = s.req.finish_reason or "stop"
+                        done = True
+                    elif tok in s.req.stop_ids:
+                        s.req.finish_reason = "stop"
+                        done = True
+                    elif s.req.n_generated >= s.req.max_tokens:
+                        s.req.finish_reason = "length"
+                        done = True
+                    elif int(pos_host[i]) + emitted >= room:
+                        s.req.finish_reason = "length"
+                        done = True
+                    if done:
+                        break
+                if done:
+                    break
+            if done:
+                self._emit(s.req, None)
+                self.slots[i] = _Slot()
+        return True
+
     def _decode_tick(self) -> bool:
         decoding = [i for i, s in enumerate(self.slots)
                     if s.req is not None and not s.prefilling]
         if not decoding:
             return False
+        if self.is_eagle:
+            return self._eagle_decode_tick(decoding)
         if self.d_kv is not None:
             return self._spec_decode_tick(decoding)
         tokens = np.zeros(self.S, np.int32)

@@ -205,20 +205,19 @@ class ServerContext:
                     d_llm = self_draft_config(t_cfg.llm,
                                               int(draft_name[5:]))
                 elif self._is_eagle_dir(self.resolve_dir(draft_name)):
-                    # EAGLE feature-level draft head: single-stream
-                    # engine behind a lock (batched EAGLE x scheduler
-                    # composition not implemented yet)
+                    # EAGLE feature-level draft head: every tick drafts
+                    # a spec_k chain per slot with the head and one
+                    # batched target verify covers all slots (EAGLE x
+                    # continuous batching, no serializing lock)
                     from ..models.loader import load_eagle_gguf
-                    from ..speculative.eagle import EagleChainEngine
 
                     e_llm, ep = load_eagle_gguf(
                         self.resolve_dir(draft_name), t_params, t_cfg.llm)
-                    spec = EagleChainEngine(t_params, t_cfg, ep, e_llm,
-                                            kv_dtype=self.hp.kv_dtype,
-                                            backend=self.backend)
-                    base = self.get(main_name)
-                    ctx = ModelContext(name, base.scheduler, tok, spec,
-                                       asyncio.Lock())
+                    sched = BatchScheduler(t_params, t_cfg, self.hp,
+                                           self.backend, mesh=self.mesh,
+                                           eagle_params=ep, eagle_llm=e_llm)
+                    sched.start()
+                    ctx = ModelContext(name, sched, tok)
                     self.models[name] = ctx
                     return ctx
                 else:

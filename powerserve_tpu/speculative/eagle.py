@@ -42,7 +42,7 @@ from ..ops.elementwise import apply_rope, rms_norm, rope_cos_sin, silu_hadamard
 from ..ops.qmatmul import QLinear, qmatmul
 from .engine import SpecStats
 
-__all__ = ["EagleParams", "eagle_forward", "eagle_chain_spec_scan",
+__all__ = ["EagleParams", "eagle_forward", "eagle_spec_scan",
            "EagleChainEngine"]
 
 
@@ -203,89 +203,130 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t_llm", "e_llm", "n_steps", "k", "backend"),
+    static_argnames=("t_llm", "e_llm", "n_steps", "k", "backend", "sample"),
     donate_argnums=(2, 3),
 )
-def eagle_chain_spec_scan(tparams: LlamaParams, eparams: EagleParams,
-                          t_kv: KVCache, e_kv: KVCache, root: jax.Array,
-                          root_feat: jax.Array, t_llm: LLMConfig,
-                          e_llm: LLMConfig, n_steps: int, k: int,
-                          backend: str = "auto"):
-    """n_steps EAGLE chain-speculation steps in one dispatch.
+def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
+                    t_kv: KVCache, e_kv: KVCache, root: jax.Array,
+                    root_feat: jax.Array, t_llm: LLMConfig,
+                    e_llm: LLMConfig, n_steps: int, k: int,
+                    backend: str = "auto",
+                    active: jax.Array | None = None,
+                    rngs: jax.Array | None = None,
+                    temp: jax.Array | None = None,
+                    top_k: jax.Array | None = None,
+                    top_p: jax.Array | None = None,
+                    sample: bool = False):
+    """n_steps BATCHED EAGLE chain-speculation steps in one dispatch
+    (every scheduler slot at once — speculation composes with
+    continuous batching; the reference serializes its single-stream
+    spec behind a mutex, spec_model.hpp:96-113).
 
-    root: [] int32 last committed token (position p, not yet fed to the
-    target); root_feat: [dim] the target feature at p-1 (the feature
-    whose logits sampled `root`). Returns (tokens [n_steps, k+1],
-    counts [n_steps], t_kv, e_kv, root, root_feat).
+    root: [S] int32 last committed token per slot (position p_s, not
+    yet fed to the target); root_feat: [S, dim] the target feature at
+    p_s - 1 (the feature whose logits sampled `root`). sample=True
+    draws each chain position with the slot's sampler params (rngs
+    [S, 2] raw keys); sample=False is greedy argmax. Drafting is
+    always greedy.
 
-    Per step: k sequential head forwards draft the chain; ONE target
-    verify (logits + true features via return_final_hidden); greedy
-    longest-prefix acceptance; the head cache drops ALL k drafted
-    entries and is re-prefilled with the accepted tokens paired with
-    TRUE features (one padded Tq=k+1 head forward), so its state always
-    reflects target features exactly.
+    Returns (emitted [n_steps, S, k+1], counts [n_steps, S], t_kv,
+    e_kv, root, root_feat, rngs): step i of slot s emitted
+    emitted[i, s, :counts[i, s]].
+
+    Per step: k sequential head forwards draft a chain per slot; ONE
+    batched target verify (logits + true features via
+    return_final_hidden); longest-prefix acceptance per slot; the head
+    cache drops ALL k drafted entries and is re-prefilled with the
+    accepted tokens paired with TRUE features (one padded Tq=k+1 head
+    forward), so its state always reflects target features exactly.
     """
-    def spec_step(carry, _):
-        t_kv, e_kv, root, root_feat = carry
-        c = t_kv.pos.astype(jnp.int32)  # [1] committed length p
+    S = root.shape[0]
+    if active is None:
+        active = jnp.ones(S, bool)
+    if rngs is None:
+        rngs = jnp.zeros((S, 2), jnp.uint32)
+    lanes = jnp.arange(k + 1)
 
-        # -- 1. draft k tokens with the head --------------------------
+    def spec_step(carry, _):
+        t_kv, e_kv, root, root_feat, rngs = carry
+        c = t_kv.pos.astype(jnp.int32)  # [S] committed length p
+
+        # -- 1. draft k tokens per slot with the head ------------------
         def draft_body(dc, _):
-            tok, feat, kv = dc
-            pos = kv.pos.astype(jnp.int32)[:, None]
+            tok, feat, kv = dc  # tok [S], feat [S, dim]
+            pos = jnp.where(active, kv.pos.astype(jnp.int32), -1)[:, None]
             logits, feat_out, kv = eagle_forward(
-                eparams, e_llm, kv, tok[None, :], feat[None, None, :], pos,
-                backend=backend, logits_mode="last")
+                eparams, e_llm, kv, tok[:, None], feat[:, None, :], pos,
+                active=active, backend=backend, logits_mode="last")
             nxt = jnp.argmax(logits[:, :t_llm.vocab_size],
                              axis=-1).astype(jnp.int32)
-            return (nxt[0][None], feat_out[0, -1], kv), tok[0]
+            return (nxt, feat_out[:, -1], kv), tok
 
         (last_tok, _, e_kv), fed_in = jax.lax.scan(
-            draft_body, (root[None], root_feat, e_kv), None, length=k)
+            draft_body, (root, root_feat, e_kv), None, length=k)
         # the scan collects each step's INPUT token, so fed_in =
         # [root, d0 .. d_{k-2}] and the final carry holds d_{k-1}
-        fed = jnp.concatenate([fed_in, last_tok])  # [k+1]
+        fed = jnp.concatenate([fed_in, last_tok[None, :]]).T  # [S, k+1]
 
-        # -- 2. one target verify over the chain ----------------------
-        positions = c[:, None] + jnp.arange(k + 1)[None, :]
+        # -- 2. one batched target verify over all chains --------------
+        positions = jnp.where(active[:, None],
+                              c[:, None] + lanes[None, :], -1)
         logits, t_kv, feats = forward(
-            tparams, t_llm, t_kv, fed[None, :], positions, backend=backend,
-            logits_mode="all", return_final_hidden=True)
-        sampled = jnp.argmax(logits[0, :, :t_llm.vocab_size],
-                             axis=-1).astype(jnp.int32)  # [k+1]
-        feats = feats[0].astype(jnp.float32)  # [k+1, dim] true features
+            tparams, t_llm, t_kv, fed, positions, active=active,
+            backend=backend, logits_mode="all", return_final_hidden=True)
+        feats = feats.astype(jnp.float32)  # [S, k+1, dim] true features
+        if sample:
+            from ..sampling.sampler import sample_logits_batched
 
-        # -- 3. greedy acceptance --------------------------------------
-        match = (sampled[:k] == fed[1:]).astype(jnp.int32)
-        acc = jnp.cumprod(match)
-        n_acc = jnp.sum(acc)  # in [0, k]
-        new_root = jnp.take(sampled, n_acc)
-        new_root_feat = jnp.take(feats, n_acc, axis=0)  # feature at p+n_acc
+            split = jax.vmap(lambda r: jax.random.split(r, k + 2))(rngs)
+            new_rngs = split[:, 0]
+            keys = split[:, 1:].reshape(S * (k + 1), 2)
+            rep = lambda a: jnp.repeat(a, k + 1, axis=0)  # noqa: E731
+            sampled = sample_logits_batched(
+                keys[0], logits.reshape(S * (k + 1), -1),
+                rep(temp), rep(top_k), rep(top_p),
+                vocab_size=t_llm.vocab_size, keys=keys,
+            ).astype(jnp.int32).reshape(S, k + 1)
+        else:
+            new_rngs = rngs
+            sampled = jnp.argmax(logits[:, :, :t_llm.vocab_size],
+                                 axis=-1).astype(jnp.int32)  # [S, k+1]
+
+        # -- 3. longest-prefix acceptance per slot ---------------------
+        match = (sampled[:, :k] == fed[:, 1:]).astype(jnp.int32)
+        n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [S] in [0,k]
+        new_root = jnp.where(
+            active,
+            jnp.take_along_axis(sampled, n_acc[:, None], axis=1)[:, 0],
+            root)
+        new_root_feat = jnp.where(
+            active[:, None],
+            jnp.take_along_axis(feats, n_acc[:, None, None], axis=1)[:, 0],
+            root_feat)  # feature at p+n_acc
 
         # -- 4. commit: rollback, re-prefill the head on true features -
-        drop_t = jnp.int32(k) - n_acc
-        t_kv = t_kv.rollback(jnp.broadcast_to(drop_t, t_kv.pos.shape))
+        t_kv = t_kv.rollback(jnp.where(active, k - n_acc, 0))
         # the head wrote k entries (positions p .. p+k-1); drop them all
-        e_kv = e_kv.rollback(
-            jnp.broadcast_to(jnp.int32(k), e_kv.pos.shape))
+        e_kv = e_kv.rollback(jnp.where(active, k, 0))
         # accepted window: token at p+i pairs with TRUE feature at p+i-1
         # (root_feat for i=0, feats[i-1] after); lanes past n_acc padded
-        lanes = jnp.arange(k + 1)
-        live = lanes <= n_acc
-        commit_pos = jnp.where(live[None, :], c[:, None] + lanes[None, :],
-                               -1)
+        live = lanes[None, :] <= n_acc[:, None]
+        commit_pos = jnp.where(live & active[:, None],
+                               c[:, None] + lanes[None, :], -1)
         commit_feats = jnp.concatenate(
-            [root_feat[None, :], feats[:k]], axis=0)  # [k+1, dim]
+            [root_feat[:, None, :], feats[:, :k]], axis=1)  # [S, k+1, dim]
         _, _, e_kv = eagle_forward(
-            eparams, e_llm, e_kv, fed[None, :], commit_feats[None],
-            commit_pos, backend=backend, logits_mode="none")
+            eparams, e_llm, e_kv, fed, commit_feats, commit_pos,
+            active=active, backend=backend, logits_mode="none")
 
-        return ((t_kv, e_kv, new_root, new_root_feat),
-                (sampled, n_acc + 1))
+        emit = jnp.where(live & active[:, None], sampled, -1)
+        counts = jnp.where(active, n_acc + 1, 0)
+        return ((t_kv, e_kv, new_root, new_root_feat, new_rngs),
+                (emit, counts))
 
-    (t_kv, e_kv, root, root_feat), (tokens, counts) = jax.lax.scan(
-        spec_step, (t_kv, e_kv, root, root_feat), None, length=n_steps)
-    return tokens, counts, t_kv, e_kv, root, root_feat
+    (t_kv, e_kv, root, root_feat, rngs), (emitted, counts) = jax.lax.scan(
+        spec_step, (t_kv, e_kv, root, root_feat, rngs), None, length=n_steps)
+    return emitted, counts, t_kv, e_kv, root, root_feat, rngs
 
 
 class EagleChainEngine:
@@ -318,9 +359,9 @@ class EagleChainEngine:
         from ..engine.loops import prefill_step
 
         toks = np.asarray(prompt_tokens[:-1], np.int32)
-        self._root = jnp.int32(prompt_tokens[-1])
+        self._root = jnp.asarray([prompt_tokens[-1]], jnp.int32)
         if not len(toks):
-            self._root_feat = jnp.zeros(self.t_llm.dim, jnp.float32)
+            self._root_feat = jnp.zeros((1, self.t_llm.dim), jnp.float32)
             return
         # target prefill, keeping every chunk's final-hidden features to
         # feed the head's prefill (the head at position j consumes the
@@ -347,7 +388,7 @@ class EagleChainEngine:
                 self.ep, self.e_llm, self.e_kv, jnp.asarray(part[None, :]),
                 head_feats[off:off + len(part)][None], jnp.asarray(pos[None, :]),
                 backend=self.backend, logits_mode="none")
-        self._root_feat = feats[-1].astype(jnp.float32)
+        self._root_feat = feats[-1:].astype(jnp.float32)  # [1, dim]
 
     def generate(self, prompt_tokens: list[int], n_predict: int,
                  stop_fn=None, stats: SpecStats | None = None):
@@ -359,12 +400,12 @@ class EagleChainEngine:
             if room < self.block_steps * (self.k + 1) + 1:
                 return
             (tokens, counts, self.t_kv, self.e_kv, self._root,
-             self._root_feat) = eagle_chain_spec_scan(
+             self._root_feat, _) = eagle_spec_scan(
                 self.tp, self.ep, self.t_kv, self.e_kv, self._root,
                 self._root_feat, self.t_llm, self.e_llm,
                 self.block_steps, self.k, self.backend)
-            tokens = np.asarray(tokens)
-            counts = np.asarray(counts)
+            tokens = np.asarray(tokens)[:, 0]  # [steps, k+1]
+            counts = np.asarray(counts)[:, 0]
             for i in range(self.block_steps):
                 stats.steps += 1
                 stats.drafted += self.k

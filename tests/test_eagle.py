@@ -230,6 +230,101 @@ def test_eagle_convert_load_roundtrip(tmp_path):
     np.testing.assert_allclose(fa, fb, rtol=1e-4, atol=1e-4)
 
 
+def _run_sched(sched, prompts, max_tokens=8):
+    """Submit all prompts, drive step() to completion, return outputs."""
+    import queue as _q
+
+    from powerserve_tpu.engine.scheduler import Request
+
+    outs = [[] for _ in prompts]
+    done = _q.Queue()
+
+    def mk_sink(out):
+        def sink(t):
+            if t is None:
+                done.put(True)
+            else:
+                out.append(t)
+        return sink
+
+    for p, out in zip(prompts, outs):
+        sched.submit(Request(prompt_ids=list(p), max_tokens=max_tokens,
+                             temperature=0.0, sink=mk_sink(out)))
+    finished = 0
+    while finished < len(prompts):
+        busy = sched.step()
+        while not done.empty():
+            done.get()
+            finished += 1
+        if not busy and done.empty() and finished < len(prompts):
+            break
+    return outs
+
+
+def test_eagle_batched_scheduler_matches_plain():
+    """EAGLE x continuous batching: concurrent slots drafted by a
+    RANDOM head (worst-case acceptance) still emit exactly the plain
+    scheduler's greedy tokens — losslessness survives batching, padded
+    lanes, and the per-slot feature carry."""
+    from powerserve_tpu.core.config import HyperParams
+    from powerserve_tpu.engine.scheduler import BatchScheduler
+
+    params, cfg, _ = _mk_target(0, layers=2)
+    d_params, _, _ = _mk_target(7, layers=1)
+    rng = np.random.default_rng(11)
+    fc = _qlinear_from_float(
+        rng.standard_normal((DIM, 2 * DIM)).astype(np.float32) * 0.05,
+        GGMLType.Q8_0)
+    ep = EagleParams(
+        fc=fc, fc_bias=None, layers=(d_params.layers[0],),
+        embed=params.embed, lm_head=params.lm_head, out_norm=None,
+        input_norm=False)
+    e_llm = dataclasses.replace(cfg.llm, n_layers=1)
+
+    prompts = [[3, 17, 5, 9], [1, 2, 3, 4, 5, 6, 7]]
+    hp = HyperParams(max_slots=2, batch_size=8)
+    hp.max_seq_len = 128
+    plain = BatchScheduler(params, cfg, hp, backend="xla")
+    want = _run_sched(plain, prompts)
+
+    hp2 = HyperParams(max_slots=2, batch_size=8)
+    hp2.max_seq_len = 128
+    hp2.spec_k = 3
+    eagle = BatchScheduler(params, cfg, hp2, backend="xla",
+                           eagle_params=ep, eagle_llm=e_llm)
+    got = _run_sched(eagle, prompts)
+    assert got == want, (got, want)
+
+
+def test_eagle_scheduler_prefix_cache_reuse():
+    """The prefix cache must carry the EAGLE feature alongside both KV
+    prefixes: a second identical request skips prefill and still emits
+    identical greedy output (wrong/missing feature would desync the
+    head on the first drafted token)."""
+    from powerserve_tpu.core.config import HyperParams
+    from powerserve_tpu.engine.scheduler import BatchScheduler
+
+    params, cfg, _ = _mk_target(0, layers=1)
+    ep = EagleParams(
+        fc=_identity_fc(), fc_bias=None, layers=(params.layers[0],),
+        embed=params.embed, lm_head=params.lm_head,
+        out_norm=params.out_norm, input_norm=True)
+    e_llm = dataclasses.replace(cfg.llm, n_layers=1)
+
+    hp = HyperParams(max_slots=2, batch_size=8)
+    hp.max_seq_len = 128
+    hp.spec_k = 2
+    hp.prefix_cache_min = 16
+    sched = BatchScheduler(params, cfg, hp, backend="xla",
+                           eagle_params=ep, eagle_llm=e_llm)
+    prompt = list(range(3, 43))  # prefill region 39 >= prefix_cache_min
+    first = _run_sched(sched, [prompt], max_tokens=6)[0]
+    assert sched.prefix_cache.hits == 0
+    second = _run_sched(sched, [prompt], max_tokens=6)[0]
+    assert sched.prefix_cache.hits == 1
+    assert second == first
+
+
 def test_eagle_engine_reset_reuse():
     """Engine state fully resets between prompts (cache isolation)."""
     params, cfg, _ = _mk_target(0, layers=1)
