@@ -384,6 +384,231 @@ def dequantize_q6_k(payload: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+def quantize_q2_k(x: np.ndarray) -> np.ndarray:
+    """float -> Q2_K: 16 sub-blocks of 16, 4-bit scales/mins vs fp16
+    superscales, 2-bit quants; x = d*sc*q - dmin*mn (simple min/max
+    fit, layout per ggml-common.h block_q2_K)."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    sub = x.reshape(nb, 16, 16)
+    smin = np.minimum(sub.min(axis=2), 0.0)
+    smax = np.maximum(sub.max(axis=2), 0.0)
+    scale = (smax - smin) / 3.0
+    neg_min = -smin
+    d = scale.max(axis=1) / 15.0
+    dmin = neg_min.max(axis=1) / 15.0
+    inv_d = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    inv_dm = np.where(dmin > 0, 1.0 / np.where(dmin == 0, 1.0, dmin), 0.0)
+    sc4 = np.clip(np.round(scale * inv_d[:, None]), 0, 15).astype(np.uint8)
+    mn4 = np.clip(np.round(neg_min * inv_dm[:, None]), 0, 15).astype(np.uint8)
+    d16 = d.astype(np.float16)
+    dmin16 = dmin.astype(np.float16)
+    eff_s = d16.astype(np.float32)[:, None] * sc4
+    eff_m = dmin16.astype(np.float32)[:, None] * mn4
+    inv_s = np.where(eff_s > 0, 1.0 / np.where(eff_s == 0, 1.0, eff_s), 0.0)
+    q = np.clip(np.round((sub + eff_m[:, :, None]) * inv_s[:, :, None]),
+                0, 3).astype(np.uint8)  # [nb, 16, 16]
+    # pack: per 128-half h, byte l (0..31) holds 4 elems at 2-bit shifts
+    # j=0..3; sub-block of (h, j, l) = 8h + 2j + (l >= 16)
+    qs = np.zeros((nb, 2, 32), np.uint8)
+    for h in range(2):
+        for j in range(4):
+            lo16 = q[:, 8 * h + 2 * j]
+            hi16 = q[:, 8 * h + 2 * j + 1]
+            run = np.concatenate([lo16, hi16], axis=1)  # [nb, 32]
+            qs[:, h] |= run << (2 * j)
+    out = np.empty((nb, 84), np.uint8)
+    out[:, :16] = (sc4 | (mn4 << 4))
+    out[:, 16:80] = qs.reshape(nb, 64)
+    out[:, 80:82] = d16[:, None].view(np.uint8).reshape(nb, 2)
+    out[:, 82:84] = dmin16[:, None].view(np.uint8).reshape(nb, 2)
+    return out.reshape(-1)
+
+
+def dequantize_q2_k(payload: np.ndarray) -> np.ndarray:
+    """ggml-quants.c:1993 (dequantize_row_q2_K)."""
+    blocks = payload.reshape(-1, 84)
+    nb = blocks.shape[0]
+    sc4 = (blocks[:, :16] & 0xF).astype(np.float32)
+    mn4 = (blocks[:, :16] >> 4).astype(np.float32)
+    qs = blocks[:, 16:80].reshape(nb, 2, 32)
+    d = blocks[:, 80:82].copy().view(np.float16).astype(np.float32)  # [nb,1]
+    dmin = blocks[:, 82:84].copy().view(np.float16).astype(np.float32)
+    scale = d * sc4  # [nb, 16]
+    minv = dmin * mn4
+    out = np.empty((nb, 16, 16), np.float32)
+    for h in range(2):
+        for j in range(4):
+            run = (qs[:, h] >> (2 * j)) & 3  # [nb, 32]
+            for half16 in range(2):
+                s = 8 * h + 2 * j + half16
+                out[:, s] = (run[:, 16 * half16:16 * (half16 + 1)]
+                             * scale[:, s, None] - minv[:, s, None])
+    return out.reshape(-1)
+
+
+def _pack_q3_scales(sc6: np.ndarray) -> np.ndarray:
+    """16 six-bit scales -> 12 bytes (inverse of the kmask decode,
+    ggml-quants.c:2341-2364). sc6: [nb, 16] uint8 in 0..63."""
+    nb = sc6.shape[0]
+    out = np.zeros((nb, 12), np.uint8)
+    out[:, 0:4] = (sc6[:, 0:4] & 0xF) | ((sc6[:, 8:12] & 0xF) << 4)
+    out[:, 4:8] = (sc6[:, 4:8] & 0xF) | ((sc6[:, 12:16] & 0xF) << 4)
+    out[:, 8:12] = ((sc6[:, 0:4] >> 4) | ((sc6[:, 4:8] >> 4) << 2)
+                    | ((sc6[:, 8:12] >> 4) << 4) | ((sc6[:, 12:16] >> 4) << 6))
+    return out
+
+
+def _unpack_q3_scales(b12: np.ndarray) -> np.ndarray:
+    """12 bytes -> 16 six-bit scale codes [nb, 16] (0..63)."""
+    lo = np.concatenate([b12[..., 0:4] & 0xF, b12[..., 4:8] & 0xF,
+                         b12[..., 0:4] >> 4, b12[..., 4:8] >> 4], axis=-1)
+    t = b12[..., 8:12]
+    hi = np.concatenate([(t >> 0) & 3, (t >> 2) & 3,
+                         (t >> 4) & 3, (t >> 6) & 3], axis=-1)
+    return (lo | (hi << 4)).astype(np.uint8)
+
+
+def quantize_q3_k(x: np.ndarray) -> np.ndarray:
+    """float -> Q3_K: 16 sub-blocks of 16, 6-bit signed scales vs fp16
+    superscale, 3-bit signed quants; x = d*(sc-32)*q, q in [-4, 3]."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    sub = x.reshape(nb, 16, 16)
+    idx = np.argmax(np.abs(sub), axis=2)
+    amax = np.take_along_axis(sub, idx[:, :, None], axis=2)[:, :, 0]
+    s16 = amax / -4.0
+    d = np.abs(s16).max(axis=1) / 31.0
+    inv_d = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    sc6 = np.clip(np.round(s16 * inv_d[:, None]) + 32, 0, 63).astype(np.uint8)
+    d16 = d.astype(np.float16)
+    eff = d16.astype(np.float32)[:, None] * (sc6.astype(np.float32) - 32)
+    inv_s = np.where(eff != 0, 1.0 / np.where(eff == 0, 1.0, eff), 0.0)
+    q = np.clip(np.round(sub * inv_s[:, :, None]), -4, 3).astype(np.int8)
+    v = (q + 4).astype(np.uint8)  # stored code 0..7
+    qs = np.zeros((nb, 2, 32), np.uint8)
+    hmask = np.zeros((nb, 32), np.uint8)
+    for h in range(2):
+        for j in range(4):
+            lo16 = v[:, 8 * h + 2 * j]
+            hi16 = v[:, 8 * h + 2 * j + 1]
+            run = np.concatenate([lo16, hi16], axis=1)  # [nb, 32]
+            qs[:, h] |= (run & 3) << (2 * j)
+            # hmask bit SET means "do not subtract 4" (code >= 4)
+            hmask |= (run >> 2) << (4 * h + j)
+    out = np.empty((nb, 110), np.uint8)
+    out[:, :32] = hmask
+    out[:, 32:96] = qs.reshape(nb, 64)
+    out[:, 96:108] = _pack_q3_scales(sc6)
+    out[:, 108:110] = d16[:, None].view(np.uint8).reshape(nb, 2)
+    return out.reshape(-1)
+
+
+def dequantize_q3_k(payload: np.ndarray) -> np.ndarray:
+    """ggml-quants.c:2341 (dequantize_row_q3_K)."""
+    blocks = payload.reshape(-1, 110)
+    nb = blocks.shape[0]
+    hmask = blocks[:, :32]
+    qs = blocks[:, 32:96].reshape(nb, 2, 32)
+    sc6 = _unpack_q3_scales(blocks[:, 96:108]).astype(np.float32) - 32
+    d = blocks[:, 108:110].copy().view(np.float16).astype(np.float32)
+    scale = d * sc6  # [nb, 16]
+    out = np.empty((nb, 16, 16), np.float32)
+    for h in range(2):
+        for j in range(4):
+            q2 = (qs[:, h] >> (2 * j)) & 3  # [nb, 32]
+            hbit = (hmask >> (4 * h + j)) & 1
+            run = q2.astype(np.int32) - np.where(hbit > 0, 0, 4)
+            for half16 in range(2):
+                s = 8 * h + 2 * j + half16
+                out[:, s] = (run[:, 16 * half16:16 * (half16 + 1)]
+                             * scale[:, s, None])
+    return out.reshape(-1)
+
+
+# non-linear 4-bit codebook (ggml-quants.c:3754)
+KVALUES_IQ4NL = np.array([-127, -104, -83, -65, -49, -35, -22, -10,
+                          1, 13, 25, 38, 53, 69, 89, 113], np.float32)
+
+
+def _nearest_iq4(x: np.ndarray) -> np.ndarray:
+    """Indices of the nearest KVALUES_IQ4NL entry (x pre-scaled)."""
+    return np.abs(x[..., None] - KVALUES_IQ4NL).argmin(axis=-1).astype(np.uint8)
+
+
+def quantize_iq4_nl(x: np.ndarray) -> np.ndarray:
+    """float -> IQ4_NL: 32-block fp16 scale + non-linear 4-bit codes;
+    x = d * table[q] (nearest-entry fit)."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK)
+    nb = x.shape[0]
+    amax = np.abs(x).max(axis=1)
+    d = amax / 127.0  # table spans [-127, 113]
+    d16 = d.astype(np.float16)
+    df = d16.astype(np.float32)
+    inv = np.where(df > 0, 1.0 / np.where(df == 0, 1.0, df), 0.0)
+    q = _nearest_iq4(x * inv[:, None])  # [nb, 32]
+    out = np.empty((nb, 18), np.uint8)
+    out[:, :2] = d16[:, None].view(np.uint8).reshape(nb, 2)
+    out[:, 2:] = q[:, :16] | (q[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def dequantize_iq4_nl(payload: np.ndarray) -> np.ndarray:
+    """ggml-quants.c:3756 (dequantize_row_iq4_nl)."""
+    blocks = payload.reshape(-1, 18)
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32)
+    qs = blocks[:, 2:]
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=1)
+    return (KVALUES_IQ4NL[q] * d).reshape(-1)
+
+
+def quantize_iq4_xs(x: np.ndarray) -> np.ndarray:
+    """float -> IQ4_XS: 256-superblock, per-32 6-bit scales vs fp16
+    superscale over the IQ4 non-linear codebook; x = d*(ls-32)*table[q]."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    sub = x.reshape(nb, 8, 32)
+    amax = np.abs(sub).max(axis=2)
+    s = amax / 127.0  # per-32 fp scale onto the table's range
+    d = s.max(axis=1) / 31.0
+    inv_d = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    ls = np.clip(np.round(s * inv_d[:, None]) + 32, 0, 63).astype(np.uint8)
+    d16 = d.astype(np.float16)
+    eff = d16.astype(np.float32)[:, None] * (ls.astype(np.float32) - 32)
+    inv_s = np.where(eff != 0, 1.0 / np.where(eff == 0, 1.0, eff), 0.0)
+    q = _nearest_iq4(sub * inv_s[:, :, None])  # [nb, 8, 32]
+    qs = (q[:, :, :16] | (q[:, :, 16:] << 4)).reshape(nb, 128)
+    ls_l = ls & 0xF  # [nb, 8]
+    ls_h = (ls >> 4).astype(np.uint16)  # 2 bits each
+    scales_h = np.zeros(nb, np.uint16)
+    for ib in range(8):
+        scales_h |= ls_h[:, ib] << (2 * ib)
+    out = np.empty((nb, 136), np.uint8)
+    out[:, :2] = d16[:, None].view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = scales_h[:, None].view(np.uint8).reshape(nb, 2)
+    out[:, 4:8] = ls_l[:, 0::2] | (ls_l[:, 1::2] << 4)
+    out[:, 8:] = qs
+    return out.reshape(-1)
+
+
+def dequantize_iq4_xs(payload: np.ndarray) -> np.ndarray:
+    """ggml-quants.c:3774 (dequantize_row_iq4_xs)."""
+    blocks = payload.reshape(-1, 136)
+    nb = blocks.shape[0]
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32)  # [nb,1]
+    scales_h = blocks[:, 2:4].copy().view(np.uint16)[:, 0]
+    scales_l = blocks[:, 4:8]
+    qs = blocks[:, 8:].reshape(nb, 8, 16)
+    ib = np.arange(8)
+    ls_l = np.where(ib[None, :] % 2 == 0,
+                    scales_l[:, ib // 2] & 0xF, scales_l[:, ib // 2] >> 4)
+    ls_h = (scales_h[:, None] >> (2 * ib)) & 3
+    ls = (ls_l | (ls_h << 4)).astype(np.float32) - 32  # [nb, 8]
+    scale = d * ls
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=2)  # [nb, 8, 32]
+    return (KVALUES_IQ4NL[q] * scale[:, :, None]).reshape(-1)
+
+
 def dequantize(payload: np.ndarray, ggml_type: int) -> np.ndarray:
     """Dispatch dequant of a raw uint8 payload to float32 (flat)."""
     t = GGMLType(ggml_type)
@@ -404,12 +629,20 @@ def dequantize(payload: np.ndarray, ggml_type: int) -> np.ndarray:
         return dequantize_q5_1(payload)
     if t == GGMLType.Q8_0:
         return dequantize_q8_0(payload)
+    if t == GGMLType.Q2_K:
+        return dequantize_q2_k(payload)
+    if t == GGMLType.Q3_K:
+        return dequantize_q3_k(payload)
     if t == GGMLType.Q4_K:
         return dequantize_q4_k(payload)
     if t == GGMLType.Q5_K:
         return dequantize_q5_k(payload)
     if t == GGMLType.Q6_K:
         return dequantize_q6_k(payload)
+    if t == GGMLType.IQ4_NL:
+        return dequantize_iq4_nl(payload)
+    if t == GGMLType.IQ4_XS:
+        return dequantize_iq4_xs(payload)
     if t == GGMLType.I32:
         return payload.copy().view(np.int32).astype(np.float32)
     raise NotImplementedError(f"dequantize for ggml type {t}")
@@ -429,12 +662,20 @@ def quantize(x: np.ndarray, ggml_type: int) -> np.ndarray:
         return quantize_q5_0(x)
     if t == GGMLType.Q8_0:
         return quantize_q8_0(x)
+    if t == GGMLType.Q2_K:
+        return quantize_q2_k(x)
+    if t == GGMLType.Q3_K:
+        return quantize_q3_k(x)
     if t == GGMLType.Q4_K:
         return quantize_q4_k(x)
     if t == GGMLType.Q5_K:
         return quantize_q5_k(x)
     if t == GGMLType.Q6_K:
         return quantize_q6_k(x)
+    if t == GGMLType.IQ4_NL:
+        return quantize_iq4_nl(x)
+    if t == GGMLType.IQ4_XS:
+        return quantize_iq4_xs(x)
     raise NotImplementedError(f"quantize for ggml type {t}")
 
 
@@ -506,7 +747,9 @@ def repack_gguf_tensor(payload: np.ndarray, ggml_type: int,
         bias = (dmin[:, :, None] * mn6).reshape(n_out, k_in // QK)
         return QuantizedTensor(q.T.copy(), scales.T.copy(), bias.T.copy(), ggml_type)
     if t in (GGMLType.F32, GGMLType.F16, GGMLType.BF16, GGMLType.Q4_1,
-             GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q5_K, GGMLType.Q6_K):
+             GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q2_K, GGMLType.Q3_K,
+             GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.IQ4_NL,
+             GGMLType.IQ4_XS):
         # exact dequant + per-32 int8 requant on load so every format
         # shares the Q8_0 kernel path. int8/32-block resolution sits well
         # inside Q4_1/Q5/Q6's own quantization error (real llama.cpp

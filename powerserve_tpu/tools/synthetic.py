@@ -93,8 +93,9 @@ def make_synthetic_gguf(
     def add(name, shape_out_in, fmt=quant, scale=0.02):
         arr = (rng.standard_normal(shape_out_in, dtype=np.float32) * scale)
         # quant formats need the inner dim to be block-aligned
-        block = 256 if fmt in (GGMLType.Q4_K, GGMLType.Q5_K,
-                               GGMLType.Q6_K) else 32
+        block = 256 if fmt in (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+                               GGMLType.Q5_K, GGMLType.Q6_K,
+                               GGMLType.IQ4_XS) else 32
         f = fmt if shape_out_in[1] % block == 0 else GGMLType.F16
         w.add_tensor(name, tuple(reversed(shape_out_in)), f, quantize(arr, f))
 
@@ -140,15 +141,18 @@ def main() -> None:
     ap.add_argument("out_dir")
     ap.add_argument("--preset", default="tiny", choices=sorted(PRESETS))
     ap.add_argument("--quant", default="q4_k",
-                    choices=["q4_0", "q4_1", "q5_0", "q8_0", "q4_k",
-                             "q5_k", "q6_k", "f16"])
+                    choices=["q4_0", "q4_1", "q5_0", "q8_0", "q2_k", "q3_k",
+                             "q4_k", "q5_k", "q6_k", "iq4_nl", "iq4_xs",
+                             "f16"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--seq-len", type=int, default=2048)
     args = ap.parse_args()
     fmt = {"q4_0": GGMLType.Q4_0, "q4_1": GGMLType.Q4_1,
            "q5_0": GGMLType.Q5_0, "q8_0": GGMLType.Q8_0,
+           "q2_k": GGMLType.Q2_K, "q3_k": GGMLType.Q3_K,
            "q4_k": GGMLType.Q4_K, "q5_k": GGMLType.Q5_K,
-           "q6_k": GGMLType.Q6_K, "f16": GGMLType.F16}[args.quant]
+           "q6_k": GGMLType.Q6_K, "iq4_nl": GGMLType.IQ4_NL,
+           "iq4_xs": GGMLType.IQ4_XS, "f16": GGMLType.F16}[args.quant]
     out = make_synthetic_gguf(args.out_dir, args.preset, fmt, args.seed,
                               args.seq_len)
     print(f"workspace written to {out}")

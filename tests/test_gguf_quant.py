@@ -16,6 +16,11 @@ from powerserve_tpu.core import quant as Q
     (G.GGMLType.Q4_K, 256, 0.05),
     (G.GGMLType.Q5_K, 256, 0.03),
     (G.GGMLType.Q6_K, 256, 0.02),
+    (G.GGMLType.Q2_K, 256, 0.4),  # 2-bit: coarse by design
+    (G.GGMLType.Q3_K, 256, 0.16),
+    # IQ4 codebook's widest gap is 24/127 -> worst error ~0.095*amax
+    (G.GGMLType.IQ4_NL, 32, 0.11),
+    (G.GGMLType.IQ4_XS, 256, 0.11),
 ])
 def test_quant_roundtrip(fmt, block, tol):
     rng = np.random.default_rng(0)
@@ -53,7 +58,9 @@ def test_q4k_scale_packing_roundtrip():
 @pytest.mark.parametrize("fmt", [G.GGMLType.Q4_0, G.GGMLType.Q4_1,
                                  G.GGMLType.Q5_0, G.GGMLType.Q8_0,
                                  G.GGMLType.Q4_K, G.GGMLType.Q5_K,
-                                 G.GGMLType.Q6_K])
+                                 G.GGMLType.Q6_K, G.GGMLType.Q2_K,
+                                 G.GGMLType.Q3_K, G.GGMLType.IQ4_NL,
+                                 G.GGMLType.IQ4_XS])
 def test_repack_matches_dequant(fmt):
     """Repacked [K, N] layout must decode to the same floats as flat
     dequant. Q4_0/Q8_0/Q4_K repack exactly (native device layouts);
@@ -89,6 +96,28 @@ def test_nib4_pack_roundtrip(signed):
         q = rng.integers(0, 16, (64, 16)).astype(np.int8)
         out = Q.unpack_nib4_unsigned(Q.pack_nib4(q))
     np.testing.assert_array_equal(q, out)
+
+
+@pytest.mark.parametrize("fmt", [G.GGMLType.Q2_K, G.GGMLType.Q3_K,
+                                 G.GGMLType.IQ4_XS])
+def test_load_and_decode_extended_formats(tmp_path, fmt):
+    """End-to-end: a workspace quantized in the extended zoo loads and
+    greedy-decodes (real llama.cpp files mix these formats; reference
+    ggml decodes the full zoo, libs/ggml/include/ggml.h:398-412)."""
+    from powerserve_tpu.core.config import HyperParams
+    from powerserve_tpu.engine.generator import InferenceEngine
+    from powerserve_tpu.models.loader import load_gguf_model
+    from powerserve_tpu.tools.synthetic import make_synthetic_gguf
+
+    ws = tmp_path / f"ws_{int(fmt)}"
+    # tiny-k: 256-divisible dims as K-superblocks require
+    make_synthetic_gguf(ws, "tiny-k", fmt, seed=0, seq_len=128)
+    cfg, params = load_gguf_model(ws / "model")
+    hp = HyperParams(max_slots=1, batch_size=8)
+    eng = InferenceEngine(params, cfg, hp, backend="xla")
+    eng.hp.sampler.temperature = 0.0
+    out = list(eng.generate([3, 17, 5], 4))
+    assert len(out) == 4 and all(0 <= t < cfg.llm.vocab_size for t in out)
 
 
 def test_gguf_write_read_roundtrip(tmp_path):
