@@ -371,6 +371,14 @@ class BatchScheduler:
 
         self._eagle_prefill_chunk = eagle_prefill_chunk
         self.spec_horizon = max(int(getattr(self.hp, "spec_horizon", 1)), 1)
+        # hp.spec_tree widths pick an EAGLE-2-style tree topology; ""
+        # runs a spec_k chain (cheapest drafting, fewer head forwards)
+        self.spec_template = None
+        if getattr(self.hp, "spec_tree", ""):
+            from ..speculative.device_tree import TreeTemplate
+
+            widths = [int(w) for w in self.hp.spec_tree.split(",")]
+            self.spec_template = TreeTemplate.from_widths(widths)
 
     # -- public API ---------------------------------------------------------
 
@@ -613,9 +621,9 @@ class BatchScheduler:
         return True
 
     def _eagle_decode_tick(self, decoding: list[int]) -> bool:
-        """Batched EAGLE tick: one eagle_spec_scan dispatch advances
-        every decoding slot by spec_horizon chain-spec steps."""
-        from ..speculative.eagle import eagle_spec_scan
+        """Batched EAGLE tick: one dispatch advances every decoding
+        slot by spec_horizon spec steps (chain, or hp.spec_tree tree)."""
+        from ..speculative.eagle import eagle_spec_scan, eagle_tree_spec_scan
 
         k = self.spec_k
         tokens = np.zeros(self.S, np.int32)
@@ -631,18 +639,30 @@ class BatchScheduler:
             temp[i] = s.req.temperature
             top_k[i] = s.req.top_k
             top_p[i] = s.req.top_p
-        (emitted_d, counts, self.kv, self.d_kv, next_tok, self.feat,
-         self.rngs) = eagle_spec_scan(
-            self.params, self.eparams, self.kv, self.d_kv,
-            jnp.asarray(tokens), self.feat, self.cfg.llm, self.e_llm,
-            self.spec_horizon, k, self.backend,
-            active=jnp.asarray(active), rngs=self.rngs,
-            temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
-            top_p=jnp.asarray(top_p), sample=True)
-        emitted_d = np.asarray(emitted_d)  # [H, S, k+1]
+        common = dict(active=jnp.asarray(active), rngs=self.rngs,
+                      temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
+                      top_p=jnp.asarray(top_p), sample=True)
+        if self.spec_template is not None:
+            tpl = self.spec_template
+            (emitted_d, counts, self.kv, self.d_kv, next_tok, self.feat,
+             self.rngs) = eagle_tree_spec_scan(
+                self.params, self.eparams, self.kv, self.d_kv,
+                jnp.asarray(tokens), self.feat, self.cfg.llm, self.e_llm,
+                self.spec_horizon, tpl.key(), self.backend, **common)
+            per_step = tpl.max_depth + 1
+            transient = tpl.n_nodes
+        else:
+            (emitted_d, counts, self.kv, self.d_kv, next_tok, self.feat,
+             self.rngs) = eagle_spec_scan(
+                self.params, self.eparams, self.kv, self.d_kv,
+                jnp.asarray(tokens), self.feat, self.cfg.llm, self.e_llm,
+                self.spec_horizon, k, self.backend, **common)
+            per_step = k + 1
+            transient = k + 1
+        emitted_d = np.asarray(emitted_d)  # [H, S, per_step]
         counts = np.asarray(counts)  # [H, S]
         next_tok = np.asarray(next_tok)
-        room = self.max_seq - self.spec_horizon * (k + 1) - (k + 1)
+        room = self.max_seq - self.spec_horizon * per_step - transient
         for i in decoding:
             s = self.slots[i]
             s.cur_token = int(next_tok[i])

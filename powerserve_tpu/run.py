@@ -151,7 +151,7 @@ def _run_speculative(args, model_dir, hp) -> int:
     ids = tok.tokenize(prompt)
     log.info(f"prompt tokens: {len(ids)}")
 
-    if args.draft and args.spec_engine in ("chain", "eagle"):
+    if args.draft and args.spec_engine in ("chain", "eagle", "device-tree"):
         # an EAGLE head GGUF auto-selects the eagle engine
         from .core.gguf import GGUFReader
 
@@ -168,8 +168,16 @@ def _run_speculative(args, model_dir, hp) -> int:
             from .speculative.eagle import EagleChainEngine
 
             e_llm, ep = load_eagle_gguf(args.draft, params, cfg.llm)
+            # --spec-engine device-tree + eagle head = EAGLE-2-style
+            # tree drafting over --spec-tree widths
+            tpl = None
+            if args.spec_engine == "device-tree":
+                from .speculative.device_tree import TreeTemplate
+
+                tpl = TreeTemplate.from_widths(
+                    [int(w) for w in args.spec_tree.split(",")])
             eng = EagleChainEngine(params, cfg, ep, e_llm, k=args.spec_k,
-                                   backend=args.backend)
+                                   backend=args.backend, template=tpl)
             return _spec_generate(args, tok, eng, prompt, ids)
     elif args.spec_engine == "eagle":
         log.error("--spec-engine eagle needs --draft <eagle head dir>")

@@ -43,7 +43,7 @@ from ..ops.qmatmul import QLinear, qmatmul
 from .engine import SpecStats
 
 __all__ = ["EagleParams", "eagle_forward", "eagle_spec_scan",
-           "EagleChainEngine"]
+           "eagle_tree_spec_scan", "EagleChainEngine"]
 
 
 @functools.partial(
@@ -329,19 +329,193 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
     return emitted, counts, t_kv, e_kv, root, root_feat, rngs
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_llm", "e_llm", "n_steps", "tree_key", "backend",
+                     "sample"),
+    donate_argnums=(2, 3),
+)
+def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
+                         t_kv: KVCache, e_kv: KVCache, root: jax.Array,
+                         root_feat: jax.Array, t_llm: LLMConfig,
+                         e_llm: LLMConfig, n_steps: int, tree_key: tuple,
+                         backend: str = "auto",
+                         active: jax.Array | None = None,
+                         rngs: jax.Array | None = None,
+                         temp: jax.Array | None = None,
+                         top_k: jax.Array | None = None,
+                         top_p: jax.Array | None = None,
+                         sample: bool = False):
+    """Batched EAGLE speculation over a static TREE topology (EAGLE-2
+    style): the head drafts every tree level in one batched forward
+    (siblings take the head's rank-r tokens), ONE target forward
+    verifies the whole tree with the ancestor intra-mask, and the
+    acceptance walk follows matching children (device_tree.py's walk,
+    reusing its TreeTemplate). Trees hedge the head's top-k at each
+    depth, lifting tokens/step over chains at equal verify cost.
+
+    root [S] / root_feat [S, dim] as in eagle_spec_scan. tree_key: a
+    TreeTemplate.key(). Returns (emitted [n_steps, S, max_depth+1],
+    counts [n_steps, S], t_kv, e_kv, root, root_feat, rngs).
+
+    Head-cache bookkeeping differs from device_tree: drafted head
+    entries are ALL dropped after verify and the accepted chain is
+    re-prefilled with TRUE target features (the head never needs the
+    deepest level forwarded — its nodes have no children — so only
+    N - |last level| head entries are written per step).
+    """
+    from .device_tree import TreeTemplate, _level_visibility
+
+    tpl = TreeTemplate(*tree_key)
+    N, Dp = tpl.n_nodes, tpl.max_depth
+    S = root.shape[0]
+    dim = root_feat.shape[-1]
+    if active is None:
+        active = jnp.ones(S, bool)
+    if rngs is None:
+        rngs = jnp.zeros((S, 2), jnp.uint32)
+    depths = jnp.asarray(tpl.depths)
+    idx_arr = jnp.arange(N, dtype=jnp.int32)
+    child_tab = jnp.asarray(tpl.child_table)
+    anc = jnp.asarray(tpl.anc)
+    T = t_kv.max_seq
+    n_drafted = sum(len(tpl.levels[d]) for d in range(Dp))  # head entries
+
+    def spec_step(carry, _):
+        t_kv, e_kv, root, root_feat, rngs = carry
+        c = t_kv.pos.astype(jnp.int32)  # [S] committed length
+        mask0 = e_kv.mask  # committed visibility BEFORE this tree
+
+        tokens = jnp.zeros((S, N), jnp.int32).at[:, 0].set(root)
+        # per-node input feature (feature-level autoregression: node i
+        # consumes its parent's predicted feature; the root consumes
+        # the TRUE feature that sampled it)
+        feats_in = jnp.zeros((S, N, dim), jnp.float32
+                             ).at[:, 0].set(root_feat)
+        # -- draft levels 0..Dp-1 with the head ------------------------
+        for d in range(Dp):
+            lev = tpl.levels[d]
+            toks_l = tokens[:, lev]
+            rope = jnp.where(active[:, None],
+                             c[:, None] + depths[lev][None, :], -1)
+            cpos = jnp.where(active[:, None],
+                             c[:, None] + jnp.asarray(lev)[None, :], -1)
+            vis = _level_visibility(mask0, tpl.anc[lev], c, T)
+            logits, feat_out, e_kv = eagle_forward(
+                eparams, e_llm, e_kv, toks_l, feats_in[:, lev], rope,
+                cache_positions=cpos, vis_override=vis, active=active,
+                backend=backend, logits_mode="all")
+            w = tpl.level_topk[d]
+            _, top_ids = jax.lax.top_k(
+                logits[:, :, :t_llm.vocab_size], w)  # [S, len(lev), w]
+            for row, child, r in tpl.assignments[d]:
+                tokens = tokens.at[:, child].set(
+                    top_ids[:, row, r].astype(jnp.int32))
+                feats_in = feats_in.at[:, child].set(feat_out[:, row])
+
+        # -- one target verify over the whole tree ---------------------
+        rope_v = jnp.where(active[:, None], c[:, None] + depths[None, :], -1)
+        cpos_v = jnp.where(active[:, None], c[:, None] + idx_arr[None, :], -1)
+        logits, t_kv, feats_true = forward(
+            tparams, t_llm, t_kv, tokens, rope_v, cache_positions=cpos_v,
+            intra_mask=anc, active=active, backend=backend,
+            logits_mode="all", return_final_hidden=True)
+        feats_true = feats_true.astype(jnp.float32)  # [S, N, dim]
+        if sample:
+            from ..sampling.sampler import sample_logits_batched
+
+            split = jax.vmap(lambda r: jax.random.split(r, N + 1))(rngs)
+            new_rngs = split[:, 0]
+            keys = split[:, 1:].reshape(S * N, 2)
+            rep = lambda a: jnp.repeat(a, N, axis=0)  # noqa: E731
+            sampled = sample_logits_batched(
+                keys[0], logits.reshape(S * N, -1)[:, :t_llm.vocab_size],
+                rep(temp), rep(top_k), rep(top_p),
+                vocab_size=t_llm.vocab_size, keys=keys,
+            ).astype(jnp.int32).reshape(S, N)
+        else:
+            new_rngs = rngs
+            sampled = jnp.argmax(logits[:, :, :t_llm.vocab_size],
+                                 axis=-1).astype(jnp.int32)
+
+        # -- acceptance walk over the static child table ----------------
+        cur = jnp.zeros(S, jnp.int32)
+        alive = jnp.ones(S, bool)
+        chain = [cur]
+        for _ in range(Dp):
+            cand = child_tab[cur]  # [S, Cmax]
+            cand_tok = jnp.take_along_axis(tokens, jnp.maximum(cand, 0),
+                                           axis=1)
+            tgt = jnp.take_along_axis(sampled, cur[:, None], axis=1)
+            m = (cand >= 0) & (cand_tok == tgt) & alive[:, None]
+            has = m.any(axis=1)
+            pick = jnp.argmax(m, axis=1)
+            child = jnp.take_along_axis(cand, pick[:, None], axis=1)[:, 0]
+            cur = jnp.where(has, child, cur)
+            alive = alive & has
+            chain.append(jnp.where(has, child, -1))
+        chain_m = jnp.stack(chain, axis=1)  # [S, Dp+1] node ids (-1 dead)
+        n_acc = jnp.sum(chain_m[:, 1:] >= 0, axis=1)
+
+        emit = jnp.take_along_axis(sampled, jnp.maximum(chain_m, 0), axis=1)
+        emit = jnp.where((chain_m >= 0) & active[:, None], emit, -1)
+        new_root = jnp.where(
+            active,
+            jnp.take_along_axis(sampled, cur[:, None], axis=1)[:, 0], root)
+        new_root_feat = jnp.where(
+            active[:, None],
+            jnp.take_along_axis(
+                feats_true, cur[:, None, None], axis=1)[:, 0], root_feat)
+
+        # -- commit: target compacts the chain; head re-prefills --------
+        t_kv = t_kv.rollback(t_kv.pos.astype(jnp.int32) - c, active=active)
+        src = jnp.where(chain_m >= 0, c[:, None] + chain_m, -1)
+        n_commit = jnp.where(active, n_acc + 1, 0)
+        t_kv = t_kv.commit_tokens(jnp.arange(S), src, n_commit)
+        # head drafted n_drafted entries; drop them all, re-prefill the
+        # accepted chain paired with TRUE features of its predecessors
+        e_kv = e_kv.rollback(jnp.where(active, n_drafted, 0))
+        fed_chain = jnp.take_along_axis(tokens, jnp.maximum(chain_m, 0),
+                                        axis=1)  # [S, Dp+1]
+        pred = jnp.maximum(chain_m[:, :-1], 0)  # predecessors of 1..Dp
+        feats_pred = jnp.take_along_axis(
+            feats_true, pred[:, :, None], axis=1)  # [S, Dp, dim]
+        commit_feats = jnp.concatenate(
+            [root_feat[:, None, :], feats_pred], axis=1)  # [S, Dp+1, dim]
+        lanes = jnp.arange(Dp + 1)
+        live = lanes[None, :] <= n_acc[:, None]
+        commit_pos = jnp.where(live & active[:, None],
+                               c[:, None] + lanes[None, :], -1)
+        _, _, e_kv = eagle_forward(
+            eparams, e_llm, e_kv, fed_chain, commit_feats, commit_pos,
+            active=active, backend=backend, logits_mode="none")
+
+        counts = n_commit
+        return ((t_kv, e_kv, new_root, new_root_feat, new_rngs),
+                (emit, counts))
+
+    (t_kv, e_kv, root, root_feat, rngs), (emitted, counts) = jax.lax.scan(
+        spec_step, (t_kv, e_kv, root, root_feat, rngs), None, length=n_steps)
+    return emitted, counts, t_kv, e_kv, root, root_feat, rngs
+
+
 class EagleChainEngine:
     """Host wrapper: prefill target + head, then emit tokens in blocks
     of on-device EAGLE steps (one dispatch per block) — the EAGLE
-    analogue of chain.ChainSpecEngine."""
+    analogue of chain.ChainSpecEngine. Pass `template` (a
+    device_tree.TreeTemplate) for EAGLE-2-style tree drafting instead
+    of a k-chain."""
 
     def __init__(self, target_params: LlamaParams, target_cfg: ModelConfig,
                  eagle_params: EagleParams, eagle_llm: LLMConfig,
                  k: int = 4, block_steps: int = 8, max_seq: int = 0,
-                 kv_dtype: str = "int8", backend: str = "auto"):
+                 kv_dtype: str = "int8", backend: str = "auto",
+                 template=None):
         self.tp, self.tcfg = target_params, target_cfg
         self.ep, self.e_llm = eagle_params, eagle_llm
         self.t_llm = target_cfg.llm
         self.k = k
+        self.template = template
         self.block_steps = block_steps
         self.backend = backend
         self.max_seq = max_seq or target_cfg.llm.seq_len
@@ -393,22 +567,34 @@ class EagleChainEngine:
     def generate(self, prompt_tokens: list[int], n_predict: int,
                  stop_fn=None, stats: SpecStats | None = None):
         stats = stats if stats is not None else SpecStats()
+        tpl = self.template
+        per_step = (tpl.max_depth + 1) if tpl is not None else (self.k + 1)
+        drafted = (tpl.n_nodes - 1) if tpl is not None else self.k
         self.prefill(prompt_tokens)
         out = 0
         while out < n_predict:
             room = self.max_seq - int(np.asarray(self.t_kv.pos)[0])
-            if room < self.block_steps * (self.k + 1) + 1:
+            need = self.block_steps * per_step + (
+                tpl.n_nodes if tpl is not None else 1)
+            if room < need:
                 return
-            (tokens, counts, self.t_kv, self.e_kv, self._root,
-             self._root_feat, _) = eagle_spec_scan(
-                self.tp, self.ep, self.t_kv, self.e_kv, self._root,
-                self._root_feat, self.t_llm, self.e_llm,
-                self.block_steps, self.k, self.backend)
-            tokens = np.asarray(tokens)[:, 0]  # [steps, k+1]
+            if tpl is not None:
+                (tokens, counts, self.t_kv, self.e_kv, self._root,
+                 self._root_feat, _) = eagle_tree_spec_scan(
+                    self.tp, self.ep, self.t_kv, self.e_kv, self._root,
+                    self._root_feat, self.t_llm, self.e_llm,
+                    self.block_steps, tpl.key(), self.backend)
+            else:
+                (tokens, counts, self.t_kv, self.e_kv, self._root,
+                 self._root_feat, _) = eagle_spec_scan(
+                    self.tp, self.ep, self.t_kv, self.e_kv, self._root,
+                    self._root_feat, self.t_llm, self.e_llm,
+                    self.block_steps, self.k, self.backend)
+            tokens = np.asarray(tokens)[:, 0]  # [steps, per_step]
             counts = np.asarray(counts)[:, 0]
             for i in range(self.block_steps):
                 stats.steps += 1
-                stats.drafted += self.k
+                stats.drafted += drafted
                 stats.accepted += int(counts[i]) - 1
                 for t in tokens[i, :counts[i]]:
                     stats.emitted += 1

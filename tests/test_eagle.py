@@ -296,6 +296,41 @@ def test_eagle_batched_scheduler_matches_plain():
     assert got == want, (got, want)
 
 
+def test_eagle_tree_scheduler_matches_plain():
+    """hp.spec_tree runs EAGLE-2-style tree drafting per slot; greedy
+    output must equal the plain scheduler's (losslessness for trees:
+    sibling hedging changes acceptance, never emitted tokens)."""
+    from powerserve_tpu.core.config import HyperParams
+    from powerserve_tpu.engine.scheduler import BatchScheduler
+
+    params, cfg, _ = _mk_target(0, layers=2)
+    d_params, _, _ = _mk_target(7, layers=1)
+    rng = np.random.default_rng(11)
+    fc = _qlinear_from_float(
+        rng.standard_normal((DIM, 2 * DIM)).astype(np.float32) * 0.05,
+        GGMLType.Q8_0)
+    ep = EagleParams(
+        fc=fc, fc_bias=None, layers=(d_params.layers[0],),
+        embed=params.embed, lm_head=params.lm_head, out_norm=None,
+        input_norm=False)
+    e_llm = dataclasses.replace(cfg.llm, n_layers=1)
+
+    prompts = [[3, 17, 5, 9], [1, 2, 3, 4, 5]]
+    hp = HyperParams(max_slots=2, batch_size=8)
+    hp.max_seq_len = 128
+    plain = BatchScheduler(params, cfg, hp, backend="xla")
+    want = _run_sched(plain, prompts)
+
+    hp2 = HyperParams(max_slots=2, batch_size=8)
+    hp2.max_seq_len = 128
+    hp2.spec_tree = "2,1"
+    eagle = BatchScheduler(params, cfg, hp2, backend="xla",
+                           eagle_params=ep, eagle_llm=e_llm)
+    assert eagle.spec_template is not None
+    got = _run_sched(eagle, prompts)
+    assert got == want, (got, want)
+
+
 def test_eagle_scheduler_prefix_cache_reuse():
     """The prefix cache must carry the EAGLE feature alongside both KV
     prefixes: a second identical request skips prefill and still emits
@@ -323,6 +358,31 @@ def test_eagle_scheduler_prefix_cache_reuse():
     second = _run_sched(sched, [prompt], max_tokens=6)[0]
     assert sched.prefix_cache.hits == 1
     assert second == first
+
+
+def test_eagle_tree_engine_matches_vanilla():
+    """Single-stream EAGLE-2-style tree drafting is lossless too."""
+    from powerserve_tpu.speculative.device_tree import TreeTemplate
+
+    params, cfg, _ = _mk_target(0, layers=2)
+    d_params, _, _ = _mk_target(7, layers=1)
+    prompt = [3, 17, 5, 9]
+    want = _vanilla_greedy(params, cfg, prompt, 16)
+
+    rng = np.random.default_rng(11)
+    fc = _qlinear_from_float(
+        rng.standard_normal((DIM, 2 * DIM)).astype(np.float32) * 0.05,
+        GGMLType.Q8_0)
+    ep = EagleParams(
+        fc=fc, fc_bias=None, layers=(d_params.layers[0],),
+        embed=params.embed, lm_head=params.lm_head, out_norm=None,
+        input_norm=False)
+    e_llm = dataclasses.replace(cfg.llm, n_layers=1)
+    eng = EagleChainEngine(params, cfg, ep, e_llm, block_steps=4,
+                           backend="xla", kv_dtype="bf16",
+                           template=TreeTemplate.from_widths([2, 1]))
+    got = list(eng.generate(prompt, 16))
+    assert got == want, (got, want)
 
 
 def test_eagle_engine_reset_reuse():
