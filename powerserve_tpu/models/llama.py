@@ -269,9 +269,16 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             ks_l = jax.vmap(scat)(ks_l, ks.transpose(0, 2, 1), safe_pos)
             vs_l = jax.vmap(scat)(vs_l, vsc.transpose(0, 2, 1), safe_pos)
             # attention reads int8 KV directly; per-token scales fold
-            # into the score/prob tensors (no dequantized cache copies)
-            attn = gqa_attention_quant(q, k_l, ks_l, v_l, vs_l, vis, scale,
-                                       backend=backend)
+            # into the score/prob tensors (no dequantized cache copies).
+            # standard-prefill contiguity facts let the flash-prefill
+            # kernel (env-gated) compute visibility in-kernel
+            contiguous = (intra_mask is None and vis_override is None
+                          and Tq > 1)
+            attn = gqa_attention_quant(
+                q, k_l, ks_l, v_l, vs_l, vis, scale, backend=backend,
+                prefill_start=(cache_positions[:, 0] if contiguous
+                               else None),
+                cache_mask=kv.mask if contiguous else None)
         else:
             k_l = jax.vmap(scat)(k_l, knew.transpose(0, 2, 1, 3), safe_pos)
             v_l = jax.vmap(scat)(v_l, vnew.transpose(0, 2, 1, 3), safe_pos)

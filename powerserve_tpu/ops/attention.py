@@ -13,10 +13,18 @@ flash-decode kernel can be slotted behind the same signature later.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+
+# flash-prefill routing knob: "1" = route eligible prefill shapes to the
+# Pallas kernel on TPU; "interpret" = interpret mode (CPU tests); unset/
+# "0" = XLA paths (kernel is UNMEASURED on real TPU — see
+# flash_prefill.py — so auto-routing stays off until the bench confirms)
+_FLASH_PREFILL = _os.environ.get("POWERSERVE_FLASH_PREFILL", "0")
 
 
 def _attn_dtype():
@@ -74,7 +82,9 @@ def gqa_attention_quant(q: jax.Array, kq: jax.Array, ks: jax.Array,
                         vq: jax.Array, vs: jax.Array,
                         visibility: jax.Array, scale: float,
                         chunk: int = 1024,
-                        backend: str = "xla") -> jax.Array:
+                        backend: str = "xla",
+                        prefill_start: jax.Array | None = None,
+                        cache_mask: jax.Array | None = None) -> jax.Array:
     """Attention directly over the INT8 KV cache.
 
     kq/vq: [S, Hkv, T, D] int8 (cache layout: contiguous per-head
@@ -92,10 +102,25 @@ def gqa_attention_quant(q: jax.Array, kq: jax.Array, ks: jax.Array,
     at S=1/T=8192 on v5e) and at worst tied. Verify shapes (Tq > 1) and
     short caches stay on XLA, which is already near the KV-bandwidth
     roofline for them.
+
+    prefill_start/cache_mask: the standard-prefill contiguity facts
+    ([S] write offsets + [S, T] committed mask) that let the Pallas
+    flash-prefill kernel compute visibility in-kernel; routed there
+    when POWERSERVE_FLASH_PREFILL enables it (unmeasured on TPU yet).
     """
     S, Tq, H, D = q.shape
     Hkv, T = kq.shape[1], kq.shape[2]
     G = H // Hkv
+    if (prefill_start is not None and cache_mask is not None
+            and Tq >= 32 and _FLASH_PREFILL in ("1", "interpret")
+            and backend in ("auto", "pallas", "pallas_interpret")):
+        interp = (_FLASH_PREFILL == "interpret"
+                  or backend == "pallas_interpret")
+        if interp or jax.default_backend() == "tpu":
+            from .flash_prefill import flash_prefill_quant
+            return flash_prefill_quant(q, kq, ks, vq, vs, cache_mask,
+                                       prefill_start, scale,
+                                       interpret=interp)
     if Tq == 1 and T >= 2048 and backend in ("auto", "pallas",
                                              "pallas_interpret"):
         interp = backend == "pallas_interpret"

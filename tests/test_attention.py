@@ -116,6 +116,64 @@ def test_flash_decode_interpret_matches_xla():
     np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
 
 
+def test_flash_prefill_interpret_matches_xla():
+    """Pallas flash-prefill kernel (interpret mode) vs the XLA quant
+    path, on the standard prefill pattern: committed prefix + a
+    contiguous new batch with end padding, ragged T/Tq vs tile sizes."""
+    from powerserve_tpu.ops.attention import (build_visibility,
+                                              gqa_attention_quant)
+    from powerserve_tpu.ops.flash_prefill import flash_prefill_quant
+
+    rng = np.random.default_rng(13)
+    S, Tq, T, H, Hkv, D = 2, 48, 320, 8, 2, 128
+    starts = np.asarray([17, 0], np.int32)  # per-slot committed lengths
+    n_real = np.asarray([48, 33], np.int32)  # slot 1 pads 15 lanes
+    q = jnp.asarray(rng.standard_normal((S, Tq, H, D)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (S, Hkv, T, D)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (S, Hkv, T, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (S, Hkv, T)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (S, Hkv, T)), jnp.float32)
+    cache_mask = np.zeros((S, T), bool)
+    positions = np.full((S, Tq), -1, np.int32)
+    for s in range(S):
+        cache_mask[s, :starts[s]] = True
+        positions[s, :n_real[s]] = starts[s] + np.arange(n_real[s])
+    vis = build_visibility(jnp.asarray(cache_mask), jnp.asarray(positions),
+                           None)
+    ref = np.asarray(gqa_attention_quant(q, kq, ks, vq, vs, vis, 0.088))
+    got = np.asarray(flash_prefill_quant(
+        q, kq, ks, vq, vs, jnp.asarray(cache_mask),
+        jnp.asarray(starts), 0.088, qb=32, chunk=128, interpret=True))
+    # compare only the real (non-padded) query rows
+    for s in range(S):
+        np.testing.assert_allclose(got[s, :n_real[s]], ref[s, :n_real[s]],
+                                   rtol=3e-2, atol=3e-2)
+
+
+def test_flash_prefill_env_dispatch(monkeypatch):
+    """POWERSERVE_FLASH_PREFILL=interpret routes eligible prefill calls
+    through the kernel inside the full forward(); greedy outputs equal
+    the XLA path end-to-end."""
+    import powerserve_tpu.ops.attention as att
+    from powerserve_tpu.core.config import HyperParams
+    from powerserve_tpu.engine.generator import InferenceEngine
+    from powerserve_tpu.tools.bench_params import make_device_params
+
+    cfg, params = make_device_params("tiny", "q8_0")
+    hp = HyperParams(max_slots=1, batch_size=64)
+    hp.max_seq_len = 128
+
+    def run():
+        eng = InferenceEngine(params, cfg, hp, backend="xla")
+        eng.hp.sampler.temperature = 0.0
+        return list(eng.generate(list(range(3, 43)), 6))
+
+    want = run()
+    monkeypatch.setattr(att, "_FLASH_PREFILL", "interpret")
+    got = run()
+    assert got == want, (got, want)
+
+
 def test_flash_dispatch_via_backend():
     """backend="pallas_interpret" routes decode shapes at T>=2048 to the
     flash kernel; result matches the XLA path."""
