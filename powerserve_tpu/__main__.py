@@ -14,6 +14,7 @@ Commands:
   cos-sim      compare activation dumps (numerics debugging)
   dump-activations  per-layer hidden-state dumps
   bench-kernels     quantized-matmul microbenchmarks
+  autotune     tune qmatmul knobs per weight shape; persist in workspace
   deploy       launch serving across a TPU pod slice (docs/DEPLOY.md)
 """
 
@@ -65,6 +66,9 @@ def main() -> int:
         return m(argv)
     if cmd == "bench-kernels":
         from .tools.bench_kernels import main as m
+        return m(argv)
+    if cmd == "autotune":
+        from .tools.autotune import main as m
         return m(argv)
     if cmd == "deploy":
         from .tools.deploy import main as m

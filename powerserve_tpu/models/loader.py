@@ -23,12 +23,15 @@ import numpy as np
 
 from ..core.config import LLMConfig, ModelConfig, RopeConfig
 from ..core.gguf import GGMLType, GGUFReader
+from ..core.logging import get_logger
 from ..core.quant import QK, QuantizedTensor, quantize, repack_gguf_tensor
 from ..ops.elementwise import ROPE_TYPE_NEOX, ROPE_TYPE_NORM
 from ..ops.qmatmul import QLinear
 from .llama import LayerWeights, LlamaParams, QEmbedding
 
 import jax
+
+log = get_logger("loader")
 
 
 def stack_layers(layers: list[LayerWeights]) -> LayerWeights:
@@ -265,6 +268,13 @@ def load_gguf_model(path: str | os.PathLike, pack: bool = True,
         mxu = os.environ.get("POWERSERVE_WEIGHT_FORMAT", "gguf") == "w8"
     p = Path(path)
     if p.is_dir():
+        # workspace-persisted autotune table (tools/autotune.py) seeds
+        # the kernel's per-shape knob overrides for this model
+        from ..ops.qmatmul import load_tune_table
+
+        n_tuned = load_tune_table(p / "qmm_tune.json")
+        if n_tuned:
+            log.info(f"loaded {n_tuned} autotuned kernel shapes")
         p = p / "weights.gguf"
     reader = GGUFReader(p)
     cfg = config_from_gguf_metadata(reader.metadata)

@@ -456,6 +456,44 @@ _ENV_UNPACK = _os.environ.get("POWERSERVE_QMM_UNPACK", "float")
 # W8 MXU kernel activations: int8 (2x MXU rate, per-token quant) or bf16
 _ENV_A8 = _os.environ.get("POWERSERVE_QMM_ACT", "a8") == "a8"
 
+# per-shape autotune table (tools/autotune.py): {"<mclass>:<K>:<N>":
+# {"bn": int, "groups": int}}; mclass buckets M into decode (<=16) /
+# prefill. Loaded from POWERSERVE_QMM_TUNE or a workspace qmm_tune.json
+# (models/loader.py calls load_tune_table at model load).
+_TUNE: dict[str, dict] = {}
+
+
+def mclass(m: int) -> str:
+    return "decode" if m <= 16 else "prefill"
+
+
+def load_tune_table(path) -> int:
+    """Merge a qmm_tune.json into the active override table. Returns
+    the number of entries loaded (0 if the file is absent)."""
+    import json
+    from pathlib import Path
+
+    p = Path(path)
+    if not p.exists():
+        return 0
+    entries = json.loads(p.read_text())
+    _TUNE.update(entries)
+    return len(entries)
+
+
+if _os.environ.get("POWERSERVE_QMM_TUNE"):
+    load_tune_table(_os.environ["POWERSERVE_QMM_TUNE"])
+
+
+def _select_knobs(m: int, k: int, n: int) -> tuple[int, int]:
+    """(preferred bn, max groups-per-K-tile) for this shape: the
+    autotuned per-shape entry when present, else the env/global
+    defaults (VMEM caps in _qmatmul_pallas still apply)."""
+    e = _TUNE.get(f"{mclass(m)}:{k}:{n}")
+    if e:
+        return int(e.get("bn", _ENV_BN)), int(e.get("groups", _ENV_GROUPS))
+    return _ENV_BN, _ENV_GROUPS
+
 
 def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
                     block_n: int | None = None, block_m: int = 256,
@@ -465,7 +503,8 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
     n = lin.out_features
     prefetch = layer is not None  # weights stacked [L, ...], index via SMEM
     bm = min(_round_up(m, 16), block_m)
-    bn = _pick_bn(n, block_n or _ENV_BN)
+    tune_bn, tune_groups = _select_knobs(m, k, n)
+    bn = _pick_bn(n, block_n or tune_bn)
     # K tile: whole pack groups when packed (each group's halves split
     # with static slices in-kernel); else the largest 64-aligned divisor.
     # Mosaic constraint: the scales block's sublane dim (bk/32) must be
@@ -479,7 +518,7 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
     # (measured: bm=256 prefill and bm=48 spec-verify both OOM at
     # bk=14336). Keep fat tiles for decode-sized M only; larger M uses
     # the long-proven <=2-group tiles.
-    gpt_max = max(_ENV_GROUPS, 1) if bm <= 16 else min(_ENV_GROUPS, 2)
+    gpt_max = max(tune_groups, 1) if bm <= 16 else min(tune_groups, 2)
     x_budget = 4 << 20
 
     def _fits(bk_: int) -> bool:

@@ -230,3 +230,68 @@ def test_w8_gguf_load_logits_parity(tmp_path):
     a, b = logits_of(p_ref), logits_of(p_w8)
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert corr > 0.999, corr
+
+
+def test_qmm_tune_table_selection(tmp_path):
+    """Per-shape autotune entries override the global knob defaults and
+    keep the kernel numerically correct; absent shapes fall back."""
+    import importlib
+    import json
+
+    qmm = importlib.import_module("powerserve_tpu.ops.qmatmul")
+
+    old = qmm._TUNE.copy()
+    try:
+        qmm._TUNE.clear()
+        assert qmm._select_knobs(1, 256, 512) == (qmm._ENV_BN,
+                                                  qmm._ENV_GROUPS)
+        tune = {"decode:256:512": {"bn": 128, "groups": 1},
+                "prefill:256:512": {"bn": 256, "groups": 2}}
+        f = tmp_path / "qmm_tune.json"
+        f.write_text(json.dumps(tune))
+        assert qmm.load_tune_table(f) == 2
+        assert qmm._select_knobs(1, 256, 512) == (128, 1)
+        assert qmm._select_knobs(64, 256, 512) == (256, 2)
+        assert qmm._select_knobs(1, 999, 512) == (qmm._ENV_BN,
+                                                  qmm._ENV_GROUPS)
+        assert qmm.load_tune_table(tmp_path / "missing.json") == 0
+
+        # kernel correctness under the overridden knobs
+        rng = np.random.default_rng(5)
+        K, N = 256, 512
+        w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+        x = rng.standard_normal((1, K)).astype(np.float32)
+        lin = QLinear.from_float(w, GGMLType.Q4_0)
+        ref = _golden(w, x, GGMLType.Q4_0)
+        y = np.asarray(qmatmul(jnp.asarray(x), lin,
+                               backend="pallas_interpret",
+                               compute_dtype=jnp.float32))
+        rel = np.abs(y - ref).max() / np.abs(ref).max()
+        assert rel < 2e-5, rel
+    finally:
+        qmm._TUNE.clear()
+        qmm._TUNE.update(old)
+
+
+def test_qmm_tune_loaded_from_workspace(tmp_path):
+    """load_gguf_model picks up qmm_tune.json beside weights.gguf."""
+    import importlib
+    import json
+
+    qmm = importlib.import_module("powerserve_tpu.ops.qmatmul")
+    from powerserve_tpu.core.gguf import GGMLType as G
+    from powerserve_tpu.models.loader import load_gguf_model
+    from powerserve_tpu.tools.synthetic import make_synthetic_gguf
+
+    ws = tmp_path / "ws"
+    make_synthetic_gguf(ws, "tiny", G.Q8_0, seed=0, seq_len=64)
+    (ws / "model" / "qmm_tune.json").write_text(
+        json.dumps({"decode:64:64": {"bn": 64, "groups": 1}}))
+    old = qmm._TUNE.copy()
+    try:
+        qmm._TUNE.clear()
+        load_gguf_model(ws / "model")
+        assert qmm._select_knobs(1, 64, 64) == (64, 1)
+    finally:
+        qmm._TUNE.clear()
+        qmm._TUNE.update(old)
