@@ -34,17 +34,22 @@ from ..ops.qmatmul import QLinear
 
 def make_mesh(shape: dict[str, int] | None = None,
               devices: list | None = None) -> Mesh:
-    """Build a (dp, tp) mesh. shape e.g. {"dp": 2, "tp": 4}; default
-    puts all devices on "tp"."""
+    """Build a (dp, sp, tp) mesh. shape e.g. {"dp": 2, "tp": 4} or
+    {"sp": 2, "tp": 4}; default puts all devices on "tp". "sp"
+    (sequence parallel) shards the KV cache's time axis — long-context
+    memory and attention bandwidth split across chips (net-new vs the
+    reference, whose context is hard-capped by static NPU graph shapes,
+    SURVEY §5 long-context)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if not shape:
-        shape = {"dp": 1, "tp": n}
+        shape = {"dp": 1, "sp": 1, "tp": n}
     dp = int(shape.get("dp", 1))
-    tp = int(shape.get("tp", n // dp))
-    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+    sp = int(shape.get("sp", 1))
+    tp = int(shape.get("tp", n // (dp * sp)))
+    assert dp * sp * tp == n, f"mesh {dp}x{sp}x{tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, ("dp", "sp", "tp"))
 
 
 def _shardable(dim_size: int, n_shards: int) -> bool:
@@ -152,16 +157,24 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
 
 
 def shard_kv(kv: KVCache, mesh: Mesh) -> KVCache:
-    """KV heads over tp, slots over dp."""
+    """KV heads over tp, slots over dp, cache time over sp.
+
+    With the time axis sharded, GSPMD turns the dense/chunked attention
+    einsums into per-shard partial softmax terms combined by
+    collectives, and the functional KV scatters into shard-local writes
+    (OOB lanes of other shards drop) — each chip holds and streams
+    1/sp of the context."""
     import dataclasses
 
     tp = mesh.shape["tp"]
     dp = mesh.shape["dp"]
+    sp = mesh.shape.get("sp", 1)
     L, S, H, T, D = kv.k.shape
     s_ax = "dp" if _shardable(S, dp) and dp > 1 else None
     h_ax = "tp" if _shardable(H, tp) else None
-    kvspec = P(None, s_ax, h_ax, None, None)
-    scspec = P(None, s_ax, h_ax, None)
+    t_ax = "sp" if _shardable(T, sp) and sp > 1 else None
+    kvspec = P(None, s_ax, h_ax, t_ax, None)
+    scspec = P(None, s_ax, h_ax, t_ax)
     quant = kv.quantized
     return dataclasses.replace(
         kv,
@@ -169,6 +182,6 @@ def shard_kv(kv: KVCache, mesh: Mesh) -> KVCache:
         v=_put(kv.v, mesh, kvspec),
         k_scale=_put(kv.k_scale, mesh, scspec if quant else P()),
         v_scale=_put(kv.v_scale, mesh, scspec if quant else P()),
-        mask=_put(kv.mask, mesh, P(s_ax, None)),
+        mask=_put(kv.mask, mesh, P(s_ax, t_ax)),
         pos=_put(kv.pos, mesh, P(s_ax)),
     )

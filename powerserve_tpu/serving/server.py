@@ -841,6 +841,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel ways (slots sharded across; "
                          "used with --tp)")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="sequence-parallel ways: shard the KV cache's "
+                         "time axis (long-context memory/bandwidth "
+                         "split across chips; used with --tp)")
     ap.add_argument("--distributed", action="store_true",
                     help="multi-host: jax.distributed.initialize from "
                          "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
@@ -860,7 +864,7 @@ def main(argv: list[str] | None = None) -> None:
     elif args.tp:
         from ..parallel.mesh import make_mesh
 
-        mesh = make_mesh({"dp": args.dp, "tp": args.tp})
+        mesh = make_mesh({"dp": args.dp, "sp": args.sp, "tp": args.tp})
 
     root = Path(args.model_root)
     hp = HyperParams(max_slots=args.max_slots)

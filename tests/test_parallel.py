@@ -82,6 +82,49 @@ def test_make_mesh_default():
     assert mesh.shape["dp"] == 1
 
 
+def test_sequence_parallel_forward_matches_single(model):
+    """sp shards the KV time axis: a dp*sp*tp mesh must reproduce the
+    single-device logits (GSPMD partial-softmax + shard-local scatters),
+    including a second step whose queries attend to step-1 entries that
+    live on a different sp shard."""
+    cfg, params = model
+    llm = cfg.llm
+    kv0 = KVCache.create(llm.n_layers, 4, 16, llm.n_kv_heads, llm.head_size)
+    ref1, kv0 = _run(params, cfg, kv0)  # forward advances kv itself
+    ref2, _ = _run2(params, cfg, kv0)
+
+    mesh = make_mesh({"dp": 2, "sp": 2, "tp": 2})
+    p2 = shard_params(params, mesh)
+    kv2 = shard_kv(KVCache.create(llm.n_layers, 4, 16, llm.n_kv_heads,
+                                  llm.head_size), mesh)
+    assert kv2.k.sharding.spec[3] == "sp", kv2.k.sharding.spec
+    assert kv2.mask.sharding.spec[1] == "sp"
+    got1, kv2 = _run(p2, cfg, kv2, mesh)
+    got2, _ = _run2(p2, cfg, kv2, mesh)
+    np.testing.assert_allclose(got1, ref1, rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(got2, ref2, rtol=3e-2, atol=3e-2)
+
+
+def _run2(params, cfg, kv, mesh=None):
+    """Second-step queries (positions 4..11, crossing the sp=2 shard
+    boundary of a T=16 cache)."""
+    tokens = jnp.broadcast_to(jnp.asarray([[2, 4, 6, 8, 1, 3, 5, 7]]),
+                              (kv.n_slots, 8))
+    pos = jnp.broadcast_to(4 + jnp.arange(8)[None, :], (kv.n_slots, 8))
+
+    @jax.jit
+    def step(params, kv):
+        return forward(params, cfg.llm, kv, tokens, pos, backend="xla",
+                       logits_mode="last")
+
+    if mesh is not None:
+        with mesh:
+            logits, kv = step(params, kv)
+    else:
+        logits, kv = step(params, kv)
+    return np.asarray(logits), kv
+
+
 # ---------------------------------------------------------------------------
 # shard_map tensor-parallel path (parallel/tp.py) — the multichip path
 # that can run the Pallas kernel on local shards
