@@ -33,9 +33,11 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--max-seq", type=int, default=1024)
     ap.add_argument("--mode", default="cost",
-                    choices=["cost", "chain"],
+                    choices=["cost", "chain", "eagle"],
                     help="cost: per-op cost model; chain: measured "
-                         "tok/s of the on-device chain-spec loop")
+                         "tok/s of the on-device chain-spec loop; "
+                         "eagle: measured tok/s of the on-device EAGLE "
+                         "loop with a synthetic 1-layer head")
     ap.add_argument("--k", type=int, default=4,
                     help="chain draft length per step")
     ap.add_argument("--self-draft-layers", type=int, default=0,
@@ -83,6 +85,9 @@ def main() -> None:
 
     if args.mode == "chain":
         run_chain(args, t_cfg, t_params)
+        return
+    if args.mode == "eagle":
+        run_eagle(args, t_cfg, t_params)
         return
     d_cfg, d_params = make_device_params(args.draft, "q4_k", seed=1)
     tl, dl = t_cfg.llm, d_cfg.llm
@@ -193,6 +198,92 @@ def run_chain(args, t_cfg, t_params) -> None:
     print(json.dumps({
         "metric": "speculative_chain_tok_s",
         "target": args.target, "draft": draft_desc, "k": args.k,
+        "t_decode_ms": round(t_dec * 1e3, 2),
+        "t_spec_step_ms": round(t_step * 1e3, 2),
+        "tokens_per_step": round(tokens_per_step, 2),
+        "baseline_tok_s": round(base, 1),
+        "spec_tok_s": round(tok_s, 1),
+        "speedup": round(tok_s / base, 2),
+        "tok_s_at_2x_needs_tokens_per_step": round(need, 2),
+    }))
+
+
+def run_eagle(args, t_cfg, t_params) -> None:
+    """Measured tokens/s of the on-device EAGLE chain loop
+    (speculative/eagle.py) with a SYNTHETIC head: the target's own
+    layer 0 behind an identity fc ([I; 0] — the head sees the raw
+    feature). On random weights this is a HIGH-acceptance construction
+    (like layer-skip self-drafting); a real trained head lands lower,
+    so `tok_s_at_2x_needs_tokens_per_step` is the honest bar. The head
+    costs ~1/L of a target step — far below even a 2-layer self-draft.
+    """
+    import dataclasses
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from powerserve_tpu.engine.loops import decode_scan
+    from powerserve_tpu.core.gguf import GGMLType
+    from powerserve_tpu.kv.cache import KVCache
+    from powerserve_tpu.models.loader import _qlinear_from_float
+    from powerserve_tpu.speculative.eagle import EagleParams, eagle_spec_scan
+
+    tl = t_cfg.llm
+    dim = tl.dim
+    if isinstance(t_params.layers, (tuple, list)):
+        lw0 = t_params.layers[0]
+    else:  # stacked [L, ...] leaves -> slice layer 0
+        lw0 = jax.tree_util.tree_map(lambda a: a[0], t_params.layers)
+    fcw = np.concatenate([np.eye(dim, dtype=np.float32),
+                          np.zeros((dim, dim), np.float32)], axis=1)
+    ep = EagleParams(fc=_qlinear_from_float(fcw, GGMLType.Q8_0),
+                     fc_bias=None, layers=(lw0,), embed=t_params.embed,
+                     lm_head=t_params.lm_head, out_norm=t_params.out_norm,
+                     input_norm=True)
+    e_llm = dataclasses.replace(tl, n_layers=1)
+
+    def fresh(llm):
+        return KVCache.create(llm.n_layers, 1, args.max_seq,
+                              llm.n_kv_heads, llm.head_size, "int8")
+
+    def vanilla(n):
+        kv = fresh(tl)
+        toks, kv = decode_scan(t_params, jnp.zeros(1, jnp.int32), kv, tl,
+                               n, "auto")
+        np.asarray(toks)
+
+    def spec(n):
+        t_kv, e_kv = fresh(tl), fresh(e_llm)
+        _, counts, *_ = eagle_spec_scan(
+            t_params, ep, t_kv, e_kv, jnp.asarray([7], jnp.int32),
+            jnp.zeros((1, dim), jnp.float32), tl, e_llm, n, args.k, "auto")
+        return int(np.asarray(counts).sum()), n
+
+    def marginal(fn, n1, n2, reps=3):
+        fn(n1); fn(n2)
+        ms = []
+        for _ in range(reps):
+            t0 = time.perf_counter(); fn(n1)
+            t1 = time.perf_counter(); fn(n2)
+            t2 = time.perf_counter()
+            ms.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+        return statistics.median(ms)
+
+    n1, n2 = max(args.steps // 4, 1), args.steps
+    t_dec = marginal(lambda n: vanilla(n), n1, n2)
+    base = 1.0 / t_dec
+    tok1, _ = spec(n1)
+    tok2, _ = spec(n2)
+    t_step = marginal(lambda n: spec(n), n1, n2)
+    tokens_per_step = (tok2 - tok1) / (n2 - n1)
+    tok_s = tokens_per_step / t_step
+    need = 2.0 * t_step / t_dec
+
+    print(json.dumps({
+        "metric": "speculative_eagle_tok_s",
+        "target": args.target, "draft": "eagle-head-1L", "k": args.k,
         "t_decode_ms": round(t_dec * 1e3, 2),
         "t_spec_step_ms": round(t_step * 1e3, 2),
         "tokens_per_step": round(tokens_per_step, 2),
