@@ -15,6 +15,7 @@
 // blocks along K.
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <functional>
 #include <cstring>
@@ -505,6 +506,68 @@ void psv_repack_q4_k(const uint8_t *payload, int64_t n_out, int64_t k_in,
                             else      dst = (uint8_t)((dst & 0xF0) | vs[t]);
                         }
                     }
+                }
+            }
+        }
+    });
+}
+
+// Q6_K: 210-byte superblocks of 256 (ql[128] low nibbles, qh[64] 2-bit
+// highs, sc[16] int8 per-16 scales, fp16 d). Real llama.cpp Q4_K_M
+// files carry Q6_K for output/ffn_down — the single largest tensor —
+// so the load-time dequant + per-32 int8 requant (the TPU-side Q8
+// layout, matching the Python fallback in core/quant.py
+// repack_gguf_tensor's requant branch) is worth doing multithreaded.
+void psv_repack_q6_k(const uint8_t *payload, int64_t n_out, int64_t k_in,
+                     int8_t *q, float *scales) {
+    const int64_t nsb = k_in / 256;
+    parallel_for(n_out, [&](int64_t lo, int64_t hi) {
+        std::vector<float> w(k_in);
+        for (int64_t n = lo; n < hi; n++) {
+            const uint8_t *row = payload + n * nsb * 210;
+            for (int64_t sb = 0; sb < nsb; sb++) {
+                const uint8_t *blk = row + sb * 210;
+                const uint8_t *ql = blk;
+                const uint8_t *qh = blk + 128;
+                const int8_t *sc = (const int8_t *)(blk + 192);
+                uint16_t d16;
+                std::memcpy(&d16, blk + 208, 2);
+                float d = fp16_to_fp32(d16);
+                float *wb = w.data() + sb * 256;
+                for (int half = 0; half < 2; half++) {
+                    const uint8_t *qlh = ql + 64 * half;
+                    const uint8_t *qhh = qh + 32 * half;
+                    const int8_t *sch = sc + 8 * half;
+                    float *wh = wb + 128 * half;
+                    for (int l = 0; l < 32; l++) {
+                        int s01 = l / 16;
+                        int q1 = ((qlh[l] & 0xF) | (((qhh[l] >> 0) & 3) << 4)) - 32;
+                        int q2 = ((qlh[32 + l] & 0xF) | (((qhh[l] >> 2) & 3) << 4)) - 32;
+                        int q3 = ((qlh[l] >> 4) | (((qhh[l] >> 4) & 3) << 4)) - 32;
+                        int q4 = ((qlh[32 + l] >> 4) | (((qhh[l] >> 6) & 3) << 4)) - 32;
+                        wh[l] = d * sch[0 + s01] * q1;
+                        wh[32 + l] = d * sch[2 + s01] * q2;
+                        wh[64 + l] = d * sch[4 + s01] * q3;
+                        wh[96 + l] = d * sch[6 + s01] * q4;
+                    }
+                }
+            }
+            // per-32 symmetric int8 requant into the transposed layout
+            const int64_t kb = k_in / 32;
+            for (int64_t b = 0; b < kb; b++) {
+                float amax = 0.f;
+                for (int j = 0; j < 32; j++) {
+                    float a = std::fabs(w[b * 32 + j]);
+                    if (a > amax) amax = a;
+                }
+                float s = amax / 127.0f;
+                float inv = s > 0.f ? 1.0f / s : 0.0f;
+                scales[b * n_out + n] = s;
+                for (int j = 0; j < 32; j++) {
+                    float v = std::nearbyint(w[b * 32 + j] * inv);
+                    if (v > 127.f) v = 127.f;
+                    if (v < -127.f) v = -127.f;
+                    q[(b * 32 + j) * n_out + n] = (int8_t)v;
                 }
             }
         }

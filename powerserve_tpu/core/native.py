@@ -68,7 +68,8 @@ def get_lib() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_uint64)]
     lib.psv_tensor_data.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.psv_tensor_data.argtypes = [ctypes.c_void_p, ctypes.c_int64]
-    for name in ("psv_repack_q4_0", "psv_repack_q8_0", "psv_repack_q4_k"):
+    for name in ("psv_repack_q4_0", "psv_repack_q8_0", "psv_repack_q4_k",
+                 "psv_repack_q6_k"):
         getattr(lib, name).restype = None
     lib.psv_repack_q4_0.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
@@ -81,6 +82,9 @@ def get_lib() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+    lib.psv_repack_q6_k.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_float)]
     lib.psv_fp16_to_f32.restype = None
     lib.psv_fp16_to_f32.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -179,4 +183,12 @@ def native_repack(payload: np.ndarray, ggml_type: int, n_out: int,
                             sp,
                             bias.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return q, scales, bias, group, True
+    if ggml_type == GGMLType.Q6_K:
+        # dequant + per-32 int8 requant (the largest tensor in real
+        # Q4_K_M files is the Q6_K output head)
+        q = np.empty((k_in, n_out), np.int8)
+        lib.psv_repack_q6_k(pp, n_out, k_in,
+                            q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                            sp)
+        return q, scales, None, 0, False
     return None

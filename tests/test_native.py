@@ -12,7 +12,7 @@ pytestmark = pytest.mark.skipif(get_lib() is None,
 
 
 @pytest.mark.parametrize("fmt", [G.GGMLType.Q4_0, G.GGMLType.Q8_0,
-                                 G.GGMLType.Q4_K])
+                                 G.GGMLType.Q4_K, G.GGMLType.Q6_K])
 def test_native_repack_matches_numpy(fmt):
     rng = np.random.default_rng(0)
     n_out, k_in = 8, 512
