@@ -47,6 +47,13 @@ class Request:
     # number of top-logprob alternatives to record per token (0 = off);
     # chosen-token logprob is always recorded when > 0
     logprobs: int = 0
+    # precomputed prompt embeddings [len(prompt_ids), dim] (VLM: vision
+    # features already injected at image-token positions); requires a
+    # scheduler built with mm_dim. The prompt must END with a text
+    # token (its decode feed uses the embedding table). Prefix caching
+    # is skipped for embed requests — image tokens share one id, so
+    # token-id keys would collide across different images.
+    embeds: Any | None = None
     # sink receives token ids, then None when finished
     sink: Callable[[int | None], None] = lambda t: None
     id: int = 0
@@ -139,7 +146,7 @@ class BatchScheduler:
                  hp: HyperParams | None = None, backend: str = "auto",
                  draft_params: LlamaParams | None = None,
                  draft_llm=None, spec_k: int = 0, mesh=None,
-                 eagle_params=None, eagle_llm=None):
+                 eagle_params=None, eagle_llm=None, mm_dim: int = 0):
         """draft_params/draft_llm: enable BATCHED chain speculation —
         every decode tick drafts a k-chain per active slot (one batched
         draft scan), verifies all slots in one target forward, and
@@ -155,7 +162,14 @@ class BatchScheduler:
         eagle_params/eagle_llm: BATCHED EAGLE speculation instead — the
         draft is a feature-level head (speculative/eagle.py) drafting a
         spec_k chain per slot; the scheduler carries each slot's last
-        target feature across ticks (and through the prefix cache)."""
+        target feature across ticks (and through the prefix cache).
+
+        mm_dim > 0: multimodal prefill — requests may carry
+        precomputed prompt embeddings (Request.embeds, vision features
+        injected); the prefill jit overlays them per slot, so VLM
+        requests COMPOSE with continuous batching (the reference's VLM
+        is single-stream NPU-only, internvl_model.cpp). Incompatible
+        with speculation."""
         self.params = params
         self.cfg = cfg
         self.hp = hp or HyperParams()
@@ -173,6 +187,10 @@ class BatchScheduler:
         self.eparams = eagle_params
         self.e_llm = eagle_llm
         self.is_eagle = eagle_params is not None
+        self.mm_dim = int(mm_dim)
+        if self.mm_dim:
+            assert draft_params is None and eagle_params is None, \
+                "multimodal scheduler does not compose with speculation"
         self.d_kv = None
         if self.is_eagle:
             assert eagle_llm is not None and draft_params is None
@@ -250,6 +268,18 @@ class BatchScheduler:
             return forward(params, llm, kv, tokens, positions, active=active,
                            backend=backend, logits_mode="none")
 
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def mm_prefill_chunk(params, kv, tokens, positions, active,
+                             embeds, use_embeds):
+            """Prefill with per-slot embedding overlay: slots flagged in
+            use_embeds take their rows from `embeds` (vision features at
+            image-token positions); the rest use the embedding table."""
+            x = params.embed.lookup(tokens).astype(jnp.bfloat16)
+            x = jnp.where(use_embeds[:, None, None],
+                          embeds.astype(jnp.bfloat16), x)
+            return forward(params, llm, kv, tokens, positions, active=active,
+                           backend=backend, logits_mode="none", embeds=x)
+
         horizon = max(int(getattr(self.hp, "decode_horizon", 1)), 1)
 
         n_top = 8  # top-logprob alternatives recorded per step
@@ -293,6 +323,7 @@ class BatchScheduler:
                     tlp.transpose(1, 0, 2), kv, penalty, rngs)
 
         self._prefill_chunk = prefill_chunk
+        self._mm_prefill_chunk = mm_prefill_chunk
         self._decode_all = decode_all
         self.horizon = horizon
         self.n_top = n_top
@@ -456,6 +487,8 @@ class BatchScheduler:
             if len(req.prompt_ids) >= self.max_seq:
                 keep = max(1, self.max_seq - req.max_tokens - 1)
                 req.prompt_ids = req.prompt_ids[-keep:]
+                if req.embeds is not None:  # keep rows aligned
+                    req.embeds = req.embeds[-keep:]
             slot.req = req
             slot.prefill_off = 0
             slot.prefilling = True
@@ -465,7 +498,7 @@ class BatchScheduler:
                 self.d_kv = self.d_kv.reset_slot(i)
             if self.is_eagle:
                 self.feat = self.feat.at[i].set(0.0)
-            if self.prefix_cache is not None:
+            if self.prefix_cache is not None and req.embeds is None:
                 hit = self.prefix_cache.match(req.prompt_ids[:-1])
                 # spec mode requires a matching draft-cache prefix
                 # (eagle additionally needs the carried feature)
@@ -497,28 +530,43 @@ class BatchScheduler:
         positions = np.full((self.S, C), -1, np.int32)
         active = np.zeros(self.S, bool)
         n_real = np.zeros(self.S, np.int32)
+        embeds = None
+        use_embeds = np.zeros(self.S, bool)
+        if self.mm_dim:
+            embeds = np.zeros((self.S, C, self.mm_dim), np.float32)
         ran = False
         stores: list[tuple[int, list[int]]] = []
         for i, slot in enumerate(self.slots):
             if slot.req is None or not slot.prefilling:
                 continue
             prompt = slot.req.prompt_ids[:-1]  # last token feeds decode
-            part = prompt[slot.prefill_off : slot.prefill_off + C]
+            off = slot.prefill_off
+            part = prompt[off : off + C]
             if not part:
                 slot.prefilling = False
                 continue
             tokens[i, :len(part)] = part
-            positions[i, :len(part)] = slot.prefill_off + np.arange(len(part))
+            positions[i, :len(part)] = off + np.arange(len(part))
             active[i] = True
             n_real[i] = len(part)
+            if self.mm_dim and slot.req.embeds is not None:
+                embeds[i, :len(part)] = np.asarray(
+                    slot.req.embeds[off : off + len(part)], np.float32)
+                use_embeds[i] = True
             slot.prefill_off += len(part)
             if slot.prefill_off >= len(prompt):
                 slot.prefilling = False
-                if self.prefix_cache is not None:
+                if self.prefix_cache is not None \
+                        and slot.req.embeds is None:
                     stores.append((i, prompt[:slot.prefill_off]))
             ran = True
         if ran:
-            if self.is_eagle:
+            if self.mm_dim:
+                _, self.kv = self._mm_prefill_chunk(
+                    self.params, self.kv, jnp.asarray(tokens),
+                    jnp.asarray(positions), jnp.asarray(active),
+                    jnp.asarray(embeds), jnp.asarray(use_embeds))
+            elif self.is_eagle:
                 self.kv, self.d_kv, self.feat = self._eagle_prefill_chunk(
                     self.params, self.eparams, self.kv, self.d_kv,
                     jnp.asarray(tokens), jnp.asarray(positions),

@@ -70,8 +70,10 @@ class ModelContext:
     tokenizer: Tokenizer
     spec: SpeculativeEngine | None = None
     spec_lock: asyncio.Lock | None = None
-    vlm: object | None = None  # VLMEngine for InternVL-style models
-    vlm_lock: asyncio.Lock | None = None
+    # InternVLModel for multimodal requests (vision tower + embedding
+    # injection); generation runs on the shared scheduler in mm mode,
+    # so VLM requests batch continuously instead of serializing
+    vlm: object | None = None
 
 
 class ServerContext:
@@ -157,11 +159,12 @@ class ServerContext:
                 d, torch_dtype=torch.float32)
             ivl = internvl_from_hf(m)
             del m
-        from ..engine.vlm import VLMEngine
-
         tok = Tokenizer.from_model_dir(d)
-        eng = VLMEngine(ivl, self.hp, self.backend)
-        return ModelContext(name, None, tok, vlm=eng, vlm_lock=asyncio.Lock())
+        sched = BatchScheduler(ivl.llm_params, ivl.cfg, self.hp,
+                               self.backend, mesh=self.mesh,
+                               mm_dim=ivl.cfg.llm.dim)
+        sched.start()
+        return ModelContext(name, sched, tok, vlm=ivl)
 
     def get(self, name: str) -> ModelContext:
         name = name or self.default_model or "default"
@@ -443,23 +446,47 @@ def _split_multimodal(messages: list[dict]) -> tuple[list[dict], list]:
 
 async def _run_vlm(ctx: ModelContext, prompt_ids: list[int], images: list,
                    sampling: dict, stop_ids: set[int]):
-    assert ctx.vlm is not None and ctx.vlm_lock is not None
+    """Multimodal request: encode images + build injected prompt
+    embeddings (one device call, off the event loop), then submit to
+    the SHARED mm scheduler — concurrent VLM/text requests batch
+    together instead of serializing behind a lock (the reference's VLM
+    path is single-stream, internvl_model.cpp)."""
+    import numpy as np
+
+    from ..models.internvl import preprocess_image
+
+    model = ctx.vlm
+    assert model is not None
     loop = asyncio.get_running_loop()
-    async with ctx.vlm_lock:
-        ctx.vlm.reset()
-        req = Request(prompt_ids=prompt_ids, **sampling)
+    embeds = None
+    if images:
+        def encode():
+            import jax.numpy as jnp
 
-        def gen():
-            return list(ctx.vlm.generate(
-                prompt_ids, images, sampling["max_tokens"],
-                stop_fn=lambda t: t in stop_ids))
+            tiles = [preprocess_image(img, tile=model.image_size,
+                                      max_num=12) for img in images]
+            px = np.concatenate(tiles, axis=0)
+            ids = model.expand_image_tokens(prompt_ids, px.shape[0])
+            emb = model.embed_multimodal(
+                jnp.asarray(np.asarray(ids, np.int32)[None]),
+                jnp.asarray(px))
+            return ids, np.asarray(emb[0], np.float32)
 
-        tokens = await loop.run_in_executor(None, gen)
-        for t in tokens:
-            req.n_generated += 1
-            yield t, req
-        req.finish_reason = "stop" if (tokens and tokens[-1] in stop_ids) \
-            else "length"
+        prompt_ids, embeds = await loop.run_in_executor(None, encode)
+
+    q: asyncio.Queue = asyncio.Queue()
+
+    def sink(tok):
+        loop.call_soon_threadsafe(q.put_nowait, tok)
+
+    req = Request(prompt_ids=prompt_ids, stop_ids=stop_ids, sink=sink,
+                  embeds=embeds, **sampling)
+    ctx.scheduler.submit(req)
+    while True:
+        tok = await q.get()
+        if tok is None:
+            break
+        yield tok, req
 
 
 def _runner(ctx: ModelContext, prompt_ids, sampling, stop_ids, images=None):

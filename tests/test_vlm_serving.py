@@ -74,6 +74,49 @@ def test_vlm_engine_generates(vlm_dir):
     assert all(0 <= t < 256 for t in out)
 
 
+def test_vlm_batched_concurrency_deterministic(vlm_dir):
+    """VLM requests run on the shared mm scheduler: a multimodal
+    request's greedy output must be identical alone and when batched
+    with a concurrent text request (continuous batching correctness for
+    the embedding-overlay prefill)."""
+    async def go():
+        ctx = ServerContext(vlm_dir.parent, vlm_dir.name,
+                            HyperParams(max_seq_len=128, kv_dtype="bf16"),
+                            backend="xla")
+        client = TestClient(TestServer(build_app(ctx)))
+        await client.start_server()
+        img_payload = {
+            "model": vlm_dir.name,
+            "messages": [{"role": "user", "content": [
+                {"type": "image_url", "image_url": {"url": _png_data_uri()}},
+                {"type": "text", "text": "describe"},
+            ]}],
+            "max_tokens": 6, "temperature": 0.0,
+        }
+        txt_payload = {
+            "model": vlm_dir.name,
+            "messages": [{"role": "user", "content": "hello there"}],
+            "max_tokens": 6, "temperature": 0.0,
+        }
+        try:
+            r = await client.post("/v1/chat/completions", json=img_payload)
+            assert r.status == 200
+            alone = (await r.json())["choices"][0]["message"]["content"]
+            ri, rt = await asyncio.gather(
+                client.post("/v1/chat/completions", json=img_payload),
+                client.post("/v1/chat/completions", json=txt_payload))
+            assert ri.status == 200 and rt.status == 200
+            batched = (await ri.json())["choices"][0]["message"]["content"]
+            assert batched == alone, (batched, alone)
+            # scheduler mode: VLM model context carries a scheduler
+            mctx = ctx.get(vlm_dir.name)
+            assert mctx.scheduler is not None and mctx.scheduler.mm_dim > 0
+        finally:
+            await client.close()
+
+    asyncio.run(go())
+
+
 def test_vlm_chat_over_http(vlm_dir):
     async def go():
         ctx = ServerContext(vlm_dir.parent, vlm_dir.name,
