@@ -51,6 +51,9 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["auto", "pallas", "xla"])
     ap.add_argument("--use-chat-template", action="store_true")
     ap.add_argument("--no-progress", action="store_true")
+    ap.add_argument("--image", action="append", default=None,
+                    help="image file for a VLM workspace (repeatable); "
+                         "routed through the multimodal engine")
     ap.add_argument("--load-kv", default=None,
                     help="persistent system-prompt KV (.npz) to preload")
     ap.add_argument("--save-kv", default=None,
@@ -94,6 +97,8 @@ def main(argv: list[str] | None = None) -> int:
         prompt = Path(args.prompt_file).read_text()
 
     log.info(f"loading model from {model_dir}")
+    if args.image:
+        return _run_vlm_cli(args, model_dir, hp, prompt)
     if args.draft or args.self_draft_layers:
         return _run_speculative(args, model_dir, hp)
     engine, tok = build_engine(str(model_dir), hp, args.backend)
@@ -133,6 +138,50 @@ def main(argv: list[str] | None = None) -> int:
                        "n_prefill": stats.prefill_tokens,
                        "n_decode": stats.decode_tokens}, f)
             f.write("\n")
+    return 0
+
+
+def _run_vlm_cli(args, model_dir, hp, prompt: str) -> int:
+    """CLI multimodal generation (reference's InternVL runs NPU-only
+    via its apps; here `run --image cat.png -p "describe"` drives the
+    same VLM engine the server uses)."""
+    from PIL import Image
+
+    from .engine.vlm import VLMEngine
+    from .models.internvl import internvl_from_workspace
+
+    d = Path(model_dir)
+    if (d / "vision.gguf").exists():
+        ivl = internvl_from_workspace(d)
+    else:
+        import torch
+        from transformers import InternVLForConditionalGeneration
+
+        from .models.internvl import internvl_from_hf
+
+        m = InternVLForConditionalGeneration.from_pretrained(
+            d, torch_dtype=torch.float32)
+        ivl = internvl_from_hf(m)
+        del m
+    tok = Tokenizer.from_model_dir(str(model_dir))
+    if args.use_chat_template:
+        prompt = tok.apply_chat_template([{"role": "user", "content": prompt}])
+    ids = tok.tokenize(prompt)
+    images = [Image.open(p) for p in args.image]
+    eng = VLMEngine(ivl, hp, args.backend)
+    from .core.logging import Timer
+
+    timer = Timer()
+    n = 0
+    print(prompt, end="", flush=True)
+    for t in eng.generate(ids, images, args.n_predicts,
+                          stop_fn=tok.should_stop):
+        n += 1
+        print(tok.to_string([t]), end="", flush=True)
+    print()
+    dt = timer.elapsed_time_ms() / 1e3
+    log.info(f"generated {n} tokens in {dt:.2f}s "
+             f"({n / max(dt, 1e-9):.2f} tokens/s)")
     return 0
 
 
