@@ -414,6 +414,10 @@ class BatchScheduler:
     # -- public API ---------------------------------------------------------
 
     def submit(self, req: Request) -> Request:
+        # fail fast: a non-mm scheduler would silently prefill from the
+        # shared image-token id instead of the injected embeddings
+        assert req.embeds is None or self.mm_dim > 0, \
+            "Request.embeds requires a scheduler built with mm_dim"
         req.id = next(self._ids)
         req.submitted_at = time.time()
         self.pending.put(req)
@@ -561,11 +565,17 @@ class BatchScheduler:
                     stores.append((i, prompt[:slot.prefill_off]))
             ran = True
         if ran:
-            if self.mm_dim:
+            if self.mm_dim and use_embeds.any():
                 _, self.kv = self._mm_prefill_chunk(
                     self.params, self.kv, jnp.asarray(tokens),
                     jnp.asarray(positions), jnp.asarray(active),
                     jnp.asarray(embeds), jnp.asarray(use_embeds))
+            elif self.mm_dim:
+                # text-only tick on a VLM scheduler: skip shipping the
+                # [S, C, dim] zero embeds tensor over the tunnel
+                _, self.kv = self._prefill_chunk(
+                    self.params, self.kv, jnp.asarray(tokens),
+                    jnp.asarray(positions), jnp.asarray(active))
             elif self.is_eagle:
                 self.kv, self.d_kv, self.feat = self._eagle_prefill_chunk(
                     self.params, self.eparams, self.kv, self.d_kv,
@@ -630,17 +640,28 @@ class BatchScheduler:
             active=jnp.asarray(active), rngs=self.rngs,
             temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
             top_p=jnp.asarray(top_p), sample=True)
-        emitted_d = np.asarray(emitted_d)  # [H, S, D+1]
-        counts = np.asarray(counts)  # [H, S]
-        next_tok = np.asarray(next_tok)
         room = (self.max_seq - self.spec_horizon * (tpl.max_depth + 1)
                 - tpl.n_nodes)
+        self._emit_spec_results(decoding, emitted_d, counts, next_tok,
+                                pos_host, room)
+        return True
+
+    def _emit_spec_results(self, decoding, emitted_d, counts, next_tok,
+                           pos_host, room: int) -> None:
+        """Shared per-slot emission walk for the spec ticks: deliver
+        each step's accepted tokens, honor stop/cancel/length, tear
+        down finished slots. emitted_d [H, S, W]; counts [H, S];
+        next_tok [S]; room = last safe write position (spec steps
+        transiently write past the committed length)."""
+        emitted_d = np.asarray(emitted_d)
+        counts = np.asarray(counts)
+        next_tok = np.asarray(next_tok)
         for i in decoding:
             s = self.slots[i]
             s.cur_token = int(next_tok[i])
             done = False
             emitted = 0
-            for h in range(self.spec_horizon):
+            for h in range(counts.shape[0]):
                 for j in range(int(counts[h, i])):
                     tok = int(emitted_d[h, i, j])
                     emitted += 1
@@ -666,7 +687,6 @@ class BatchScheduler:
             if done:
                 self._emit(s.req, None)
                 self.slots[i] = _Slot()
-        return True
 
     def _eagle_decode_tick(self, decoding: list[int]) -> bool:
         """Batched EAGLE tick: one dispatch advances every decoding
@@ -707,41 +727,9 @@ class BatchScheduler:
                 self.spec_horizon, k, self.backend, **common)
             per_step = k + 1
             transient = k + 1
-        emitted_d = np.asarray(emitted_d)  # [H, S, per_step]
-        counts = np.asarray(counts)  # [H, S]
-        next_tok = np.asarray(next_tok)
         room = self.max_seq - self.spec_horizon * per_step - transient
-        for i in decoding:
-            s = self.slots[i]
-            s.cur_token = int(next_tok[i])
-            done = False
-            emitted = 0
-            for h in range(self.spec_horizon):
-                for j in range(int(counts[h, i])):
-                    tok = int(emitted_d[h, i, j])
-                    emitted += 1
-                    s.req.n_generated += 1
-                    self.n_tokens_generated += 1
-                    self._emit(s.req, tok)
-                    if s.req.cancelled:
-                        s.req.finish_reason = s.req.finish_reason or "stop"
-                        done = True
-                    elif tok in s.req.stop_ids:
-                        s.req.finish_reason = "stop"
-                        done = True
-                    elif s.req.n_generated >= s.req.max_tokens:
-                        s.req.finish_reason = "length"
-                        done = True
-                    elif int(pos_host[i]) + emitted >= room:
-                        s.req.finish_reason = "length"
-                        done = True
-                    if done:
-                        break
-                if done:
-                    break
-            if done:
-                self._emit(s.req, None)
-                self.slots[i] = _Slot()
+        self._emit_spec_results(decoding, emitted_d, counts, next_tok,
+                                pos_host, room)
         return True
 
     def _decode_tick(self) -> bool:

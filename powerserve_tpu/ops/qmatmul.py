@@ -469,7 +469,14 @@ def mclass(m: int) -> str:
 
 def load_tune_table(path) -> int:
     """Merge a qmm_tune.json into the active override table. Returns
-    the number of entries loaded (0 if the file is absent)."""
+    the number of entries loaded (0 if the file is absent).
+
+    The table is process-global and knobs are read at TRACE time, so a
+    shape that was already jitted keeps its original knobs regardless
+    of later loads; on a conflicting re-load (multi-model server with
+    different tunings for the same (mclass, K, N)) the FIRST entry is
+    kept — it matches the compiled executables — and a warning is
+    logged."""
     import json
     from pathlib import Path
 
@@ -477,8 +484,19 @@ def load_tune_table(path) -> int:
     if not p.exists():
         return 0
     entries = json.loads(p.read_text())
-    _TUNE.update(entries)
-    return len(entries)
+    n = 0
+    for k, v in entries.items():
+        old = _TUNE.get(k)
+        if old is not None and old != v:
+            import logging
+
+            logging.getLogger("powerserve.qmatmul").warning(
+                f"qmm tune conflict for {k}: keeping {old}, ignoring {v} "
+                f"(knobs bind at first trace)")
+            continue
+        _TUNE[k] = v
+        n += 1
+    return n
 
 
 if _os.environ.get("POWERSERVE_QMM_TUNE"):

@@ -473,6 +473,13 @@ async def _run_vlm(ctx: ModelContext, prompt_ids: list[int], images: list,
             return ids, np.asarray(emb[0], np.float32)
 
         prompt_ids, embeds = await loop.run_in_executor(None, encode)
+        # the scheduler's decode feed embeds the LAST prompt token via
+        # the text table; a trailing image token would condition the
+        # first generated token on the meaningless placeholder row
+        if prompt_ids and prompt_ids[-1] == model.image_token_id:
+            raise web.HTTPBadRequest(
+                text="multimodal prompt must end with text after the "
+                     "image (add a question or use a chat template)")
 
     q: asyncio.Queue = asyncio.Queue()
 

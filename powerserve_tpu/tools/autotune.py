@@ -121,11 +121,15 @@ def tune_model(model_dir: str | Path, out: str | Path | None = None,
                 lin, q=lin.q[0], scales=lin.scales[0],
                 bias=None if lin.bias is None else lin.bias[0])
         for m in m_classes:
+            # the kernel clamps groups-per-tile to 2 for bm > 16
+            # (VMEM; ops/qmatmul.py), so larger candidates would time
+            # identical kernels and record unreachable knob values
+            g_cands = [g for g in group_candidates if m <= 16 or g <= 2]
             best = None
             for bn in bn_candidates:
                 if n % bn:
                     continue
-                for g in group_candidates:
+                for g in g_cands:
                     try:
                         us = _marginal_us(lin, m, k, bn, g)
                     except Exception as e:  # noqa: BLE001
@@ -139,8 +143,11 @@ def tune_model(model_dir: str | Path, out: str | Path | None = None,
                               "us": round(best[0], 2)}
                 log.info(f"{key}: bn={best[1]} groups={best[2]} "
                          f"({best[0]:.1f} us)")
-    out = Path(out) if out else model_dir / (
-        "qmm_tune.json" if model_dir.is_dir() else "../qmm_tune.json")
+    if out:
+        out = Path(out)
+    else:  # beside weights.gguf whether model_dir is the dir or the file
+        base = model_dir if model_dir.is_dir() else model_dir.parent
+        out = base / "qmm_tune.json"
     out.write_text(json.dumps(table, indent=1))
     log.info(f"wrote {len(table)} tuned shapes -> {out}")
     return table
