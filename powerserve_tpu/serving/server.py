@@ -84,7 +84,7 @@ class ServerContext:
 
     def __init__(self, model_root: str | Path, default_model: str = "",
                  hp: HyperParams | None = None, backend: str = "auto",
-                 mesh=None):
+                 mesh=None, max_models: int = 0):
         self.root = Path(model_root)
         self.hp = hp or HyperParams()
         self.backend = backend
@@ -92,6 +92,12 @@ class ServerContext:
         # (dp, tp) device mesh; GSPMD partitions the scheduler's steps
         self.mesh = mesh
         self.models: dict[str, ModelContext] = {}
+        # HBM eviction budget: > 0 caps loaded model contexts, evicting
+        # the least-recently-used IDLE one (reference keeps a single
+        # model unless POWERSERVE_SERVER_MULTIMODEL,
+        # server_handler.hpp:268-270; here the cap is a count)
+        self.max_models = int(max_models)
+        self._lru: list[str] = []
         self.default_model = default_model
         # HTTP sessions: named, pinned KV prefixes (agent workloads
         # resume a long system prompt / conversation without re-prefill;
@@ -166,15 +172,51 @@ class ServerContext:
         sched.start()
         return ModelContext(name, sched, tok, vlm=ivl)
 
+    def _touch(self, name: str) -> None:
+        if name in self._lru:
+            self._lru.remove(name)
+        self._lru.append(name)
+
+    def _evict_to_budget(self) -> None:
+        """Drop least-recently-used IDLE model contexts past the cap
+        (an in-flight model is skipped, never killed)."""
+        if self.max_models <= 0:
+            return
+        for name in list(self._lru):
+            if len(self.models) <= self.max_models:
+                return
+            ctx = self.models.get(name)
+            if ctx is None:
+                self._lru.remove(name)
+                continue
+            sched = ctx.scheduler
+            busy = sched is not None and (
+                sched.n_active > 0 or not sched.pending.empty())
+            # a "main+draft" context shares its base model's scheduler;
+            # never stop a scheduler another live context points at
+            shared = sum(1 for c in self.models.values()
+                         if c.scheduler is sched) > 1
+            if busy or shared or name == self._lru[-1]:
+                continue
+            if sched is not None:
+                sched.stop()
+            del self.models[name]
+            self._lru.remove(name)
+            log.info(f"evicted idle model context '{name}' "
+                     f"(budget {self.max_models})")
+
     def get(self, name: str) -> ModelContext:
         name = name or self.default_model or "default"
         if name in self.models:
+            self._touch(name)
             return self.models[name]
         if "+" not in name:
             d = self.resolve_dir(name)
             if self._is_vlm_dir(d):
                 ctx = self._load_vlm(name, d)
                 self.models[name] = ctx
+                self._touch(name)
+                self._evict_to_budget()
                 return ctx
         if "+" in name:
             import os
@@ -222,6 +264,8 @@ class ServerContext:
                     sched.start()
                     ctx = ModelContext(name, sched, tok)
                     self.models[name] = ctx
+                    self._touch(name)
+                    self._evict_to_budget()
                     return ctx
                 else:
                     d_cfg, d_params = self._load(
@@ -241,6 +285,8 @@ class ServerContext:
             tok = Tokenizer.from_model_dir(self.resolve_dir(name))
             ctx = ModelContext(name, sched, tok)
         self.models[name] = ctx
+        self._touch(name)
+        self._evict_to_budget()
         return ctx
 
 
@@ -887,6 +933,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="speculation-tree widths per depth for "
                          "\"main+draft\" models, e.g. 2,1,1 "
                          "(default: chain)")
+    ap.add_argument("--max-models", type=int, default=0,
+                    help="evict least-recently-used idle model contexts "
+                         "past this count (0 = keep all; reference "
+                         "POWERSERVE_SERVER_MULTIMODEL semantics)")
     args = ap.parse_args(argv)
 
     mesh = None
@@ -911,7 +961,8 @@ def main(argv: list[str] | None = None) -> None:
         root_dir, default = root, args.model
     if args.spec_tree:
         hp.spec_tree = args.spec_tree
-    ctx = ServerContext(root_dir, default, hp, args.backend, mesh=mesh)
+    ctx = ServerContext(root_dir, default, hp, args.backend, mesh=mesh,
+                        max_models=args.max_models)
     app = build_app(ctx)
     log.info(f"serving on http://{args.host}:{args.port}")
     try:

@@ -536,3 +536,31 @@ def test_eagle_draft_spec_model(ws_dir):
         assert body["choices"][0]["text"] == base
 
     _run(ws_dir, go)
+
+
+def test_model_eviction_budget(tmp_path):
+    """max_models evicts the least-recently-used IDLE context; busy and
+    shared-scheduler contexts are never stopped."""
+    out = tmp_path / "root"
+    for name in ("a", "b", "c"):
+        make_synthetic_gguf(out / name, "tiny", GGMLType.Q8_0, seed=0,
+                            seq_len=64)
+        # resolve_dir expects the model dir directly under the root
+        (out / name / "model" / "weights.gguf").rename(
+            out / name / "weights.gguf")
+        for f in (out / name / "model").iterdir():
+            f.rename(out / name / f.name)
+
+    ctx = ServerContext(out, "a", HyperParams(max_slots=2, batch_size=8),
+                        backend="xla", max_models=2)
+    ctx.get("a")
+    ctx.get("b")
+    assert set(ctx.models) == {"a", "b"}
+    a_sched = ctx.models["a"].scheduler
+    ctx.get("c")  # a is LRU and idle -> evicted
+    assert set(ctx.models) == {"b", "c"}
+    assert a_sched._thread is None  # stopped
+    # touching keeps a model alive: b is now LRU but gets re-used
+    ctx.get("b")
+    ctx.get("a")  # reload a; c is LRU -> evicted
+    assert set(ctx.models) == {"b", "a"}
