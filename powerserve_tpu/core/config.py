@@ -145,6 +145,10 @@ class HyperParams:
     mesh_shape: dict[str, int] = field(default_factory=dict)  # e.g. {"tp": 4}
     kernel_backend: str = "auto"  # auto | pallas | xla
     decode_horizon: int = 4  # decode steps per device dispatch (scheduler)
+    # guarantee decoding slots a tick at least every N scheduler
+    # iterations even while prefill traffic is continuous (anti-
+    # starvation; 1 = decode every tick)
+    decode_every: int = 2
     spec_horizon: int = 2  # speculative steps per device dispatch
     spec_k: int = 4  # chain length (draft tokens per spec step)
     # speculation-tree widths per depth, e.g. "2,1,1" (node at depth d

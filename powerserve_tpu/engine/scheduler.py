@@ -800,10 +800,19 @@ class BatchScheduler:
         return True
 
     def step(self) -> bool:
-        """One scheduler iteration; returns True if work was done."""
+        """One scheduler iteration; returns True if work was done.
+
+        Prefill has priority (new requests start fast), but decoding
+        slots are guaranteed a tick at least every `decode_every`
+        iterations — otherwise a continuous stream of long prompts
+        starves in-flight generations entirely."""
         self._cancel_tick()
         self._admit()
+        self._tick = getattr(self, "_tick", 0) + 1
+        every = max(int(getattr(self.hp, "decode_every", 2)), 1)
         if self._prefill_tick():
+            if self._tick % every == 0:
+                self._decode_tick()
             return True
         return self._decode_tick()
 

@@ -151,6 +151,49 @@ def test_prefix_cache_reuse():
     assert run_req(sched2, prompt) == first
 
 
+def test_decode_not_starved_by_prefill():
+    """A continuous stream of new prompts must not stall in-flight
+    generations: with decode_every, a decoding slot advances even while
+    every tick also has prefill work."""
+    import queue as _q
+
+    from powerserve_tpu.tools.bench_params import make_device_params
+
+    cfg, params = make_device_params("tiny", "q8_0")
+    hp = HyperParams(max_slots=4, batch_size=8)
+    hp.max_seq_len = 128
+    hp.decode_every = 2
+    sched = BatchScheduler(params, cfg, hp, backend="xla")
+
+    got: list[int] = []
+    done = _q.Queue()
+
+    def sink(t):
+        if t is None:
+            done.put(True)
+        else:
+            got.append(t)
+
+    # the victim: a decoding request admitted first
+    sched.submit(Request(prompt_ids=[1, 2, 3], max_tokens=4,
+                         temperature=0.0, sink=sink))
+    while not sched.step():
+        pass  # prefill the victim
+    # flood: every tick admits fresh prefill work (long prompts, many
+    # chunks); without the fairness tick decode would never run
+    for i in range(30):
+        if done.qsize():
+            break
+        sched.submit(Request(prompt_ids=list(range(2, 50)), max_tokens=1,
+                             temperature=0.0, sink=lambda t: None))
+        sched.step()
+    for _ in range(200):
+        if done.qsize():
+            break
+        sched.step()
+    assert len(got) == 4, f"victim starved: only {got}"
+
+
 def test_spec_tree_scheduler_matches_plain(tmp_path):
     """hp.spec_tree picks a TREE template for the batched spec path;
     full-depth self-draft greedy output equals the plain scheduler's."""
