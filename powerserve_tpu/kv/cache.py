@@ -147,12 +147,17 @@ class KVCache:
                        v=self.v.at[layer].set(v_l))
 
     def advance(self, positions: jax.Array, active: jax.Array | None = None,
-                visible: jax.Array | None = None) -> "KVCache":
+                visible: jax.Array | None = None,
+                pos_axis: str | None = None) -> "KVCache":
         """Mark written positions visible and bump pos.
 
         positions: [S, T_new]; active: [S] bool (rows that actually ran);
         visible: [S, T_new] bool (False keeps a written token masked —
         used by tree drafts whose siblings must stay invisible).
+        pos_axis: inside a shard_map with the TIME axis sharded, each
+        shard only stores its own slice of the batch — psum the real
+        counts over the axis so pos stays the GLOBAL sequence length
+        (every global position lands on exactly one shard).
         """
         S, T_new = positions.shape
         if active is None:
@@ -177,6 +182,8 @@ class KVCache:
         # (engine/scheduler.py) and counting those shifted every later
         # token's RoPE position / write index
         n_real = jnp.sum(write, axis=1).astype(jnp.int32)
+        if pos_axis is not None:
+            n_real = jax.lax.psum(n_real, pos_axis)
         return replace(self, mask=mask, pos=self.pos + n_real)
 
     def rollback(self, n: jax.Array | int,

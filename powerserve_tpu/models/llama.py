@@ -116,6 +116,7 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             return_hidden: bool = False,
             return_final_hidden: bool = False,
             tp_axis: str | None = None,
+            sp_axis: str | None = None,
             kv_update: str | None = None):
     """One forward pass over a batch of slots.
 
@@ -164,6 +165,18 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     H, Hkv, D = llm.n_heads, llm.n_kv_heads, llm.head_size
     if cache_positions is None:
         cache_positions = positions
+    if sp_axis is not None:
+        # sequence parallel (inside a shard_map): this shard owns cache
+        # rows [t0, t0 + T_local); remap write positions to local
+        # coordinates, redirecting other shards' tokens to -1 (their
+        # scatters drop; each global position lands on exactly one
+        # shard). RoPE keeps the GLOBAL positions.
+        assert kv.quantized, "sequence parallel requires the int8 KV cache"
+        t_local = kv.max_seq
+        t0 = jax.lax.axis_index(sp_axis) * t_local
+        cache_positions = jnp.where(
+            (cache_positions >= t0) & (cache_positions < t0 + t_local),
+            cache_positions - t0, -1)
 
     # embeds: precomputed input embeddings (VLM paths inject projected
     # image features at image-token positions; reference qnn_forward_vl)
@@ -194,7 +207,7 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     if kv_update is None:
         kv_update = _KV_UPDATE_DEFAULT
     deferred = (kv_update == "deferred" and vis_override is None
-                and quantized
+                and quantized and sp_axis is None
                 and not isinstance(params.layers, (tuple, list)))
     if deferred:
         # in-flight visibility: intra mask with padded/OOB lanes' columns
@@ -272,13 +285,21 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             # into the score/prob tensors (no dequantized cache copies).
             # standard-prefill contiguity facts let the flash-prefill
             # kernel (env-gated) compute visibility in-kernel
-            contiguous = (intra_mask is None and vis_override is None
-                          and Tq > 1)
-            attn = gqa_attention_quant(
-                q, k_l, ks_l, v_l, vs_l, vis, scale, backend=backend,
-                prefill_start=(cache_positions[:, 0] if contiguous
-                               else None),
-                cache_mask=kv.mask if contiguous else None)
+            if sp_axis is not None:
+                # sequence parallel: local partial softmax + tiny
+                # cross-shard merge collectives
+                from ..ops.attention import gqa_attention_quant_sp
+
+                attn = gqa_attention_quant_sp(q, k_l, ks_l, v_l, vs_l,
+                                              vis, scale, sp_axis)
+            else:
+                contiguous = (intra_mask is None and vis_override is None
+                              and Tq > 1)
+                attn = gqa_attention_quant(
+                    q, k_l, ks_l, v_l, vs_l, vis, scale, backend=backend,
+                    prefill_start=(cache_positions[:, 0] if contiguous
+                                   else None),
+                    cache_mask=kv.mask if contiguous else None)
         else:
             k_l = jax.vmap(scat)(k_l, knew.transpose(0, 2, 1, 3), safe_pos)
             v_l = jax.vmap(scat)(v_l, vnew.transpose(0, 2, 1, 3), safe_pos)
@@ -372,7 +393,8 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             kv = _dc.replace(kv, k=k_new, v=v_new,
                              k_scale=ks_new if quantized else kv.k_scale,
                              v_scale=vs_new if quantized else kv.v_scale)
-    kv = kv.advance(cache_positions, active=active, visible=visible)
+    kv = kv.advance(cache_positions, active=active, visible=visible,
+                    pos_axis=sp_axis)
 
     xf = rms_norm(x, params.out_norm, llm.norm_eps).astype(jnp.bfloat16)
     vocab_sharded = (tp_axis is not None

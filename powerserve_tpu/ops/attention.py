@@ -145,6 +145,34 @@ def gqa_attention_quant(q: jax.Array, kq: jax.Array, ks: jax.Array,
     return out.reshape(S, Tq, H * D)
 
 
+def gqa_attention_quant_sp(q: jax.Array, kq: jax.Array, ks: jax.Array,
+                           vq: jax.Array, vs: jax.Array,
+                           visibility: jax.Array, scale: float,
+                           axis: str, chunk: int = 1024) -> jax.Array:
+    """Sequence-parallel attention inside a shard_map: kq/vq/scales/
+    visibility are this shard's slice of the TIME axis; each shard
+    computes its unnormalized online-softmax state (m, l, o) over local
+    KV, then three small collectives (pmax + 2 psum, [S,H,Tq]-sized —
+    not KV-sized) merge the softmax exactly across shards. Long-context
+    HBM reads split sp-ways; only per-query statistics cross ICI.
+    Replicated queries; each cache position lives on exactly one shard.
+    """
+    S, Tq, H, D = q.shape
+    Hkv = kq.shape[1]
+    G = H // Hkv
+    qg = q.reshape(S, Tq, Hkv, G, D).astype(_attn_dtype())
+    m, l, o = _chunked_quant_mlo(qg, kq, ks, vq, vs, visibility, scale,
+                                 chunk)
+    m_max = jax.lax.pmax(m, axis)
+    # guard fully-masked shards: exp(NEG_INF - NEG_INF) would be 1
+    w = jnp.where(m > NEG_INF / 2, jnp.exp(m - m_max), 0.0)
+    l_g = jax.lax.psum(l * w, axis)
+    o_g = jax.lax.psum(o * w[..., None], axis)
+    safe_l = jnp.where(l_g > 0, l_g, 1.0)
+    out = o_g / safe_l[..., None]
+    return out.transpose(0, 3, 1, 2, 4).reshape(S, Tq, H * D)
+
+
 def gqa_attention_quant_deferred(q: jax.Array, kq: jax.Array, ks: jax.Array,
                                  vq: jax.Array, vs: jax.Array,
                                  cache_mask: jax.Array,

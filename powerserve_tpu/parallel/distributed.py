@@ -48,15 +48,19 @@ def init_distributed(coordinator_address: str | None = None,
              f"{jax.device_count()} global devices")
 
 
-def make_multihost_mesh(tp: int | None = None) -> Mesh:
-    """(dp, tp) mesh over all global devices: tp within a host's chips
-    (ICI), dp across hosts (DCN). Defaults tp = local_device_count."""
+def make_multihost_mesh(tp: int | None = None, sp: int = 1) -> Mesh:
+    """(dp, sp, tp) mesh over all global devices: tp within a host's
+    chips (ICI), dp across hosts (DCN), optional sp (sequence parallel:
+    KV time shards) between them — sp groups should also stay within a
+    host so the per-token partial-softmax merges ride ICI. Defaults
+    tp = local_device_count, sp = 1."""
     n_local = jax.local_device_count()
     n_global = jax.device_count()
     tp = tp or n_local
-    assert n_global % tp == 0, f"{n_global} devices not divisible by tp={tp}"
-    dp = n_global // tp
-    # order devices host-major so tp groups stay within a host
+    assert n_global % (tp * sp) == 0, \
+        f"{n_global} devices not divisible by sp*tp={sp * tp}"
+    dp = n_global // (tp * sp)
+    # order devices host-major so sp/tp groups stay within a host
     devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
-    arr = np.asarray(devs).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+    arr = np.asarray(devs).reshape(dp, sp, tp)
+    return Mesh(arr, ("dp", "sp", "tp"))

@@ -207,11 +207,12 @@ def param_specs(params: LlamaParams, tp: int) -> LlamaParams:
 
 
 def kv_specs(kv: KVCache) -> KVCache:
-    """[L, S, H, T, D]: kv heads over tp, slots over dp."""
-    kvs = P(None, "dp", "tp", None, None)
-    scs = P(None, "dp", "tp", None) if kv.quantized else P()
+    """[L, S, H, T, D]: kv heads over tp, slots over dp, cache time
+    over sp (a no-op when the mesh's sp axis is 1)."""
+    kvs = P(None, "dp", "tp", "sp", None)
+    scs = P(None, "dp", "tp", "sp") if kv.quantized else P()
     return KVCache(k=kvs, v=kvs, k_scale=scs, v_scale=scs,
-                   mask=P("dp", None), pos=P("dp"), quantized=kv.quantized)
+                   mask=P("dp", "sp"), pos=P("dp"), quantized=kv.quantized)
 
 
 # ---------------------------------------------------------------------------
@@ -301,17 +302,20 @@ def tp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
     lax.scan — shard_map stages into the surrounding trace.
     """
     tp = mesh.shape["tp"]
+    sp = mesh.shape.get("sp", 1)
     llm_local = local_llm_config(llm, tp)
     pspecs = param_specs(params, tp)
     kspecs = kv_specs(kv)
     tok_spec = P("dp", None)
     act_spec = None if active is None else P("dp")
+    sp_axis = "sp" if sp > 1 else None
 
     def body(params, kv, tokens, positions, active):
         params = _localize_params(params)
         return forward(params, llm_local, kv, tokens, positions,
                        active=active, backend=backend,
-                       logits_mode=logits_mode, tp_axis="tp")
+                       logits_mode=logits_mode, tp_axis="tp",
+                       sp_axis=sp_axis)
 
     f = jax.shard_map(
         body, mesh=mesh,

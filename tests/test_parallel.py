@@ -178,6 +178,32 @@ def test_tp_forward_matches_single(tp_model, tp_ref, backend):
     np.testing.assert_allclose(np.asarray(got), ref, rtol=3e-2, atol=3e-2)
 
 
+def test_tp_sp_forward_and_decode_match_single(tp_model, tp_ref):
+    """Explicit shard_map path with BOTH tensor and sequence
+    parallelism (dp=2, sp=2, tp=2): per-shard partial softmax + merge
+    collectives must reproduce the single-device logits, and decode
+    steps crossing the sp shard boundary (T=16 -> 8/shard) must keep
+    emitting the same greedy tokens."""
+    from powerserve_tpu.engine.loops import decode_scan
+    from powerserve_tpu.parallel.tp import tp_decode_scan, tp_forward
+
+    cfg, params = tp_model
+    llm = cfg.llm
+    ref, kv_ref, tokens, pos = tp_ref
+    mesh = make_mesh({"dp": 2, "sp": 2, "tp": 2})
+    p2, kv2 = _tp_setup(cfg, params, mesh)
+    got, kv2 = jax.jit(lambda p, kv: tp_forward(
+        p, llm, kv, tokens, pos, mesh=mesh, backend="xla"))(p2, kv2)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=3e-2, atol=3e-2)
+    # 7 decode steps take pos 4 -> 11, crossing the shard-0/1 boundary
+    t0 = jnp.argmax(jnp.asarray(ref), axis=-1).astype(jnp.int32)
+    # decode_scan donates its kv: hand it a copy, kv_ref is shared
+    toks_ref, _ = decode_scan(params, t0, jax.tree.map(jnp.copy, kv_ref),
+                              llm, 7, "xla")
+    toks_sp, _ = tp_decode_scan(p2, t0, kv2, llm, 7, mesh, "xla")
+    assert np.array_equal(np.asarray(toks_ref), np.asarray(toks_sp))
+
+
 def test_tp_decode_scan_matches_single(tp_model, tp_ref):
     from powerserve_tpu.engine.loops import decode_scan
     from powerserve_tpu.parallel.tp import tp_decode_scan, tp_forward
