@@ -586,3 +586,211 @@ void psv_fp16_to_f32(const uint8_t *payload, int64_t n, float *out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// tokenizer fast path: agglomerative pair merging (the reference vendors
+// llama.cpp's C++ tokenizer; tokenizer/vocab.py keeps a pure-Python
+// fallback with IDENTICAL semantics — best pair first, leftmost on ties,
+// stale heap entries skipped by candidate-string comparison)
+// ---------------------------------------------------------------------------
+
+#include <unordered_map>
+#include <queue>
+#include <limits>
+
+struct PsvVocab {
+    std::unordered_map<std::string, int32_t> token_to_id;
+    std::vector<float> scores;            // empty = no scores
+    std::unordered_map<std::string, int32_t> merge_ranks;  // "a\x01b"
+    int32_t byte_tokens[256];
+    int32_t unk_id = -1;
+};
+
+extern "C" void *psv_vocab_create(const uint8_t *blob, const int64_t *offsets,
+                       int64_t n, const float *scores_or_null,
+                       const int32_t *byte_token_ids, int32_t unk_id) {
+    auto *v = new PsvVocab();
+    v->token_to_id.reserve((size_t)n * 2);
+    for (int64_t i = 0; i < n; i++) {
+        std::string t((const char *)blob + offsets[i],
+                      (size_t)(offsets[i + 1] - offsets[i]));
+        v->token_to_id.emplace(std::move(t), (int32_t)i);
+    }
+    if (scores_or_null) v->scores.assign(scores_or_null, scores_or_null + n);
+    for (int i = 0; i < 256; i++)
+        v->byte_tokens[i] = byte_token_ids ? byte_token_ids[i] : -1;
+    v->unk_id = unk_id;
+    return v;
+}
+
+extern "C" void psv_vocab_set_merges(void *h, const uint8_t *blob,
+                          const int64_t *offsets, int64_t n) {
+    auto *v = (PsvVocab *)h;
+    v->merge_ranks.reserve((size_t)n * 2);
+    for (int64_t r = 0; r < n; r++) {
+        std::string m((const char *)blob + offsets[r],
+                      (size_t)(offsets[r + 1] - offsets[r]));
+        size_t sp = m.find(' ');
+        if (sp == std::string::npos) continue;
+        std::string key = m.substr(0, sp);
+        key.push_back('\x01');
+        key.append(m, sp + 1, std::string::npos);
+        v->merge_ranks.emplace(std::move(key), (int32_t)r);
+    }
+}
+
+extern "C" void psv_vocab_free(void *h) { delete (PsvVocab *)h; }
+
+namespace {
+
+// split UTF-8 into code-point strings
+static void utf8_split(const char *s, int64_t len,
+                       std::vector<std::string> &out) {
+    int64_t i = 0;
+    while (i < len) {
+        unsigned char c = (unsigned char)s[i];
+        int n = c < 0x80 ? 1 : (c >> 5) == 0x6 ? 2 : (c >> 4) == 0xE ? 3
+                : (c >> 3) == 0x1E ? 4 : 1;
+        if (i + n > len) n = 1;
+        out.emplace_back(s + i, (size_t)n);
+        i += n;
+    }
+}
+
+struct HeapEnt {
+    double pr;      // smaller merges first
+    int64_t i;      // left symbol index (leftmost wins ties)
+    std::string cand;
+};
+struct HeapCmp {  // min-heap on (pr, i)
+    bool operator()(const HeapEnt &a, const HeapEnt &b) const {
+        if (a.pr != b.pr) return a.pr > b.pr;
+        return a.i > b.i;
+    }
+};
+
+// shared agglomerative loop; pair_pr returns NaN for "no merge"
+template <class PairPr>
+static void merge_symbols(std::vector<std::string> &sym, PairPr pair_pr) {
+    const int64_t n = (int64_t)sym.size();
+    if (n < 2) return;
+    std::vector<int64_t> prev(n), nxt(n);
+    for (int64_t i = 0; i < n; i++) { prev[i] = i - 1; nxt[i] = i + 1; }
+    nxt[n - 1] = -1;
+    std::priority_queue<HeapEnt, std::vector<HeapEnt>, HeapCmp> heap;
+    auto push = [&](int64_t i) {
+        if (i < 0) return;
+        int64_t j = nxt[i];
+        if (j < 0 || sym[i].empty() || sym[j].empty()) return;
+        std::string cand = sym[i] + sym[j];
+        double pr = pair_pr(cand);
+        if (pr == pr) heap.push({pr, i, std::move(cand)});
+    };
+    for (int64_t i = 0; i < n - 1; i++) push(i);
+    while (!heap.empty()) {
+        HeapEnt e = heap.top();
+        heap.pop();
+        int64_t i = e.i;
+        if (sym[i].empty()) continue;
+        int64_t j = nxt[i];
+        if (j < 0 || sym[j].empty() || sym[i] + sym[j] != e.cand)
+            continue;  // stale
+        sym[i] = std::move(e.cand);
+        sym[j].clear();
+        nxt[i] = nxt[j];
+        if (nxt[j] >= 0) prev[nxt[j]] = i;
+        if (prev[i] >= 0) push(prev[i]);
+        push(i);
+    }
+}
+
+}  // namespace
+
+// SPM: max token score first (no scores: shortest merged string first);
+// byte fallback for unmatched symbols. Returns id count (caller sizes
+// out_ids >= #codepoints * 4 to cover byte fallback).
+extern "C" int64_t psv_spm_encode(void *h, const char *text, int64_t len,
+                       int32_t *out_ids) {
+    auto *v = (PsvVocab *)h;
+    std::vector<std::string> sym;
+    utf8_split(text, len, sym);
+    merge_symbols(sym, [&](const std::string &cand) -> double {
+        auto it = v->token_to_id.find(cand);
+        if (it == v->token_to_id.end())
+            return std::numeric_limits<double>::quiet_NaN();
+        double sc = v->scores.empty() ? -(double)cand.size()
+                                      : (double)v->scores[it->second];
+        return -sc;
+    });
+    int64_t n_out = 0;
+    for (auto &s : sym) {
+        if (s.empty()) continue;
+        auto it = v->token_to_id.find(s);
+        if (it != v->token_to_id.end()) {
+            out_ids[n_out++] = it->second;
+        } else {
+            for (unsigned char b : s) {
+                if (v->byte_tokens[b] >= 0) out_ids[n_out++] = v->byte_tokens[b];
+                else if (v->unk_id >= 0) out_ids[n_out++] = v->unk_id;
+            }
+        }
+    }
+    return n_out;
+}
+
+// GPT-2 BPE on a byte-mapped word: lowest merge rank first
+extern "C" int64_t psv_bpe_encode(void *h, const char *word, int64_t len,
+                       int32_t *out_ids) {
+    auto *v = (PsvVocab *)h;
+    std::vector<std::string> sym;
+    utf8_split(word, len, sym);
+    // rank lookup needs the (left, right) split, not just the merged
+    // string; track via a map keyed by the candidate built at push time
+    std::vector<int64_t> dummy;
+    (void)dummy;
+    // re-run the generic loop but with a pair function that knows both
+    // halves: wrap by probing every split of cand against merge_ranks
+    // is wrong — instead use a dedicated loop mirroring merge_symbols
+    const int64_t n = (int64_t)sym.size();
+    if (n >= 2) {
+        std::vector<int64_t> prev(n), nxt(n);
+        for (int64_t i = 0; i < n; i++) { prev[i] = i - 1; nxt[i] = i + 1; }
+        nxt[n - 1] = -1;
+        std::priority_queue<HeapEnt, std::vector<HeapEnt>, HeapCmp> heap;
+        auto push = [&](int64_t i) {
+            if (i < 0) return;
+            int64_t j = nxt[i];
+            if (j < 0 || sym[i].empty() || sym[j].empty()) return;
+            std::string key = sym[i];
+            key.push_back('\x01');
+            key += sym[j];
+            auto it = v->merge_ranks.find(key);
+            if (it == v->merge_ranks.end()) return;
+            heap.push({(double)it->second, i, sym[i] + sym[j]});
+        };
+        for (int64_t i = 0; i < n - 1; i++) push(i);
+        while (!heap.empty()) {
+            HeapEnt e = heap.top();
+            heap.pop();
+            int64_t i = e.i;
+            if (sym[i].empty()) continue;
+            int64_t j = nxt[i];
+            if (j < 0 || sym[j].empty() || sym[i] + sym[j] != e.cand)
+                continue;
+            sym[i] = std::move(e.cand);
+            sym[j].clear();
+            nxt[i] = nxt[j];
+            if (nxt[j] >= 0) prev[nxt[j]] = i;
+            if (prev[i] >= 0) push(prev[i]);
+            push(i);
+        }
+    }
+    int64_t n_out = 0;
+    for (auto &s : sym) {
+        if (s.empty()) continue;
+        auto it = v->token_to_id.find(s);
+        if (it != v->token_to_id.end()) out_ids[n_out++] = it->second;
+        else if (v->unk_id >= 0) out_ids[n_out++] = v->unk_id;
+    }
+    return n_out;
+}

@@ -89,8 +89,84 @@ def get_lib() -> ctypes.CDLL | None:
     lib.psv_fp16_to_f32.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float)]
+    # tokenizer fast path
+    lib.psv_vocab_create.restype = ctypes.c_void_p
+    lib.psv_vocab_create.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+    lib.psv_vocab_set_merges.restype = None
+    lib.psv_vocab_set_merges.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+    lib.psv_vocab_free.restype = None
+    lib.psv_vocab_free.argtypes = [ctypes.c_void_p]
+    for name in ("psv_spm_encode", "psv_bpe_encode"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                       ctypes.POINTER(ctypes.c_int32)]
     _lib = lib
     return _lib
+
+
+class NativeVocab:
+    """C++ merge-loop tokenizer (the reference vendors llama.cpp's C++
+    tokenizer; semantics mirror tokenizer/vocab.py's Python fallback
+    exactly — parity-tested). None-able: callers keep the Python path
+    when the lib is unavailable."""
+
+    def __init__(self, tokens: list[str], scores, byte_tokens: dict,
+                 unk_id: int, merges: list[str] | None):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native lib not built")
+        self._lib = lib
+        blobs = [t.encode("utf-8") for t in tokens]
+        offs = np.zeros(len(blobs) + 1, np.int64)
+        for i, b in enumerate(blobs):
+            offs[i + 1] = offs[i] + len(b)
+        blob = np.frombuffer(b"".join(blobs) or b"\x00", np.uint8).copy()
+        sc = None
+        if scores is not None:
+            sc_arr = np.asarray(scores, np.float32)
+            sc = sc_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        bt = np.full(256, -1, np.int32)
+        for b, tid in byte_tokens.items():
+            bt[b] = tid
+        self._h = lib.psv_vocab_create(
+            blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(blobs), sc,
+            bt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), unk_id)
+        if merges:
+            mb = [m.encode("utf-8") for m in merges]
+            moffs = np.zeros(len(mb) + 1, np.int64)
+            for i, b in enumerate(mb):
+                moffs[i + 1] = moffs[i] + len(b)
+            mblob = np.frombuffer(b"".join(mb) or b"\x00", np.uint8).copy()
+            lib.psv_vocab_set_merges(
+                self._h, mblob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                moffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(mb))
+
+    def __del__(self):
+        try:
+            self._lib.psv_vocab_free(self._h)
+        except Exception:  # noqa: BLE001
+            pass
+
+    def _encode(self, fn, text: str) -> list[int]:
+        b = text.encode("utf-8")
+        out = np.empty(max(4 * len(b), 8), np.int32)
+        n = fn(self._h, b, len(b),
+               out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out[:n].tolist()
+
+    def spm_encode(self, text: str) -> list[int]:
+        return self._encode(self._lib.psv_spm_encode, text)
+
+    def bpe_encode(self, word: str) -> list[int]:
+        return self._encode(self._lib.psv_bpe_encode, word)
 
 
 _LOAD_METHODS = {"mmap": 0, "bio": 1, "dio": 2, "async": 3}

@@ -236,11 +236,34 @@ class GGUFVocab:
             push(i)
         return [s for s in sym if s is not None]
 
+    def _native(self):
+        """C++ merge-loop fast path (csrc; reference vendors llama.cpp's
+        C++ tokenizer). None when the lib is missing or disabled via
+        POWERSERVE_NATIVE_TOKENIZER=0; Python fallback is semantically
+        identical (parity-tested in tests/test_native.py)."""
+        if not hasattr(self, "_native_vocab"):
+            self._native_vocab = None
+            import os
+
+            if os.environ.get("POWERSERVE_NATIVE_TOKENIZER", "1") != "0":
+                try:
+                    from ..core.native import NativeVocab
+
+                    self._native_vocab = NativeVocab(
+                        self.tokens, self.scores, self._byte_tokens,
+                        self.unk_id, self.merges)
+                except Exception:  # noqa: BLE001
+                    self._native_vocab = None
+        return self._native_vocab
+
     def _spm_encode_fragment(self, text: str) -> list[int]:
         """Greedy score-based pair merging (SPM BPE semantics)."""
         if not text:
             return []
         text = text.replace(" ", _SPM_SPACE)
+        nat = self._native()
+        if nat is not None:
+            return nat.spm_encode(text)
 
         def pair_key(a: str, b: str):
             tid = self.token_to_id.get(a + b)
@@ -265,6 +288,9 @@ class GGUFVocab:
 
     def _bpe_encode_word(self, word: str) -> list[int]:
         """Merge-rank BPE on a byte-mapped word."""
+        nat = self._native()
+        if nat is not None:
+            return nat.bpe_encode(word)
 
         def pair_key(a: str, b: str):
             return self._merge_ranks.get((a, b))  # lowest rank first

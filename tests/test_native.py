@@ -76,3 +76,61 @@ def test_native_fp16_convert():
         x.view(np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         1000, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     np.testing.assert_array_equal(out, x.astype(np.float32))
+
+
+def test_native_tokenizer_matches_python(monkeypatch):
+    """C++ merge loop == Python heap merge, SPM and BPE, including byte
+    fallback, multibyte UTF-8, ties, and no-score vocabs."""
+    from powerserve_tpu.tokenizer.vocab import GGUFVocab
+
+    def mk_md(scores=True):
+        tokens = ["<unk>", "<s>", "</s>"]
+        types = [2, 3, 3]
+        tokens += [f"<0x{b:02X}>" for b in range(256)]
+        types += [6] * 256
+        words = ["▁the", "▁quick", "th", "he", "the", "qu", "ick", "▁",
+                 "a", "b", "ab", "ba", "aba", "日", "本", "日本"]
+        tokens += words
+        types += [1] * len(words)
+        md = {
+            "tokenizer.ggml.model": "llama",
+            "tokenizer.ggml.tokens": tokens,
+            "tokenizer.ggml.token_type": types,
+            "tokenizer.ggml.unknown_token_id": 0,
+            "tokenizer.ggml.bos_token_id": 1,
+            "tokenizer.ggml.eos_token_id": 2,
+        }
+        if scores:
+            md["tokenizer.ggml.scores"] = [float(-i) for i in
+                                           range(len(tokens))]
+        return md
+
+    texts = ["the quick", "abab aba ba", "日本 the", "xyz éé",
+             "", " ", "ababababab"]
+    for scores in (True, False):
+        v_nat = GGUFVocab.from_metadata(mk_md(scores))
+        assert v_nat._native() is not None, "native lib expected"
+        monkeypatch.setenv("POWERSERVE_NATIVE_TOKENIZER", "0")
+        v_py = GGUFVocab.from_metadata(mk_md(scores))
+        assert v_py._native() is None
+        monkeypatch.delenv("POWERSERVE_NATIVE_TOKENIZER")
+        for t in texts:
+            a = v_nat._spm_encode_fragment(t)
+            b = v_py._spm_encode_fragment(t)
+            assert a == b, (scores, t, a, b)
+
+    # BPE with merge ranks
+    md = {
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": ["<unk>", "a", "b", "c", "ab", "abc",
+                                  "bc", "Ġ", "Ġa"],
+        "tokenizer.ggml.token_type": [2] + [1] * 8,
+        "tokenizer.ggml.merges": ["a b", "ab c", "b c", "Ġ a"],
+        "tokenizer.ggml.unknown_token_id": 0,
+    }
+    v_nat = GGUFVocab.from_metadata(dict(md))
+    monkeypatch.setenv("POWERSERVE_NATIVE_TOKENIZER", "0")
+    v_py = GGUFVocab.from_metadata(dict(md))
+    monkeypatch.delenv("POWERSERVE_NATIVE_TOKENIZER")
+    for w in ["abc", "abcabc", "aabbcc", "Ġaabc", "x"]:
+        assert v_nat._bpe_encode_word(w) == v_py._bpe_encode_word(w), w
