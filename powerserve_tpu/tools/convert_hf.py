@@ -30,8 +30,17 @@ from ..core.gguf import GGMLType, GGUFWriter
 from ..core.quant import quantize
 from ..ops.elementwise import ROPE_TYPE_NEOX
 
-QUANTS = {"q4_0": GGMLType.Q4_0, "q8_0": GGMLType.Q8_0,
-          "q4_k": GGMLType.Q4_K, "f16": GGMLType.F16, "f32": GGMLType.F32}
+QUANTS = {"q4_0": GGMLType.Q4_0, "q4_1": GGMLType.Q4_1,
+          "q5_0": GGMLType.Q5_0, "q8_0": GGMLType.Q8_0,
+          "q2_k": GGMLType.Q2_K, "q3_k": GGMLType.Q3_K,
+          "q4_k": GGMLType.Q4_K, "q5_k": GGMLType.Q5_K,
+          "q6_k": GGMLType.Q6_K, "iq4_nl": GGMLType.IQ4_NL,
+          "iq4_xs": GGMLType.IQ4_XS,
+          "f16": GGMLType.F16, "f32": GGMLType.F32}
+
+# formats with 256-element superblocks (others use 32-element blocks)
+_BLOCK256 = {GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
+             GGMLType.Q6_K, GGMLType.IQ4_XS}
 
 # HF name -> GGUF name (llama.cpp convention, reference llama_weight.hpp)
 _GLOBAL_MAP = {
@@ -157,7 +166,7 @@ def convert_hf_model(model_dir: str | Path, out_dir: str | Path,
             w.add_float_tensor(name, arr)
         else:
             use = fmt
-            block = 256 if fmt == GGMLType.Q4_K else 32
+            block = 256 if fmt in _BLOCK256 else 32
             if arr.shape[-1] % block != 0:
                 use = GGMLType.F16
             w.add_tensor(name, tuple(reversed(arr.shape)), use,
@@ -246,7 +255,7 @@ def convert_eagle(model_dir: str | Path, out_dir: str | Path,
             w.add_float_tensor(name, arr)
         else:
             use = fmt
-            block = 256 if fmt == GGMLType.Q4_K else 32
+            block = 256 if fmt in _BLOCK256 else 32
             if arr.shape[-1] % block != 0:
                 use = GGMLType.F16
             w.add_tensor(name, tuple(reversed(arr.shape)), use,
