@@ -66,7 +66,7 @@ class QEmbedding:
     jax.tree_util.register_dataclass,
     data_fields=["attn_norm", "ffn_norm", "wq", "wk", "wv", "wo",
                  "bq", "bk", "bv", "w_gate", "w_up", "w_down",
-                 "wqkv", "bqkv", "wgu"],
+                 "wqkv", "bqkv", "wgu", "q_norm", "k_norm"],
     meta_fields=[],
 )
 @dataclass
@@ -88,6 +88,10 @@ class LayerWeights:
     wqkv: QLinear | None = None
     bqkv: jax.Array | None = None  # concat [H*D + 2*Hkv*D]
     wgu: QLinear | None = None  # gate|up concat [dim, 2*ffn]
+    # QK-norm (qwen3): per-head RMS norm weights [head_dim] applied to
+    # q / k after the head reshape, before RoPE
+    q_norm: jax.Array | None = None
+    k_norm: jax.Array | None = None
 
 
 @functools.partial(
@@ -245,6 +249,10 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             q = lin(hf, lw.wq, lw.bq).reshape(S, Tq, H, D)
             knew = lin(hf, lw.wk, lw.bk).reshape(S, Tq, Hkv, D)
             vnew = lin(hf, lw.wv, lw.bv).reshape(S, Tq, Hkv, D)
+        if lw.q_norm is not None:
+            # qwen3 QK-norm: per-head RMS over head_dim, before RoPE
+            q = rms_norm(q, sl(lw.q_norm), llm.norm_eps)
+            knew = rms_norm(knew, sl(lw.k_norm), llm.norm_eps)
         q = apply_rope(q, cos, sin, rope_type)
         knew = apply_rope(knew, cos, sin, rope_type)
 

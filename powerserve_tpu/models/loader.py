@@ -132,7 +132,9 @@ def config_from_gguf_metadata(md: dict[str, Any]) -> ModelConfig:
     dim = int(key("embedding_length", 2048))
     n_heads = int(key("attention.head_count", 32))
     n_kv = int(key("attention.head_count_kv", n_heads))
-    head_size = dim // n_heads
+    # qwen3-style models decouple head_dim from dim/n_heads; llama.cpp
+    # carries it as attention.key_length
+    head_size = int(key("attention.key_length", dim // n_heads))
     rope_dims = int(key("rope.dimension_count", head_size))
     vocab = md.get("tokenizer.ggml.tokens")
     vocab_size = int(key("vocab_size", len(vocab) if vocab is not None else 32000))
@@ -291,6 +293,8 @@ def load_gguf_model(path: str | os.PathLike, pack: bool = True,
             wk=_qlinear_from_gguf(reader, pre + "attn_k.weight", pack, mxu),
             wv=_qlinear_from_gguf(reader, pre + "attn_v.weight", pack, mxu),
             wo=_qlinear_from_gguf(reader, pre + "attn_output.weight", pack, mxu),
+            q_norm=_maybe_bias(reader, pre + "attn_q_norm.weight"),
+            k_norm=_maybe_bias(reader, pre + "attn_k_norm.weight"),
             bq=_maybe_bias(reader, pre + "attn_q.bias"),
             bk=_maybe_bias(reader, pre + "attn_k.bias"),
             bv=_maybe_bias(reader, pre + "attn_v.bias"),
@@ -369,6 +373,8 @@ def params_from_hf_state_dict(sd: dict[str, np.ndarray], cfg: ModelConfig,
             bq=b("self_attn.q_proj.bias"),
             bk=b("self_attn.k_proj.bias"),
             bv=b("self_attn.v_proj.bias"),
+            q_norm=b("self_attn.q_norm.weight"),
+            k_norm=b("self_attn.k_norm.weight"),
             w_gate=_qlinear_from_float(get(pre + "mlp.gate_proj.weight"), fmt, pack),
             w_up=_qlinear_from_float(get(pre + "mlp.up_proj.weight"), fmt, pack),
             w_down=_qlinear_from_float(get(pre + "mlp.down_proj.weight"), fmt, pack),

@@ -187,6 +187,9 @@ def param_specs(params: LlamaParams, tp: int) -> LlamaParams:
             w_down=rowspec(lw.w_down),
             wqkv=colspec(lw.wqkv), bqkv=bias(lw.bqkv),
             wgu=colspec(lw.wgu),
+            # QK-norm weights are per-head [hd]: replicated
+            q_norm=None if lw.q_norm is None else repl,
+            k_norm=None if lw.k_norm is None else repl,
         )
 
     if stacked:

@@ -58,6 +58,8 @@ _LAYER_MAP = {
     "self_attn.q_proj.bias": "attn_q.bias",
     "self_attn.k_proj.bias": "attn_k.bias",
     "self_attn.v_proj.bias": "attn_v.bias",
+    "self_attn.q_norm.weight": "attn_q_norm.weight",  # qwen3 QK-norm
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
     "mlp.gate_proj.weight": "ffn_gate.weight",
     "mlp.up_proj.weight": "ffn_up.weight",
     "mlp.down_proj.weight": "ffn_down.weight",
@@ -107,7 +109,9 @@ def convert_hf_model(model_dir: str | Path, out_dir: str | Path,
 
     hf_cfg = json.loads((model_dir / "config.json").read_text())
     arch_list = hf_cfg.get("architectures", ["LlamaForCausalLM"])
-    arch = "qwen2" if any("Qwen2" in a for a in arch_list) else "llama"
+    arch = ("qwen3" if any("Qwen3" in a for a in arch_list)
+            else "qwen2" if any("Qwen2" in a for a in arch_list)
+            else "llama")
     dim = hf_cfg["hidden_size"]
     n_heads = hf_cfg["num_attention_heads"]
     n_kv = hf_cfg.get("num_key_value_heads", n_heads)
@@ -124,6 +128,7 @@ def convert_hf_model(model_dir: str | Path, out_dir: str | Path,
     md[f"{arch}.attention.head_count_kv"] = n_kv
     md[f"{arch}.context_length"] = hf_cfg.get("max_position_embeddings", 4096)
     md[f"{arch}.rope.dimension_count"] = head_dim
+    md[f"{arch}.attention.key_length"] = head_dim  # qwen3: != dim/heads
     md[f"{arch}.rope.freq_base"] = float(hf_cfg.get("rope_theta", 10000.0))
     # rope scaling -> llama.cpp-standard rope.scaling.* keys (the
     # reference carries these into ggml's YaRN rope, config.hpp:88-97;

@@ -94,3 +94,40 @@ def test_convert_rope_scaling_roundtrip(tmp_path):
     got = np.asarray(logits)[0, start:]
     corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
     assert corr > 0.999, f"corr {corr}"
+
+
+def test_convert_qwen3_qk_norm_head_dim(tmp_path):
+    """Qwen3 round-trip: QK-norm tensors and a head_dim decoupled from
+    dim/n_heads (attention.key_length) survive convert -> load, logits
+    match transformers."""
+    torch.manual_seed(0)
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=32,  # != 64/4
+        max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False)
+    model = transformers.Qwen3ForCausalLM(hf_cfg)
+    model.eval()
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(hf_dir, safe_serialization=True)
+
+    ws = convert_hf_model(hf_dir, tmp_path / "ws", quant="q8_0")
+    cfg, params = load_gguf_model(ws / "model")
+    assert cfg.arch == "qwen3"
+    assert cfg.llm.head_size == 32
+    assert params.layers.q_norm is not None
+
+    T = 8
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 512, (1, T))
+    with torch.no_grad():
+        ref = model(torch.tensor(tokens)).logits.numpy()[0]
+    kv = KVCache.create(cfg.llm.n_layers, 1, 32, cfg.llm.n_kv_heads,
+                        cfg.llm.head_size, dtype="bf16")
+    logits, _ = forward(params, cfg.llm, kv, jnp.asarray(tokens),
+                        jnp.arange(T)[None, :], backend="xla",
+                        logits_mode="all")
+    got = np.asarray(logits)[0]
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999, corr

@@ -56,6 +56,52 @@ def _to_sd(model):
     return {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
 
 
+def test_qwen3_qk_norm_logits_match_hf():
+    """qwen3 = qwen2-family + per-head QK RMS norm before RoPE; golden
+    logits vs transformers Qwen3ForCausalLM (no QKV biases, explicit
+    head_dim)."""
+    torch.manual_seed(0)
+    dim, heads, kv_heads, hd = 64, 4, 2, 16
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=256, hidden_size=dim, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=hd,
+        max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False)
+    model = transformers.Qwen3ForCausalLM(hf_cfg)
+    model.eval()
+    cfg = ModelConfig(arch="qwen3")
+    cfg.llm.dim = dim
+    cfg.llm.hidden_dim = 128
+    cfg.llm.n_layers = 2
+    cfg.llm.n_heads = heads
+    cfg.llm.n_kv_heads = kv_heads
+    cfg.llm.head_size = hd
+    cfg.llm.seq_len = 128
+    cfg.llm.vocab_size = 256
+    cfg.llm.kv_dim = kv_heads * hd
+    cfg.llm.rope.n_dims = hd
+    cfg.llm.rope.freq_base = 10000.0
+    cfg.llm.norm_eps = 1e-5
+    params = params_from_hf_state_dict(_to_sd(model), cfg, fmt=GGMLType.Q8_0)
+    assert params.layers.q_norm is not None  # stacked [L, hd]
+
+    T = 10
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 256, (1, T))
+    with torch.no_grad():
+        ref = model(torch.tensor(tokens)).logits.numpy()[0]
+    kv = KVCache.create(2, 1, 32, kv_heads, hd, dtype="bf16")
+    logits, _ = forward(params, cfg.llm, kv, jnp.asarray(tokens),
+                        jnp.arange(T)[None, :], backend="xla",
+                        logits_mode="all")
+    got = np.asarray(logits)[0]
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.08, f"logits rel err {rel}"
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999, f"logits correlation {corr}"
+
+
 @pytest.mark.parametrize("qwen", [False, True])
 def test_prefill_logits_match_hf(qwen):
     torch.manual_seed(0)
