@@ -271,6 +271,12 @@ class ServerContext:
                     d_cfg, d_params = self._load(
                         self.resolve_dir(draft_name))
                     d_llm = d_cfg.llm
+                    # acceptance compares token IDS: a vocab mismatch
+                    # would silently accept nonsense, not error
+                    if d_llm.vocab_size != t_cfg.llm.vocab_size:
+                        raise web.HTTPBadRequest(
+                            text=f"draft vocab ({d_llm.vocab_size}) != "
+                                 f"target vocab ({t_cfg.llm.vocab_size})")
                 sched = BatchScheduler(t_params, t_cfg, self.hp,
                                        self.backend,
                                        draft_params=d_params,
@@ -516,7 +522,9 @@ async def _run_vlm(ctx: ModelContext, prompt_ids: list[int], images: list,
             emb = model.embed_multimodal(
                 jnp.asarray(np.asarray(ids, np.int32)[None]),
                 jnp.asarray(px))
-            return ids, np.asarray(emb[0], np.float32)
+            # fp16 halves host memory for long multimodal prompts; the
+            # scheduler's prefill overlay upcasts per chunk
+            return ids, np.asarray(emb[0], np.float16)
 
         prompt_ids, embeds = await loop.run_in_executor(None, encode)
         # the scheduler's decode feed embeds the LAST prompt token via
