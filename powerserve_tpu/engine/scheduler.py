@@ -615,7 +615,14 @@ class BatchScheduler:
                 self.slots[i] = _Slot()
 
     def _spec_decode_tick(self, decoding: list[int]) -> bool:
-        """Batched tree-speculation tick (spec x continuous batching)."""
+        """Batched speculation tick (spec x continuous batching).
+
+        Chain templates run STOCHASTIC speculative sampling (sampled
+        drafts + rejection-sampling acceptance — far higher tokens/step
+        at temperature than exact-match; chain.py docstring); tree
+        templates keep exact-match acceptance against the target's
+        sampled tokens."""
+        from ..speculative.chain import chain_spec_sample_scan
         from ..speculative.device_tree import tree_spec_scan
 
         tpl = self.spec_template
@@ -632,14 +639,23 @@ class BatchScheduler:
             temp[i] = s.req.temperature
             top_k[i] = s.req.top_k
             top_p[i] = s.req.top_p
-        (emitted_d, counts, self.kv, self.d_kv, next_tok,
-         self.rngs) = tree_spec_scan(
-            self.params, self.dparams, self.kv, self.d_kv,
-            jnp.asarray(tokens), self.cfg.llm, self.d_llm,
-            self.spec_horizon, tpl.key(), self.backend,
-            active=jnp.asarray(active), rngs=self.rngs,
-            temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
-            top_p=jnp.asarray(top_p), sample=True)
+        common = dict(active=jnp.asarray(active), rngs=self.rngs,
+                      temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
+                      top_p=jnp.asarray(top_p))
+        if tpl.n_nodes == tpl.max_depth + 1:  # pure chain
+            kk = tpl.max_depth
+            (emitted_d, counts, self.kv, self.d_kv, next_tok,
+             self.rngs) = chain_spec_sample_scan(
+                self.params, self.dparams, self.kv, self.d_kv,
+                jnp.asarray(tokens), self.cfg.llm, self.d_llm,
+                self.spec_horizon, kk, self.backend, **common)
+        else:
+            (emitted_d, counts, self.kv, self.d_kv, next_tok,
+             self.rngs) = tree_spec_scan(
+                self.params, self.dparams, self.kv, self.d_kv,
+                jnp.asarray(tokens), self.cfg.llm, self.d_llm,
+                self.spec_horizon, tpl.key(), self.backend,
+                sample=True, **common)
         room = (self.max_seq - self.spec_horizon * (tpl.max_depth + 1)
                 - tpl.n_nodes)
         self._emit_spec_results(decoding, emitted_d, counts, next_tok,

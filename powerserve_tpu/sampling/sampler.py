@@ -168,33 +168,25 @@ def sample_logits(key: jax.Array, logits: jax.Array, cfg: SamplerConfig,
     return jax.random.categorical(key, logp, axis=-1)
 
 
-def sample_logits_batched(key: jax.Array, logits: jax.Array,
-                          temperature: jax.Array, top_k: jax.Array,
-                          top_p: jax.Array,
-                          state: PenaltyState | None = None,
-                          penalty_repeat: jax.Array | None = None,
-                          max_top_k: int = 64,
-                          vocab_size: int | None = None,
-                          keys: jax.Array | None = None) -> jax.Array:
-    """Per-slot sampling with *array* parameters (continuous batching:
-    every request carries its own temperature/top_k/top_p).
+def sample_dist_batched(logits: jax.Array, temperature: jax.Array,
+                        top_k: jax.Array, top_p: jax.Array,
+                        state: PenaltyState | None = None,
+                        penalty_repeat: jax.Array | None = None,
+                        max_top_k: int = 64,
+                        vocab_size: int | None = None) -> jax.Array:
+    """The per-slot SAMPLING DISTRIBUTION [S, V] (normalized) after the
+    full transform chain (penalties -> top-k -> temperature -> top-p).
+    temperature <= 0 slots get a one-hot at the (post-penalty) argmax.
 
-    temperature/top_k/top_p/penalty_repeat: [S]. temperature <= 0 means
-    greedy for that slot. top_k <= 0 disables top-k (capped at
-    max_top_k otherwise).
-
-    keys: optional per-slot PRNG keys [S, 2] (uint32). When given, each
-    slot draws from its own key chain, so a request with an explicit
-    seed reproduces its sample stream regardless of what other slots
-    are doing (the OpenAI `seed` parameter); `key` is then ignored.
-    """
+    Exposed separately from the draw so speculative rejection sampling
+    can evaluate p(x)/q(x) and residuals against the EXACT distributions
+    tokens are sampled from."""
     S, V = logits.shape
     lf = logits.astype(jnp.float32)
     if vocab_size is not None and vocab_size < V:
         col = jax.lax.broadcasted_iota(jnp.int32, (S, V), 1)
         lf = jnp.where(col < vocab_size, lf, NEG_INF)
     if state is not None and penalty_repeat is not None:
-        P = state.recent.shape[1]
         idx = jnp.where(state.recent >= 0, state.recent, V)
         counts = jnp.zeros((S, V), jnp.float32)
         counts = jax.vmap(lambda c, i: c.at[i].add(1.0, mode="drop"))(counts, idx)
@@ -222,6 +214,42 @@ def sample_logits_batched(key: jax.Array, logits: jax.Array,
     pthr = jnp.min(jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1,
                    keepdims=True)
     probs = jnp.where(probs >= pthr, probs, 0.0)
+    probs = probs / jnp.maximum(probs.sum(axis=-1, keepdims=True), 1e-30)
+    onehot = jax.nn.one_hot(greedy_tok, V, dtype=jnp.float32)
+    return jnp.where(temperature[:, None] <= 0.0, onehot, probs)
+
+
+def categorical_from_dist(keys: jax.Array, probs: jax.Array) -> jax.Array:
+    """Per-slot categorical draw from [S, V] probs (keys [S, 2]).
+    One-hot rows (greedy) resolve deterministically to their argmax."""
+    logp = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)), NEG_INF)
+    return jax.vmap(jax.random.categorical)(keys, logp)
+
+
+def sample_logits_batched(key: jax.Array, logits: jax.Array,
+                          temperature: jax.Array, top_k: jax.Array,
+                          top_p: jax.Array,
+                          state: PenaltyState | None = None,
+                          penalty_repeat: jax.Array | None = None,
+                          max_top_k: int = 64,
+                          vocab_size: int | None = None,
+                          keys: jax.Array | None = None) -> jax.Array:
+    """Per-slot sampling with *array* parameters (continuous batching:
+    every request carries its own temperature/top_k/top_p).
+
+    temperature/top_k/top_p/penalty_repeat: [S]. temperature <= 0 means
+    greedy for that slot. top_k <= 0 disables top-k (capped at
+    max_top_k otherwise).
+
+    keys: optional per-slot PRNG keys [S, 2] (uint32). When given, each
+    slot draws from its own key chain, so a request with an explicit
+    seed reproduces its sample stream regardless of what other slots
+    are doing (the OpenAI `seed` parameter); `key` is then ignored.
+    """
+    probs = sample_dist_batched(logits, temperature, top_k, top_p,
+                                state=state, penalty_repeat=penalty_repeat,
+                                max_top_k=max_top_k, vocab_size=vocab_size)
+    greedy_tok = jnp.argmax(probs, axis=-1)
     logp = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)), NEG_INF)
     if keys is not None:
         sampled = jax.vmap(jax.random.categorical)(keys, logp)

@@ -46,7 +46,8 @@ from ..kv.cache import KVCache
 from ..models.llama import LlamaParams, forward
 from .engine import SpecStats
 
-__all__ = ["chain_spec_scan", "ChainSpecEngine", "self_draft_config"]
+__all__ = ["chain_spec_scan", "chain_spec_sample_scan", "ChainSpecEngine",
+           "self_draft_config"]
 
 
 def self_draft_config(llm: LLMConfig, n_layers: int) -> LLMConfig:
@@ -116,6 +117,133 @@ def chain_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
     (t_kv, d_kv, root), (tokens, counts) = jax.lax.scan(
         spec_step, (t_kv, d_kv, root), None, length=n_steps)
     return tokens, counts, t_kv, d_kv, root
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_llm", "d_llm", "n_steps", "k", "backend"),
+    donate_argnums=(2, 3),
+)
+def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
+                           t_kv: KVCache, d_kv: KVCache, root: jax.Array,
+                           t_llm: LLMConfig, d_llm: LLMConfig,
+                           n_steps: int, k: int, backend: str = "auto",
+                           active: jax.Array | None = None,
+                           rngs: jax.Array | None = None,
+                           temp: jax.Array | None = None,
+                           top_k: jax.Array | None = None,
+                           top_p: jax.Array | None = None):
+    """Batched STOCHASTIC chain speculation: standard speculative
+    sampling (Leviathan et al. 2023) instead of exact-match acceptance.
+
+    The draft SAMPLES d_j ~ q_j (its own post-transform distribution
+    with the slot's temp/top-k/top-p); the target verify accepts d_j
+    with prob min(1, p_j(d_j)/q_j(d_j)) and on the first rejection
+    resamples from the residual (p - q)^+ — the emitted stream is
+    EXACTLY distributed as vanilla target sampling, while acceptance at
+    temperature is 1 - TV(p, q) per position instead of p(argmax_q)
+    (greedy-draft exact-match collapses on flat distributions: p
+    uniform over 10 tokens accepts 10%; a matched sampled draft accepts
+    ~100%). temp <= 0 slots degenerate to the greedy scheme exactly.
+    The reference has no stochastic verification at all (greedy
+    token_tree.cpp:213-229) — this is net-new.
+
+    root [S]; rngs [S, 2] per-slot raw keys; temp/top_k/top_p [S].
+    Returns (emitted [n_steps, S, k+1], counts [n_steps, S], t_kv,
+    d_kv, root, rngs); emitted rows hold accepted drafts then the
+    resampled/bonus token, -1 beyond counts.
+    """
+    from ..sampling.sampler import categorical_from_dist, sample_dist_batched
+
+    S = root.shape[0]
+    V = t_llm.vocab_size
+    if active is None:
+        active = jnp.ones(S, bool)
+    if rngs is None:
+        rngs = jnp.zeros((S, 2), jnp.uint32)
+    lanes = jnp.arange(k + 1)
+
+    def spec_step(carry, _):
+        t_kv, d_kv, root, rngs = carry
+        c = t_kv.pos.astype(jnp.int32)
+        split = jax.vmap(lambda r: jax.random.split(r, 4))(rngs)
+        new_rngs, draft_key, u_key, res_key = (split[:, 0], split[:, 1],
+                                               split[:, 2], split[:, 3])
+
+        # -- 1. draft k sampled tokens (k+1 forwards: the last only
+        # writes d_{k-1}'s KV so the draft cache stays complete) -------
+        def draft_body(dc, _):
+            tok, kv, dk = dc
+            pos = jnp.where(active, kv.pos.astype(jnp.int32), -1)[:, None]
+            logits, kv = forward(dparams, d_llm, kv, tok[:, None], pos,
+                                 active=active, backend=backend,
+                                 logits_mode="last")
+            sp = jax.vmap(lambda r: jax.random.split(r, 2))(dk)
+            dk, sub = sp[:, 0], sp[:, 1]
+            q = sample_dist_batched(logits[:, :V], temp, top_k, top_p,
+                                    vocab_size=V)
+            nxt = categorical_from_dist(sub, q).astype(jnp.int32)
+            return (nxt, kv, dk), (tok, q)
+
+        (_, d_kv, _), (fed_s, q_s) = jax.lax.scan(
+            draft_body, (root, d_kv, draft_key), None, length=k + 1)
+        fed = fed_s.T  # [S, k+1] = [root, d0 .. d_{k-1}] per slot
+        q_dists = q_s.transpose(1, 0, 2)[:, :k]  # [S, k, V]; q_j drew d_j
+
+        # -- 2. one batched target verify ------------------------------
+        positions = jnp.where(active[:, None],
+                              c[:, None] + lanes[None, :], -1)
+        logits, t_kv = forward(tparams, t_llm, t_kv, fed, positions,
+                               active=active, backend=backend,
+                               logits_mode="all")
+        rep = lambda a: jnp.repeat(a, k + 1, axis=0)  # noqa: E731
+        p_dists = sample_dist_batched(
+            logits.reshape(S * (k + 1), -1)[:, :V],
+            rep(temp), rep(top_k), rep(top_p),
+            vocab_size=V).reshape(S, k + 1, V)
+
+        # -- 3. rejection-sample acceptance ----------------------------
+        d = fed[:, 1:]  # [S, k] drafted tokens
+        p_at_d = jnp.take_along_axis(
+            p_dists[:, :k], d[:, :, None], axis=2)[:, :, 0]
+        q_at_d = jnp.take_along_axis(
+            q_dists, d[:, :, None], axis=2)[:, :, 0]
+        u = jax.vmap(lambda r: jax.random.uniform(r, (k,)))(u_key)
+        accept = (u * q_at_d < p_at_d).astype(jnp.int32)
+        n_acc = jnp.sum(jnp.cumprod(accept, axis=1), axis=1)  # [S]
+
+        # -- 4. resample: residual (p - q)^+ at the reject position,
+        # plain p at the bonus position (n_acc == k) -------------------
+        p_sel = jnp.take_along_axis(
+            p_dists, n_acc[:, None, None], axis=1)[:, 0]  # [S, V]
+        q_pad = jnp.concatenate(
+            [q_dists, jnp.zeros((S, 1, V), q_dists.dtype)], axis=1)
+        q_sel = jnp.take_along_axis(
+            q_pad, n_acc[:, None, None], axis=1)[:, 0]
+        residual = jnp.maximum(p_sel - q_sel, 0.0)
+        rsum = residual.sum(axis=-1, keepdims=True)
+        residual = jnp.where(rsum > 1e-12, residual / jnp.maximum(rsum, 1e-30),
+                             p_sel)
+        new_root = categorical_from_dist(res_key, residual).astype(jnp.int32)
+        new_root = jnp.where(active, new_root, root)
+
+        emit = jnp.where(
+            lanes[None, :] < n_acc[:, None],
+            jnp.concatenate([d, jnp.zeros((S, 1), jnp.int32)], axis=1),
+            jnp.where(lanes[None, :] == n_acc[:, None],
+                      new_root[:, None], -1))
+        emit = jnp.where(active[:, None], emit, -1)
+        counts = jnp.where(active, n_acc + 1, 0)
+
+        # -- 5. both caches keep the accepted prefix + the root entry --
+        drop = jnp.where(active, k - n_acc, 0)
+        t_kv = t_kv.rollback(drop)
+        d_kv = d_kv.rollback(drop)
+        return (t_kv, d_kv, new_root, new_rngs), (emit, counts)
+
+    (t_kv, d_kv, root, rngs), (emitted, counts) = jax.lax.scan(
+        spec_step, (t_kv, d_kv, root, rngs), None, length=n_steps)
+    return emitted, counts, t_kv, d_kv, root, rngs
 
 
 class ChainSpecEngine:

@@ -223,3 +223,100 @@ def test_chain_spec_acceptance_stats():
     assert len(out) == 16
     assert stats.accept_rate == 1.0
     assert stats.tokens_per_step == 4.0  # k+1 per step
+
+
+def test_chain_sample_scan_greedy_matches_plain_scheduler():
+    """Default chain speculation now runs stochastic rejection
+    sampling; at temperature 0 it must still equal plain greedy."""
+    import queue as _q
+
+    from powerserve_tpu.core.config import HyperParams
+    from powerserve_tpu.engine.scheduler import BatchScheduler, Request
+    from powerserve_tpu.tools.bench_params import make_device_params
+
+    cfg, params = make_device_params("tiny", "q8_0")
+
+    def run_req(sched, prompt):
+        out, done = [], _q.Queue()
+
+        def sink(t):
+            if t is None:
+                done.put(True)
+            else:
+                out.append(t)
+
+        sched.submit(Request(prompt_ids=prompt, max_tokens=6,
+                             temperature=0.0, sink=sink))
+        while done.empty():
+            if not sched.step():
+                break
+        return out
+
+    hp = HyperParams(max_slots=2, batch_size=8)
+    hp.max_seq_len = 128
+    plain = BatchScheduler(params, cfg, hp, backend="xla")
+    want = run_req(plain, [3, 17, 5, 9])
+
+    hp2 = HyperParams(max_slots=2, batch_size=8)
+    hp2.max_seq_len = 128
+    hp2.spec_k = 3
+    spec = BatchScheduler(params, cfg, hp2, backend="xla",
+                          draft_params=params, draft_llm=cfg.llm)
+    assert spec.spec_template.n_nodes == spec.spec_template.max_depth + 1
+    got = run_req(spec, [3, 17, 5, 9])
+    assert got == want, (got, want)
+
+
+def test_rejection_sampling_lossless_and_higher_acceptance():
+    """Statistical check of the speculative-sampling estimator: the
+    first emitted token's marginal equals the target's sampling
+    distribution (losslessness), and with a PERFECT draft (q == p,
+    full-depth self-draft) acceptance is near 1 — far above the
+    exact-match scheme's E[p(argmax)]."""
+    import jax
+    import jax.numpy as jnp
+
+    from powerserve_tpu.kv.cache import KVCache
+    from powerserve_tpu.models.llama import forward
+    from powerserve_tpu.sampling.sampler import sample_dist_batched
+    from powerserve_tpu.speculative.chain import chain_spec_sample_scan
+    from powerserve_tpu.tools.bench_params import make_device_params
+
+    cfg, params = make_device_params("tiny", "q8_0")
+    llm = cfg.llm
+    S, k = 4096, 3
+    root = jnp.full((S,), 7, jnp.int32)
+    temp = jnp.full((S,), 1.0, jnp.float32)
+    top_k = jnp.full((S,), 8, jnp.int32)
+    top_p = jnp.ones((S,), jnp.float32)
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(S))
+
+    def fresh():
+        return KVCache.create(llm.n_layers, S, 16, llm.n_kv_heads,
+                              llm.head_size, "int8")
+
+    # analytic target distribution at the root position
+    logits, _ = forward(params, llm, fresh(), root[:, None],
+                        jnp.zeros((S, 1), jnp.int32), backend="xla",
+                        logits_mode="last")
+    p = sample_dist_batched(logits[:, :llm.vocab_size], temp, top_k, top_p)
+    p0 = np.asarray(p[0])  # identical rows
+
+    emitted, counts, *_ = chain_spec_sample_scan(
+        params, params, fresh(), fresh(), root, llm, llm, 1, k, "xla",
+        rngs=rngs, temp=temp, top_k=top_k, top_p=top_p)
+    emitted = np.asarray(emitted)[0]  # [S, k+1]
+    counts = np.asarray(counts)[0]
+
+    first = emitted[:, 0]
+    hist = np.bincount(first, minlength=llm.vocab_size).astype(np.float64)
+    hist /= hist.sum()
+    tv = 0.5 * np.abs(hist - p0).sum()
+    assert tv < 0.08, f"first-token marginal TV {tv}"
+
+    # perfect draft: acceptance ~= 1 -> counts ~= k+1
+    mean_tokens = counts.mean()
+    assert mean_tokens > 0.9 * (k + 1), mean_tokens
+    # exact-match baseline on the same flat-ish dist accepts far less:
+    # E[tokens/step] = sum over prefixes of prod p(sample_j) + 1
+    assert mean_tokens > 1.0 + k * float((p0 ** 2).sum()) + 0.5
