@@ -225,9 +225,13 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
     root: [S] int32 last committed token per slot (position p_s, not
     yet fed to the target); root_feat: [S, dim] the target feature at
     p_s - 1 (the feature whose logits sampled `root`). sample=True
-    draws each chain position with the slot's sampler params (rngs
-    [S, 2] raw keys); sample=False is greedy argmax. Drafting is
-    always greedy.
+    runs STOCHASTIC speculative sampling: the head SAMPLES each draft
+    from its own post-transform distribution q (slot temp/top-k/top-p),
+    acceptance is min(1, p/q) rejection sampling with residual
+    resampling — exactly distributed as vanilla target sampling, and at
+    temperature accepts 1 - TV(p, q) per position instead of
+    p(argmax_q) (chain.py::chain_spec_sample_scan's scheme applied to
+    the feature-level head). sample=False is greedy argmax everywhere.
 
     Returns (emitted [n_steps, S, k+1], counts [n_steps, S], t_kv,
     e_kv, root, root_feat, rngs): step i of slot s emitted
@@ -235,38 +239,56 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
 
     Per step: k sequential head forwards draft a chain per slot; ONE
     batched target verify (logits + true features via
-    return_final_hidden); longest-prefix acceptance per slot; the head
-    cache drops ALL k drafted entries and is re-prefilled with the
-    accepted tokens paired with TRUE features (one padded Tq=k+1 head
-    forward), so its state always reflects target features exactly.
+    return_final_hidden); acceptance per slot; the head cache drops
+    ALL k drafted entries and is re-prefilled with the accepted tokens
+    paired with TRUE features (one padded Tq=k+1 head forward), so its
+    state always reflects target features exactly.
     """
+    from ..sampling.sampler import categorical_from_dist, sample_dist_batched
+
     S = root.shape[0]
+    V = t_llm.vocab_size
     if active is None:
         active = jnp.ones(S, bool)
     if rngs is None:
         rngs = jnp.zeros((S, 2), jnp.uint32)
+    if temp is None:
+        temp = jnp.zeros(S, jnp.float32)  # greedy dists for sample=False
+        top_k = jnp.zeros(S, jnp.int32)
+        top_p = jnp.ones(S, jnp.float32)
     lanes = jnp.arange(k + 1)
 
     def spec_step(carry, _):
         t_kv, e_kv, root, root_feat, rngs = carry
         c = t_kv.pos.astype(jnp.int32)  # [S] committed length p
+        split = jax.vmap(lambda r: jax.random.split(r, 4))(rngs)
+        new_rngs, draft_key, u_key, res_key = (split[:, 0], split[:, 1],
+                                               split[:, 2], split[:, 3])
 
         # -- 1. draft k tokens per slot with the head ------------------
         def draft_body(dc, _):
-            tok, feat, kv = dc  # tok [S], feat [S, dim]
+            tok, feat, kv, dk = dc  # tok [S], feat [S, dim]
             pos = jnp.where(active, kv.pos.astype(jnp.int32), -1)[:, None]
             logits, feat_out, kv = eagle_forward(
                 eparams, e_llm, kv, tok[:, None], feat[:, None, :], pos,
                 active=active, backend=backend, logits_mode="last")
-            nxt = jnp.argmax(logits[:, :t_llm.vocab_size],
-                             axis=-1).astype(jnp.int32)
-            return (nxt, feat_out[:, -1], kv), tok
+            if sample:
+                sp = jax.vmap(lambda r: jax.random.split(r, 2))(dk)
+                dk, sub = sp[:, 0], sp[:, 1]
+                q = sample_dist_batched(logits[:, :V], temp, top_k, top_p,
+                                        vocab_size=V)
+                nxt = categorical_from_dist(sub, q).astype(jnp.int32)
+            else:
+                q = jnp.zeros((S, V), jnp.float32)
+                nxt = jnp.argmax(logits[:, :V], axis=-1).astype(jnp.int32)
+            return (nxt, feat_out[:, -1], kv, dk), (tok, q)
 
-        (last_tok, _, e_kv), fed_in = jax.lax.scan(
-            draft_body, (root, root_feat, e_kv), None, length=k)
+        (last_tok, _, e_kv, _), (fed_in, q_s) = jax.lax.scan(
+            draft_body, (root, root_feat, e_kv, draft_key), None, length=k)
         # the scan collects each step's INPUT token, so fed_in =
         # [root, d0 .. d_{k-2}] and the final carry holds d_{k-1}
         fed = jnp.concatenate([fed_in, last_tok[None, :]]).T  # [S, k+1]
+        q_dists = q_s.transpose(1, 0, 2)  # [S, k, V]; q_j sampled d_j
 
         # -- 2. one batched target verify over all chains --------------
         positions = jnp.where(active[:, None],
@@ -275,26 +297,45 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             tparams, t_llm, t_kv, fed, positions, active=active,
             backend=backend, logits_mode="all", return_final_hidden=True)
         feats = feats.astype(jnp.float32)  # [S, k+1, dim] true features
+
+        # -- 3. acceptance per slot ------------------------------------
+        d = fed[:, 1:]  # [S, k] drafted tokens
         if sample:
-            from ..sampling.sampler import sample_logits_batched
-
-            split = jax.vmap(lambda r: jax.random.split(r, k + 2))(rngs)
-            new_rngs = split[:, 0]
-            keys = split[:, 1:].reshape(S * (k + 1), 2)
             rep = lambda a: jnp.repeat(a, k + 1, axis=0)  # noqa: E731
-            sampled = sample_logits_batched(
-                keys[0], logits.reshape(S * (k + 1), -1),
+            p_dists = sample_dist_batched(
+                logits.reshape(S * (k + 1), -1)[:, :V],
                 rep(temp), rep(top_k), rep(top_p),
-                vocab_size=t_llm.vocab_size, keys=keys,
-            ).astype(jnp.int32).reshape(S, k + 1)
+                vocab_size=V).reshape(S, k + 1, V)
+            p_at_d = jnp.take_along_axis(
+                p_dists[:, :k], d[:, :, None], axis=2)[:, :, 0]
+            q_at_d = jnp.take_along_axis(
+                q_dists, d[:, :, None], axis=2)[:, :, 0]
+            u = jax.vmap(lambda r: jax.random.uniform(r, (k,)))(u_key)
+            accept = (u * q_at_d < p_at_d).astype(jnp.int32)
+            n_acc = jnp.sum(jnp.cumprod(accept, axis=1), axis=1)
+            # resample: residual (p - q)^+ at the reject position, p at
+            # the bonus position
+            p_sel = jnp.take_along_axis(
+                p_dists, n_acc[:, None, None], axis=1)[:, 0]
+            q_pad = jnp.concatenate(
+                [q_dists, jnp.zeros((S, 1, V), q_dists.dtype)], axis=1)
+            q_sel = jnp.take_along_axis(
+                q_pad, n_acc[:, None, None], axis=1)[:, 0]
+            residual = jnp.maximum(p_sel - q_sel, 0.0)
+            rsum = residual.sum(axis=-1, keepdims=True)
+            residual = jnp.where(rsum > 1e-12,
+                                 residual / jnp.maximum(rsum, 1e-30), p_sel)
+            nxt = categorical_from_dist(res_key, residual).astype(jnp.int32)
+            # emitted = accepted drafts then the resampled/bonus token
+            sampled = jnp.where(
+                lanes[None, :] < n_acc[:, None],
+                jnp.concatenate([d, jnp.zeros((S, 1), jnp.int32)], axis=1),
+                nxt[:, None])
         else:
-            new_rngs = rngs
-            sampled = jnp.argmax(logits[:, :, :t_llm.vocab_size],
+            sampled = jnp.argmax(logits[:, :, :V],
                                  axis=-1).astype(jnp.int32)  # [S, k+1]
-
-        # -- 3. longest-prefix acceptance per slot ---------------------
-        match = (sampled[:, :k] == fed[:, 1:]).astype(jnp.int32)
-        n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [S] in [0,k]
+            match = (sampled[:, :k] == d).astype(jnp.int32)
+            n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
         new_root = jnp.where(
             active,
             jnp.take_along_axis(sampled, n_acc[:, None], axis=1)[:, 0],

@@ -385,6 +385,58 @@ def test_eagle_tree_engine_matches_vanilla():
     assert got == want, (got, want)
 
 
+def test_eagle_rejection_sampling_lossless():
+    """Stochastic EAGLE (sample=True at temperature): the first emitted
+    token's marginal equals the target's sampling distribution, and a
+    perfect head (exact replica of a 1-layer target: q == p) accepts
+    nearly everything."""
+    import jax
+
+    from powerserve_tpu.kv.cache import KVCache
+    from powerserve_tpu.models.llama import forward
+    from powerserve_tpu.sampling.sampler import sample_dist_batched
+    from powerserve_tpu.speculative.eagle import eagle_spec_scan
+
+    params, cfg, _ = _mk_target(0, layers=1)
+    llm = cfg.llm
+    ep = EagleParams(
+        fc=_identity_fc(), fc_bias=None, layers=(params.layers[0],),
+        embed=params.embed, lm_head=params.lm_head,
+        out_norm=params.out_norm, input_norm=True)
+    e_llm = dataclasses.replace(llm, n_layers=1)
+
+    S, k = 4096, 3
+    root = jnp.full((S,), 7, jnp.int32)
+    root_feat = jnp.zeros((S, DIM), jnp.float32)
+    temp = jnp.full((S,), 1.0, jnp.float32)
+    top_k = jnp.full((S,), 8, jnp.int32)
+    top_p = jnp.ones((S,), jnp.float32)
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(S))
+
+    def fresh(l):
+        return KVCache.create(l.n_layers, S, 16, l.n_kv_heads,
+                              l.head_size, "bf16")
+
+    logits, _ = forward(params, llm, fresh(llm), root[:, None],
+                        jnp.zeros((S, 1), jnp.int32), backend="xla",
+                        logits_mode="last")
+    p0 = np.asarray(sample_dist_batched(
+        logits[:, :llm.vocab_size], temp, top_k, top_p)[0])
+
+    emitted, counts, *_ = eagle_spec_scan(
+        params, ep, fresh(llm), fresh(e_llm), root, root_feat, llm,
+        e_llm, 1, k, "xla", rngs=rngs, temp=temp, top_k=top_k,
+        top_p=top_p, sample=True)
+    emitted = np.asarray(emitted)[0]
+    counts = np.asarray(counts)[0]
+    hist = np.bincount(emitted[:, 0], minlength=llm.vocab_size
+                       ).astype(np.float64)
+    hist /= hist.sum()
+    tv = 0.5 * np.abs(hist - p0).sum()
+    assert tv < 0.08, f"first-token marginal TV {tv}"
+    assert counts.mean() > 0.9 * (k + 1), counts.mean()
+
+
 def test_eagle_engine_reset_reuse():
     """Engine state fully resets between prompts (cache isolation)."""
     params, cfg, _ = _mk_target(0, layers=1)
