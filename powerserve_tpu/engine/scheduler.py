@@ -243,6 +243,11 @@ class BatchScheduler:
         self.n_requests = 0
         self.n_tokens_generated = 0
         self.n_prompt_tokens = 0
+        # speculation acceptance (reference print_stat,
+        # token_tree.cpp:246-253, as live serving metrics)
+        self.n_spec_steps = 0
+        self.n_spec_drafted = 0
+        self.n_spec_accepted = 0
         self.started_at = time.time()
         # sliding windows for latency percentiles (seconds)
         from collections import deque
@@ -672,6 +677,11 @@ class BatchScheduler:
         emitted_d = np.asarray(emitted_d)
         counts = np.asarray(counts)
         next_tok = np.asarray(next_tok)
+        n_active = len(decoding)
+        H, W = counts.shape[0], emitted_d.shape[2]
+        self.n_spec_steps += H * n_active
+        self.n_spec_drafted += H * n_active * (W - 1)
+        self.n_spec_accepted += int(counts[:, decoding].sum()) - H * n_active
         for i in decoding:
             s = self.slots[i]
             s.cur_token = int(next_tok[i])
@@ -858,6 +868,15 @@ class BatchScheduler:
             "prefix_cache_misses": (self.prefix_cache.misses
                                     if self.prefix_cache else 0),
         }
+        if self.n_spec_steps:
+            out["spec_steps_total"] = self.n_spec_steps
+            out["spec_drafted_total"] = self.n_spec_drafted
+            out["spec_accepted_total"] = self.n_spec_accepted
+            out["spec_accept_rate"] = (self.n_spec_accepted
+                                       / max(self.n_spec_drafted, 1))
+            out["spec_tokens_per_step"] = (
+                (self.n_spec_accepted + self.n_spec_steps)
+                / self.n_spec_steps)
         for name, win in (("ttft_seconds", self._ttft),
                           ("request_latency_seconds", self._req_latency)):
             for q in (0.5, 0.9, 0.99):
