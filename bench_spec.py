@@ -40,6 +40,10 @@ def main() -> None:
                          "loop with a synthetic 1-layer head")
     ap.add_argument("--k", type=int, default=4,
                     help="chain draft length per step")
+    ap.add_argument("--temp", type=float, default=0.0,
+                    help="chain mode: > 0 measures the STOCHASTIC "
+                         "rejection-sampling scan (chain_spec_sample_"
+                         "scan) instead of the greedy scan")
     ap.add_argument("--self-draft-layers", type=int, default=0,
                     help="chain mode: layer-skip self-draft depth "
                          "(0 = use --draft as a separate model)")
@@ -142,6 +146,7 @@ def run_chain(args, t_cfg, t_params) -> None:
     from powerserve_tpu.engine.loops import decode_scan
     from powerserve_tpu.kv.cache import KVCache
     from powerserve_tpu.speculative.chain import (
+        chain_spec_sample_scan,
         chain_spec_scan,
         self_draft_config,
     )
@@ -169,9 +174,19 @@ def run_chain(args, t_cfg, t_params) -> None:
 
     def spec(n):
         t_kv, d_kv = fresh(tl), fresh(dl)
-        toks, counts, *_ = chain_spec_scan(
-            t_params, dp, t_kv, d_kv, jnp.int32(7), tl, dl, n, args.k,
-            "auto")
+        if args.temp > 0:
+            S = 1
+            _, counts, *_ = chain_spec_sample_scan(
+                t_params, dp, t_kv, d_kv, jnp.zeros(S, jnp.int32) + 7,
+                tl, dl, n, args.k, "auto",
+                rngs=jax.vmap(jax.random.PRNGKey)(jnp.arange(S)),
+                temp=jnp.full(S, args.temp, jnp.float32),
+                top_k=jnp.full(S, 40, jnp.int32),
+                top_p=jnp.full(S, 0.95, jnp.float32))
+        else:
+            _, counts, *_ = chain_spec_scan(
+                t_params, dp, t_kv, d_kv, jnp.int32(7), tl, dl, n,
+                args.k, "auto")
         return int(np.asarray(counts).sum()), n
 
     def marginal(fn, n1, n2, reps=3):
