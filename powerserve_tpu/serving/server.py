@@ -941,6 +941,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="speculation-tree widths per depth for "
                          "\"main+draft\" models, e.g. 2,1,1 "
                          "(default: chain)")
+    ap.add_argument("--spec-k", type=int, default=0,
+                    help="chain draft length for \"main+draft\" models "
+                         "(0 = hparams default)")
     ap.add_argument("--max-models", type=int, default=0,
                     help="evict least-recently-used idle model contexts "
                          "past this count (0 = keep all; reference "
@@ -969,6 +972,8 @@ def main(argv: list[str] | None = None) -> None:
         root_dir, default = root, args.model
     if args.spec_tree:
         hp.spec_tree = args.spec_tree
+    if args.spec_k:
+        hp.spec_k = args.spec_k
     ctx = ServerContext(root_dir, default, hp, args.backend, mesh=mesh,
                         max_models=args.max_models)
     app = build_app(ctx)
