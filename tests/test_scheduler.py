@@ -232,3 +232,40 @@ def test_spec_tree_scheduler_matches_plain(tmp_path):
     assert tree.spec_template.n_nodes == 5
     got = run_req(tree, [3, 17, 5, 9])
     assert got == want
+
+
+def test_edge_prompts():
+    """Boundary conditions: 1-token prompt (no prefill region),
+    max_tokens=1, prompt exactly max_seq, and an empty-ish prompt must
+    all complete without hanging or killing the scheduler."""
+    import queue as _q
+
+    from powerserve_tpu.tools.bench_params import make_device_params
+
+    cfg, params = make_device_params("tiny", "q8_0")
+    hp = HyperParams(max_slots=2, batch_size=8)
+    hp.max_seq_len = 64
+    sched = BatchScheduler(params, cfg, hp, backend="xla")
+
+    def run_req(prompt, max_tokens):
+        out, done = [], _q.Queue()
+
+        def sink(t):
+            if t is None:
+                done.put(True)
+            else:
+                out.append(t)
+
+        sched.submit(Request(prompt_ids=list(prompt), max_tokens=max_tokens,
+                             temperature=0.0, sink=sink))
+        for _ in range(500):
+            if not done.empty():
+                break
+            sched.step()
+        assert not done.empty(), f"hung on prompt len {len(prompt)}"
+        return out
+
+    assert len(run_req([5], 3)) == 3          # single-token prompt
+    assert len(run_req([1, 2, 3], 1)) == 1    # single generated token
+    assert len(run_req(list(range(1, 64)), 2)) >= 1  # prompt ~ max_seq
+    assert len(run_req(list(range(1, 200)), 4)) >= 1  # over max_seq
