@@ -564,3 +564,28 @@ def test_model_eviction_budget(tmp_path):
     ctx.get("b")
     ctx.get("a")  # reload a; c is LRU -> evicted
     assert set(ctx.models) == {"b", "a"}
+
+
+def test_session_npz_roundtrip_with_eagle_feat(tmp_path):
+    """Session persistence keeps all prefix-cache groups, including the
+    EAGLE carried-feature ("feat": {"v": ...}) and per-group "n"."""
+    import numpy as np
+
+    from powerserve_tpu.serving.server import (_load_session_npz,
+                                               _save_session_npz)
+
+    saved = {
+        "kv": {"k": np.arange(12, dtype=np.int8).reshape(3, 4), "n": 7},
+        "d": {"k": np.ones((2, 2), np.int8), "n": 7},
+        "feat": {"v": np.linspace(0, 1, 8, dtype=np.float32)},
+    }
+    path = tmp_path / "sess.npz"
+    _save_session_npz(str(path), [3, 1, 4], saved)
+    ids, loaded = _load_session_npz(str(path))
+    assert ids == [3, 1, 4]
+    assert set(loaded) == {"kv", "d", "feat"}
+    assert loaded["kv"]["n"] == 7 and isinstance(loaded["kv"]["n"], int)
+    np.testing.assert_array_equal(np.asarray(loaded["feat"]["v"]),
+                                  saved["feat"]["v"])
+    np.testing.assert_array_equal(np.asarray(loaded["kv"]["k"]),
+                                  saved["kv"]["k"])
