@@ -140,6 +140,9 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
             q = lin(hf, lw.wq, lw.bq).reshape(S, Tq, H, D)
             knew = lin(hf, lw.wk, lw.bk).reshape(S, Tq, Hkv, D)
             vnew = lin(hf, lw.wv, lw.bv).reshape(S, Tq, Hkv, D)
+        if lw.q_norm is not None:  # qwen3-style QK-norm heads
+            q = rms_norm(q, lw.q_norm, llm.norm_eps)
+            knew = rms_norm(knew, lw.k_norm, llm.norm_eps)
         q = apply_rope(q, cos, sin, llm.rope.rope_type)
         knew = apply_rope(knew, cos, sin, llm.rope.rope_type)
 
