@@ -20,10 +20,30 @@ Commands:
 
 from __future__ import annotations
 
+import os
 import sys
 
 
+def _honor_platform_env() -> None:
+    """Make `JAX_PLATFORMS=cpu python -m powerserve_tpu ...` work even
+    when a site plugin pre-imports jax and overrides the env var (the
+    axon TPU-tunnel environment does): re-assert the requested
+    platforms via jax.config, which still takes effect post-import as
+    long as no backend has initialized yet."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        if jax.config.jax_platforms != want:
+            jax.config.update("jax_platforms", want)
+    except Exception:  # noqa: BLE001 — never block the CLI on this
+        pass
+
+
 def main() -> int:
+    _honor_platform_env()
     if len(sys.argv) < 2:
         print(__doc__)
         return 1

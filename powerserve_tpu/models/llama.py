@@ -21,6 +21,7 @@ import numpy as np
 from ..core.config import LLMConfig, ModelConfig
 from ..core.quant import QK
 from ..kv.cache import KVCache
+from ..kv.paged import PagedKVCache
 from ..ops.attention import (
     build_visibility,
     gqa_attention,
@@ -208,10 +209,15 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     rope_type = llm.rope.rope_type
 
     quantized = kv.quantized
+    paged = isinstance(kv, PagedKVCache)
+    if paged:
+        assert sp_axis is None, "paged KV + sequence parallel unsupported"
+        # logical -> pool coordinates, shared by every layer's scatter
+        pg_idx, pg_off = kv.locate(cache_positions)
     if kv_update is None:
         kv_update = _KV_UPDATE_DEFAULT
     deferred = (kv_update == "deferred" and vis_override is None
-                and quantized and sp_axis is None
+                and quantized and sp_axis is None and not paged
                 and not isinstance(params.layers, (tuple, list)))
     if deferred:
         # in-flight visibility: intra mask with padded/OOB lanes' columns
@@ -268,7 +274,27 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             return cache_s.at[:, pos_s].set(new_s.astype(cache_s.dtype),
                                             mode="drop")
 
-        if deferred:
+        if paged:
+            # paged pool: scatter through the page table, then gather a
+            # dense per-slot view for attention (one whole-page gather
+            # per layer; the Pallas paged-decode path can scalar-
+            # prefetch the table instead once measured)
+            kq, ks = KVCache.quantize_kv(knew)  # [S, Tq, Hkv, D/..]
+            vq, vsc = KVCache.quantize_kv(vnew)
+            k_l = PagedKVCache.scatter_slab(k_l, kq, pg_idx, pg_off)
+            v_l = PagedKVCache.scatter_slab(v_l, vq, pg_idx, pg_off)
+            ks_l = PagedKVCache.scatter_slab(ks_l, ks, pg_idx, pg_off)
+            vs_l = PagedKVCache.scatter_slab(vs_l, vsc, pg_idx, pg_off)
+            contiguous = (intra_mask is None and vis_override is None
+                          and Tq > 1)
+            attn = gqa_attention_quant(
+                q, kv.gather_slab(k_l), kv.gather_slab(ks_l),
+                kv.gather_slab(v_l), kv.gather_slab(vs_l), vis, scale,
+                backend=backend,
+                prefill_start=(cache_positions[:, 0] if contiguous
+                               else None),
+                cache_mask=kv.mask if contiguous else None)
+        elif deferred:
             # no scatter here: attention treats this layer's quantized
             # new K/V as an in-flight block; the post-scan batch write
             # commits every layer at once
