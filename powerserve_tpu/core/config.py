@@ -156,6 +156,11 @@ class HyperParams:
     spec_tree: str = ""
     prefix_cache: int = 4  # cached prompt prefixes per scheduler (0 = off)
     prefix_cache_min: int = 16  # shortest prefix worth caching (tokens)
+    # paged KV pool (kv/paged.py): > 0 = slots share this many pages
+    # instead of each reserving max_seq (memory oversubscription with
+    # deferred admission + recompute preemption); 0 = dense per-slot KV
+    paged_pages: int = 0
+    page_size: int = 64  # tokens per page (paged mode)
 
     @classmethod
     def from_json(cls, d: dict[str, Any]) -> "HyperParams":

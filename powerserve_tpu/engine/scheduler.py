@@ -75,6 +75,10 @@ class _Slot:
     prefill_off: int = 0
     cur_token: int = 0
     prefilling: bool = False
+    # tokens generated while this slot was resident — the recompute
+    # payload if the paged pool preempts it (prompt + generated
+    # re-prefills; already-emitted tokens are never re-emitted)
+    generated: list = field(default_factory=list)
 
 
 class PrefixCache:
@@ -178,9 +182,30 @@ class BatchScheduler:
         self.S = self.hp.max_slots
         self.max_seq = self.hp.max_seq_len or llm.seq_len
         self.chunk = max(int(self.hp.batch_size), 8)
-        self.kv = KVCache.create(llm.n_layers, self.S, self.max_seq,
-                                 llm.n_kv_heads, llm.head_size,
-                                 self.hp.kv_dtype)
+        self.pool = None
+        if getattr(self.hp, "paged_pages", 0) > 0:
+            # paged KV pool: slots share hp.paged_pages pages instead of
+            # each reserving max_seq (memory oversubscription; kv/paged.py).
+            # Admission defers and decode preempts-by-recompute when the
+            # pool runs dry.
+            assert draft_params is None and eagle_params is None \
+                and mesh is None, \
+                "paged KV does not yet compose with speculation or meshes"
+            assert self.hp.kv_dtype == "int8", "paged KV pool is int8-only"
+            from ..kv.paged import PagedKVCache, PagePool
+
+            page = max(int(getattr(self.hp, "page_size", 64)), 8)
+            self.kv = PagedKVCache.create(
+                llm.n_layers, self.S, self.max_seq, llm.n_kv_heads,
+                llm.head_size, n_pages=int(self.hp.paged_pages),
+                page_size=page)
+            self.max_seq = self.kv.max_seq  # rounded up to whole pages
+            self.pool = PagePool(int(self.hp.paged_pages), self.S,
+                                 self.kv.max_pages, page)
+        else:
+            self.kv = KVCache.create(llm.n_layers, self.S, self.max_seq,
+                                     llm.n_kv_heads, llm.head_size,
+                                     self.hp.kv_dtype)
         self.dparams = draft_params
         self.d_llm = draft_llm
         self.spec_k = spec_k or max(int(getattr(self.hp, "spec_k", 4)), 1)
@@ -246,6 +271,7 @@ class BatchScheduler:
         # speculation acceptance (reference print_stat,
         # token_tree.cpp:246-253, as live serving metrics)
         self.n_spec_steps = 0
+        self.n_preemptions = 0
         self.n_spec_drafted = 0
         self.n_spec_accepted = 0
         self.started_at = time.time()
@@ -254,6 +280,9 @@ class BatchScheduler:
 
         self._ttft = deque(maxlen=512)
         self._req_latency = deque(maxlen=512)
+        # requests deferred by paged-pool backpressure (admitted before
+        # anything in `pending`); preempted requests also land here
+        self._waitq: "deque[Request]" = deque()
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._ids = itertools.count()
         self._stop = threading.Event()
@@ -479,16 +508,69 @@ class BatchScheduler:
         except Exception:  # noqa: BLE001
             req.cancelled = True
 
+    def _free_slot(self, i: int) -> None:
+        """Tear down a slot, returning its pool pages (paged mode)."""
+        if self.pool is not None:
+            self.pool.release(i)
+        self.slots[i] = _Slot()
+
+    def _ensure_decode_pages(self, decoding: list[int]) -> list[int]:
+        """Paged mode: grow each decoding slot's page mapping to cover
+        this tick's writes. A slot the pool can't serve is PREEMPTED by
+        recompute (vLLM-style): its pages free up, the request re-queues
+        with prompt = prompt + generated-so-far, and a later prefill
+        rebuilds the KV exactly — greedy continuations are unchanged and
+        already-emitted tokens are never re-emitted."""
+        pos_host = np.asarray(self.kv.pos)
+        keep = []
+        for i in decoding:
+            if self.pool.ensure(i, int(pos_host[i]) + self.horizon):
+                keep.append(i)
+                continue
+            s = self.slots[i]
+            holders = [j for j in range(self.S)
+                       if j != i and self.pool.owned[j]]
+            if not holders:
+                # nobody else holds pages, so preempting would just
+                # thrash through re-admit into the same dry pool —
+                # finish the request at the capacity it actually got
+                s.req.finish_reason = "length"
+                self._emit(s.req, None)
+                self._free_slot(i)
+                continue
+            req = s.req
+            if req.embeds is not None and s.generated:
+                # keep embedding rows aligned with the recompute prompt
+                ext = np.asarray(self.params.embed.lookup(
+                    jnp.asarray([s.generated], jnp.int32))[0], np.float32)
+                req.embeds = np.concatenate(
+                    [np.asarray(req.embeds, np.float32), ext], axis=0)
+            req.prompt_ids = list(req.prompt_ids) + s.generated
+            self._waitq.appendleft(req)
+            self._free_slot(i)
+            self.n_preemptions += 1
+            log.debug(f"req {req.id}: preempted (paged pool dry)")
+        self.kv = self.pool.flush(self.kv)
+        return keep
+
     # -- core loop ----------------------------------------------------------
+
+    def _next_pending(self) -> Request | None:
+        """Deferred (paged-pool backpressure) requests go first."""
+        if self._waitq:
+            return self._waitq.popleft()
+        try:
+            return self.pending.get_nowait()
+        except queue.Empty:
+            return None
 
     def _admit(self) -> None:
         for i, slot in enumerate(self.slots):
             if slot.req is not None:
                 continue
-            try:
-                req = self.pending.get_nowait()
-            except queue.Empty:
-                return
+            req = self._next_pending()
+            if req is None:
+                break
             # clamp client-supplied max_tokens; an unclamped value could
             # flip the truncation slice positive (or empty it entirely)
             # and crash the scheduler thread on prompt_ids[-1]
@@ -498,10 +580,22 @@ class BatchScheduler:
                 req.prompt_ids = req.prompt_ids[-keep:]
                 if req.embeds is not None:  # keep rows aligned
                     req.embeds = req.embeds[-keep:]
+            if self.pool is not None and not self.pool.ensure(
+                    i, len(req.prompt_ids) + 1):
+                # pool dry: return any partial grant, hold the request
+                # until a resident slot finishes or is preempted
+                self.pool.release(i)
+                self._waitq.appendleft(req)
+                break
+            if self.pool is not None:
+                # page-table update must reach the device before the
+                # prefix restore (and the tick's forwards) read it
+                self.kv = self.pool.flush(self.kv)
             slot.req = req
             slot.prefill_off = 0
             slot.prefilling = True
             slot.cur_token = req.prompt_ids[-1]
+            slot.generated = []
             self.kv = self.kv.reset_slot(i)
             if self.d_kv is not None:
                 self.d_kv = self.d_kv.reset_slot(i)
@@ -617,7 +711,7 @@ class BatchScheduler:
                 if not s.req.finish_reason:
                     s.req.finish_reason = "stop"
                 self._emit(s.req, None)
-                self.slots[i] = _Slot()
+                self._free_slot(i)
 
     def _spec_decode_tick(self, decoding: list[int]) -> bool:
         """Batched speculation tick (spec x continuous batching).
@@ -712,7 +806,7 @@ class BatchScheduler:
                     break
             if done:
                 self._emit(s.req, None)
-                self.slots[i] = _Slot()
+                self._free_slot(i)
 
     def _eagle_decode_tick(self, decoding: list[int]) -> bool:
         """Batched EAGLE tick: one dispatch advances every decoding
@@ -767,6 +861,10 @@ class BatchScheduler:
             return self._eagle_decode_tick(decoding)
         if self.d_kv is not None:
             return self._spec_decode_tick(decoding)
+        if self.pool is not None:
+            decoding = self._ensure_decode_pages(decoding)
+            if not decoding:
+                return True  # preemptions / forced finishes were work
         tokens = np.zeros(self.S, np.int32)
         active = np.zeros(self.S, bool)
         temp = np.zeros(self.S, np.float32)
@@ -797,6 +895,7 @@ class BatchScheduler:
             for h in range(self.horizon):
                 tok = int(toks[i, h])
                 s.cur_token = tok
+                s.generated.append(tok)
                 s.req.n_generated += 1
                 self.n_tokens_generated += 1
                 if s.req.logprobs > 0:
@@ -822,7 +921,7 @@ class BatchScheduler:
                     break
             if done:
                 self._emit(s.req, None)
-                self.slots[i] = _Slot()
+                self._free_slot(i)
         return True
 
     def step(self) -> bool:
@@ -868,6 +967,11 @@ class BatchScheduler:
             "prefix_cache_misses": (self.prefix_cache.misses
                                     if self.prefix_cache else 0),
         }
+        if self.pool is not None:
+            out["paged_pages_total"] = self.pool.n_pages
+            out["paged_pages_free"] = self.pool.n_free
+            out["paged_preemptions_total"] = self.n_preemptions
+            out["paged_deferred_requests"] = len(self._waitq)
         if self.n_spec_steps:
             out["spec_steps_total"] = self.n_spec_steps
             out["spec_drafted_total"] = self.n_spec_drafted
@@ -895,7 +999,7 @@ class BatchScheduler:
                     if s.req is not None:
                         s.req.finish_reason = "error"
                         self._emit(s.req, None)
-                        self.slots[i] = _Slot()
+                        self._free_slot(i)
                 busy = False
             if not busy:
                 self._wake.wait(timeout=0.05)

@@ -285,15 +285,29 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             v_l = PagedKVCache.scatter_slab(v_l, vq, pg_idx, pg_off)
             ks_l = PagedKVCache.scatter_slab(ks_l, ks, pg_idx, pg_off)
             vs_l = PagedKVCache.scatter_slab(vs_l, vsc, pg_idx, pg_off)
-            contiguous = (intra_mask is None and vis_override is None
-                          and Tq > 1)
-            attn = gqa_attention_quant(
-                q, kv.gather_slab(k_l), kv.gather_slab(ks_l),
-                kv.gather_slab(v_l), kv.gather_slab(vs_l), vis, scale,
-                backend=backend,
-                prefill_start=(cache_positions[:, 0] if contiguous
-                               else None),
-                cache_mask=kv.mask if contiguous else None)
+            route_flash = (Tq == 1 and kv.max_seq >= 2048
+                           and backend in ("auto", "pallas",
+                                           "pallas_interpret"))
+            if route_flash and (backend == "pallas_interpret"
+                                or jax.default_backend() == "tpu"):
+                # decode: stream pages via scalar-prefetched page table
+                # instead of materializing the gathered view per layer
+                from ..ops.flash_decode import flash_decode_paged
+
+                attn = flash_decode_paged(
+                    q, k_l, ks_l, v_l, vs_l, kv.page_table, vis, scale,
+                    kv.page_size,
+                    interpret=backend == "pallas_interpret")
+            else:
+                contiguous = (intra_mask is None and vis_override is None
+                              and Tq > 1)
+                attn = gqa_attention_quant(
+                    q, kv.gather_slab(k_l), kv.gather_slab(ks_l),
+                    kv.gather_slab(v_l), kv.gather_slab(vs_l), vis, scale,
+                    backend=backend,
+                    prefill_start=(cache_positions[:, 0] if contiguous
+                                   else None),
+                    cache_mask=kv.mask if contiguous else None)
         elif deferred:
             # no scatter here: attention treats this layer's quantized
             # new K/V as an in-flight block; the post-scan batch write

@@ -167,3 +167,78 @@ def flash_decode_quant(q: jax.Array, kq: jax.Array, ks: jax.Array,
     # [S, (h, g, tq), D] -> [S, Tq, H*D]
     out = out.reshape(S, Hkv, G, Tq, D).transpose(0, 3, 1, 2, 4)
     return out.reshape(S, Tq, H * D)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "page_size", "interpret"))
+def flash_decode_paged(q: jax.Array, k_pool: jax.Array, ks_pool: jax.Array,
+                       v_pool: jax.Array, vs_pool: jax.Array,
+                       page_table: jax.Array, visibility: jax.Array,
+                       scale: float, page_size: int,
+                       interpret: bool = False) -> jax.Array:
+    """Flash-decode directly over the PAGED pool (kv/paged.py): the
+    page table rides as a scalar-prefetch operand and each T-chunk's
+    BlockSpec index_map dereferences it — chunk == page, so the kernel
+    streams exactly the pages the slot owns WITHOUT materializing the
+    gathered [S, Hkv, T_logical, D] view the XLA paged path builds
+    (that gather re-writes the whole cache once per layer).
+
+    q: [S, Tq, H, D]; k_pool/v_pool: [P, Hkv, page, D] int8;
+    ks_pool/vs_pool: [P, Hkv, page] f32; page_table: [S, MP] int32
+    (entries may be P = unallocated — clipped here, masked by
+    visibility); visibility: [S, Tq, MP * page] bool.
+    Returns [S, Tq, H*D] f32. Same kernel as flash_decode_quant."""
+    S, Tq, H, D = q.shape
+    P, Hkv, C = k_pool.shape[0], k_pool.shape[1], page_size
+    MP = page_table.shape[1]
+    G = H // Hkv
+    nc = MP
+    R = Hkv * G * Tq
+    cols = Hkv * C
+    qg = (q.reshape(S, Tq, Hkv, G, D).transpose(0, 2, 3, 1, 4)
+          .reshape(S, R, D).astype(jnp.bfloat16))
+    # pool scales in the kernel's flat (h, c) h-major column layout;
+    # [P, 1, cols] so the same per-page index picks the right row
+    ksc = ks_pool.reshape(P, 1, cols).astype(jnp.float32)
+    vsc = vs_pool.reshape(P, 1, cols).astype(jnp.float32)
+    # visibility bias in LOGICAL coordinates (chunk c == logical page c)
+    vb = jnp.where(visibility, 0.0, NEG_INF).astype(jnp.float32)
+    vb = vb.reshape(S, Tq, nc, C).transpose(0, 2, 1, 3)  # [S, nc, Tq, C]
+    vb = jnp.broadcast_to(vb[:, :, :, None, :], (S, nc, Tq, Hkv, C)
+                          ).reshape(S, nc, Tq, cols)
+    pt = jnp.minimum(page_table, P - 1).astype(jnp.int32)
+
+    def kernel(pt_ref, *args):
+        # the prefetched page table is consumed by the index_maps only
+        _kernel(*args, n_chunks=nc, Hkv=Hkv, G=G, Tq=Tq, C=C, scale=scale)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(S, nc),
+            in_specs=[
+                pl.BlockSpec((1, R, D), lambda s, c, pt: (s, 0, 0)),
+                pl.BlockSpec((1, Hkv, C, D),
+                             lambda s, c, pt: (pt[s, c], 0, 0, 0)),
+                pl.BlockSpec((1, 1, cols), lambda s, c, pt: (pt[s, c], 0, 0)),
+                pl.BlockSpec((1, Hkv, C, D),
+                             lambda s, c, pt: (pt[s, c], 0, 0, 0)),
+                pl.BlockSpec((1, 1, cols), lambda s, c, pt: (pt[s, c], 0, 0)),
+                pl.BlockSpec((1, 1, Tq, cols), lambda s, c, pt: (s, c, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, R, D), lambda s, c, pt: (s, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((R, 128), jnp.float32),
+                pltpu.VMEM((R, 128), jnp.float32),
+                pltpu.VMEM((R, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, R, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pt, qg, k_pool, ksc, v_pool, vsc, vb)
+    out = out.reshape(S, Hkv, G, Tq, D).transpose(0, 3, 1, 2, 4)
+    return out.reshape(S, Tq, H * D)

@@ -944,6 +944,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--spec-k", type=int, default=0,
                     help="chain draft length for \"main+draft\" models "
                          "(0 = hparams default)")
+    ap.add_argument("--paged-pages", type=int, default=0,
+                    help="paged KV pool size in pages (0 = dense "
+                         "per-slot KV); slots share the pool with "
+                         "recompute preemption on exhaustion")
+    ap.add_argument("--page-size", type=int, default=64,
+                    help="tokens per KV page (with --paged-pages)")
     ap.add_argument("--max-models", type=int, default=0,
                     help="evict least-recently-used idle model contexts "
                          "past this count (0 = keep all; reference "
@@ -974,6 +980,9 @@ def main(argv: list[str] | None = None) -> None:
         hp.spec_tree = args.spec_tree
     if args.spec_k:
         hp.spec_k = args.spec_k
+    if args.paged_pages:
+        hp.paged_pages = args.paged_pages
+        hp.page_size = args.page_size
     ctx = ServerContext(root_dir, default, hp, args.backend, mesh=mesh,
                         max_models=args.max_models)
     app = build_app(ctx)

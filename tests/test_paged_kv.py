@@ -214,3 +214,77 @@ def test_page_pool_oversubscription():
     # table mirror matches ownership
     assert set(pool.table[1][:3].tolist()) == set(pool.owned[1])
     assert (pool.table[0] == 6).all()
+
+
+def test_flash_decode_paged_matches_xla_gather():
+    """The paged Pallas decode kernel (page-table scalar prefetch) must
+    match scale-folded XLA attention over the gathered dense view."""
+    from powerserve_tpu.ops.attention import gqa_attention_quant
+    from powerserve_tpu.ops.flash_decode import flash_decode_paged
+
+    rng = np.random.default_rng(5)
+    S, Tq, H, Hkv, D = 2, 1, 4, 2, 128
+    page, MP, P = 16, 8, 2 * 8 + 3  # T_logical = 128
+    T = MP * page
+    kp = jnp.asarray(rng.integers(-127, 128, (P, Hkv, page, D)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-127, 128, (P, Hkv, page, D)), jnp.int8)
+    ksp = jnp.asarray(rng.uniform(0.005, 0.02, (P, Hkv, page)), jnp.float32)
+    vsp = jnp.asarray(rng.uniform(0.005, 0.02, (P, Hkv, page)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((S, Tq, H, D)), jnp.float32)
+    # scrambled tables; slot 1's tail pages unallocated (== P)
+    table = np.full((S, MP), P, np.int32)
+    perm = rng.permutation(P - 3)
+    table[0] = perm[:MP]
+    table[1, :5] = perm[MP:MP + 5]
+    # visibility covers only stored positions (and none of the
+    # unallocated pages)
+    vis = np.zeros((S, Tq, T), bool)
+    vis[0, :, :100] = True
+    vis[1, :, : 5 * page - 7] = True
+    vis = jnp.asarray(vis)
+    pt = jnp.asarray(table)
+
+    out_k = flash_decode_paged(q, kp, ksp, vp, vsp, pt, vis, 0.088,
+                               page_size=page, interpret=True)
+
+    from powerserve_tpu.kv.paged import PagedKVCache
+    pc = PagedKVCache(k=kp[None], v=vp[None], k_scale=ksp[None],
+                      v_scale=vsp[None], page_table=pt,
+                      mask=vis[:, 0, :], pos=jnp.zeros(S, jnp.int32),
+                      page_size=page)
+    out_x = gqa_attention_quant(
+        q, pc.gather_slab(kp), pc.gather_slab(ksp),
+        pc.gather_slab(vp), pc.gather_slab(vsp), vis, 0.088,
+        backend="xla")
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_paged_forward_flash_routing():
+    """Decode at T >= 2048 routes the paged branch to the Pallas kernel
+    (interpret mode here); logits must match the XLA gather path."""
+    cfg, params = make_device_params("tiny", "q8_0", stacked=True)
+    llm = cfg.llm
+    S, T, page = 1, 2048, 64
+    paged = PagedKVCache.create(llm.n_layers, S, T, llm.n_kv_heads,
+                                llm.head_size, n_pages=33, page_size=page)
+    pool = PagePool(33, S, paged.max_pages, page)
+    assert pool.ensure(0, T)
+    paged = pool.flush(paged)
+    rng = np.random.default_rng(6)
+    ptok = jnp.asarray(rng.integers(0, llm.vocab_size, (S, 8)), jnp.int32)
+    ppos = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (S, 8))
+    _, paged = forward(params, llm, paged, ptok, ppos, backend="xla",
+                       logits_mode="none")
+    tok = jnp.asarray(rng.integers(0, llm.vocab_size, (S, 1)), jnp.int32)
+    pos = jnp.full((S, 1), 8, jnp.int32)
+    lx, _ = forward(params, llm, paged, tok, pos, backend="xla",
+                    logits_mode="last")
+    lk, _ = forward(params, llm, paged, tok, pos,
+                    backend="pallas_interpret", logits_mode="last")
+    # backend= also flips the QMATMUL path (pallas interpret vs XLA), so
+    # bf16 rounding differs beyond attention — the tight attention-only
+    # equivalence is test_flash_decode_paged_matches_xla_gather above
+    np.testing.assert_allclose(np.asarray(lk), np.asarray(lx),
+                               rtol=3e-2, atol=3e-1)
+    assert int(np.argmax(lk)) == int(np.argmax(lx))

@@ -1,0 +1,130 @@
+"""Paged-pool continuous batching: oversubscription, deferred
+admission, recompute preemption — greedy outputs must match the dense
+scheduler exactly (preemption re-prefills prompt + generated, which
+rebuilds identical KV)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from powerserve_tpu.core.config import HyperParams
+from powerserve_tpu.core.gguf import GGMLType
+from powerserve_tpu.engine.scheduler import BatchScheduler, Request
+from powerserve_tpu.models.loader import load_gguf_model
+from powerserve_tpu.tools.synthetic import make_synthetic_gguf
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    out = tmp_path_factory.mktemp("ws")
+    make_synthetic_gguf(out, "tiny", GGMLType.Q8_0, seed=0, seq_len=128)
+    return load_gguf_model(out / "model")
+
+
+def _run_requests(sched, prompts, max_tokens):
+    events, outs = [], []
+    for p in prompts:
+        done = threading.Event()
+        out = []
+
+        def sink(t, out=out, done=done):
+            done.set() if t is None else out.append(t)
+
+        sched.submit(Request(prompt_ids=list(p), max_tokens=max_tokens,
+                             temperature=0.0, sink=sink))
+        events.append(done)
+        outs.append(out)
+    sched.start()
+    for d in events:
+        assert d.wait(timeout=300), "request did not finish"
+    return outs
+
+
+def _dense_reference(tiny, prompts, max_tokens):
+    cfg, params = tiny
+    hp = HyperParams(max_slots=2, batch_size=8)
+    s = BatchScheduler(params, cfg, hp, backend="xla")
+    try:
+        return _run_requests(s, prompts, max_tokens)
+    finally:
+        s.stop()
+
+
+PROMPTS = [list(range(3, 23)), list(range(40, 60))]  # 20 tokens each
+
+
+@pytest.fixture(scope="module")
+def dense_out(tiny):
+    return _dense_reference(tiny, PROMPTS, 12)
+
+
+def _paged(tiny, n_pages, page_size=8, slots=2):
+    cfg, params = tiny
+    hp = HyperParams(max_slots=slots, batch_size=8,
+                     paged_pages=n_pages, page_size=page_size)
+    return BatchScheduler(params, cfg, hp, backend="xla")
+
+
+def test_paged_scheduler_matches_dense(tiny, dense_out):
+    """Ample pool: no preemption, outputs equal dense."""
+    s = _paged(tiny, n_pages=16)
+    try:
+        outs = _run_requests(s, PROMPTS, 12)
+    finally:
+        s.stop()
+    assert outs == dense_out
+    assert s.n_preemptions == 0
+
+
+def test_paged_preemption_recompute(tiny, dense_out):
+    """Pool fits both prefills but not both decodes: one slot gets
+    preempted mid-generation, re-queues with prompt+generated, and the
+    final outputs still match the dense scheduler greedily."""
+    # 6 pages * 8 = 48 tokens; prompts use ceil(21/8)=3 pages each, so
+    # the first decode growth past 24 tokens must preempt
+    s = _paged(tiny, n_pages=6)
+    try:
+        outs = _run_requests(s, PROMPTS, 12)
+        m = s.metrics()
+    finally:
+        s.stop()
+    assert outs == dense_out
+    assert s.n_preemptions >= 1
+    assert m["paged_pages_total"] == 6
+    assert m["paged_pages_free"] == 6  # all released after teardown
+
+
+def test_paged_deferred_admission(tiny, dense_out):
+    """Pool only fits one request at a time: the second waits for the
+    first to finish, then completes with identical output."""
+    s = _paged(tiny, n_pages=4)  # 32 tokens: one 21-token request + decode
+    try:
+        outs = _run_requests(s, PROMPTS, 12)
+    finally:
+        s.stop()
+    assert outs == dense_out
+
+
+def test_paged_solo_request_capped_by_pool(tiny):
+    """A single request larger than the whole pool finishes with
+    'length' at pool capacity instead of thrashing forever."""
+    cfg, params = tiny
+    s = _paged(tiny, n_pages=3)  # 24 tokens total
+    done = threading.Event()
+    out = []
+
+    def sink(t):
+        done.set() if t is None else out.append(t)
+
+    req = Request(prompt_ids=list(range(2, 18)), max_tokens=64,
+                  temperature=0.0, sink=sink)
+    s.submit(req)
+    s.start()
+    try:
+        assert done.wait(timeout=300)
+    finally:
+        s.stop()
+    assert req.finish_reason == "length"
+    # 16-token prompt: 15 prefilled + decode up to the 24-token pool cap
+    assert 1 <= len(out) <= 24 - 15
