@@ -188,9 +188,8 @@ class BatchScheduler:
             # each reserving max_seq (memory oversubscription; kv/paged.py).
             # Admission defers and decode preempts-by-recompute when the
             # pool runs dry.
-            assert draft_params is None and eagle_params is None \
-                and mesh is None, \
-                "paged KV does not yet compose with speculation or meshes"
+            assert mesh is None, \
+                "paged KV does not yet compose with GSPMD meshes"
             assert self.hp.kv_dtype == "int8", "paged KV pool is int8-only"
             from ..kv.paged import PagedKVCache, PagePool
 
@@ -514,7 +513,8 @@ class BatchScheduler:
             self.pool.release(i)
         self.slots[i] = _Slot()
 
-    def _ensure_decode_pages(self, decoding: list[int]) -> list[int]:
+    def _ensure_decode_pages(self, decoding: list[int],
+                             extra: int) -> list[int]:
         """Paged mode: grow each decoding slot's page mapping to cover
         this tick's writes. A slot the pool can't serve is PREEMPTED by
         recompute (vLLM-style): its pages free up, the request re-queues
@@ -524,7 +524,7 @@ class BatchScheduler:
         pos_host = np.asarray(self.kv.pos)
         keep = []
         for i in decoding:
-            if self.pool.ensure(i, int(pos_host[i]) + self.horizon):
+            if self.pool.ensure(i, int(pos_host[i]) + extra):
                 keep.append(i)
                 continue
             s = self.slots[i]
@@ -725,6 +725,13 @@ class BatchScheduler:
         from ..speculative.device_tree import tree_spec_scan
 
         tpl = self.spec_template
+        if self.pool is not None:
+            # a spec step transiently writes up to horizon accepted
+            # runs + one un-committed tree/chain past pos
+            need = self.spec_horizon * (tpl.max_depth + 1) + tpl.n_nodes
+            decoding = self._ensure_decode_pages(decoding, need)
+            if not decoding:
+                return True
         tokens = np.zeros(self.S, np.int32)
         active = np.zeros(self.S, bool)
         temp = np.zeros(self.S, np.float32)
@@ -785,6 +792,7 @@ class BatchScheduler:
                 for j in range(int(counts[h, i])):
                     tok = int(emitted_d[h, i, j])
                     emitted += 1
+                    s.generated.append(tok)
                     s.req.n_generated += 1
                     self.n_tokens_generated += 1
                     self._emit(s.req, tok)
@@ -814,6 +822,16 @@ class BatchScheduler:
         from ..speculative.eagle import eagle_spec_scan, eagle_tree_spec_scan
 
         k = self.spec_k
+        if self.spec_template is not None:
+            per_step = self.spec_template.max_depth + 1
+            transient = self.spec_template.n_nodes
+        else:
+            per_step = transient = k + 1
+        if self.pool is not None:
+            need = self.spec_horizon * per_step + transient
+            decoding = self._ensure_decode_pages(decoding, need)
+            if not decoding:
+                return True
         tokens = np.zeros(self.S, np.int32)
         active = np.zeros(self.S, bool)
         temp = np.zeros(self.S, np.float32)
@@ -837,16 +855,12 @@ class BatchScheduler:
                 self.params, self.eparams, self.kv, self.d_kv,
                 jnp.asarray(tokens), self.feat, self.cfg.llm, self.e_llm,
                 self.spec_horizon, tpl.key(), self.backend, **common)
-            per_step = tpl.max_depth + 1
-            transient = tpl.n_nodes
         else:
             (emitted_d, counts, self.kv, self.d_kv, next_tok, self.feat,
              self.rngs) = eagle_spec_scan(
                 self.params, self.eparams, self.kv, self.d_kv,
                 jnp.asarray(tokens), self.feat, self.cfg.llm, self.e_llm,
                 self.spec_horizon, k, self.backend, **common)
-            per_step = k + 1
-            transient = k + 1
         room = self.max_seq - self.spec_horizon * per_step - transient
         self._emit_spec_results(decoding, emitted_d, counts, next_tok,
                                 pos_host, room)
@@ -862,7 +876,7 @@ class BatchScheduler:
         if self.d_kv is not None:
             return self._spec_decode_tick(decoding)
         if self.pool is not None:
-            decoding = self._ensure_decode_pages(decoding)
+            decoding = self._ensure_decode_pages(decoding, self.horizon)
             if not decoding:
                 return True  # preemptions / forced finishes were work
         tokens = np.zeros(self.S, np.int32)

@@ -451,3 +451,38 @@ def test_eagle_engine_reset_reuse():
     eng.reset()
     a2 = list(eng.generate([3, 17, 5, 9], 8))
     assert a1 == a2
+
+
+def test_eagle_paged_scheduler_matches_plain():
+    """EAGLE composes with the PAGED target KV pool: random-head greedy
+    output equals the plain dense scheduler's, through deferred
+    admission and page growth during spec ticks."""
+    from powerserve_tpu.core.config import HyperParams
+    from powerserve_tpu.engine.scheduler import BatchScheduler
+
+    params, cfg, _ = _mk_target(0, layers=2)
+    d_params, _, _ = _mk_target(7, layers=1)
+    rng = np.random.default_rng(11)
+    fc = _qlinear_from_float(
+        rng.standard_normal((DIM, 2 * DIM)).astype(np.float32) * 0.05,
+        GGMLType.Q8_0)
+    ep = EagleParams(
+        fc=fc, fc_bias=None, layers=(d_params.layers[0],),
+        embed=params.embed, lm_head=params.lm_head, out_norm=None,
+        input_norm=False)
+    e_llm = dataclasses.replace(cfg.llm, n_layers=1)
+
+    prompts = [[3, 17, 5, 9], [1, 2, 3, 4, 5, 6, 7]]
+    hp = HyperParams(max_slots=2, batch_size=8)
+    hp.max_seq_len = 128
+    plain = BatchScheduler(params, cfg, hp, backend="xla")
+    want = _run_sched(plain, prompts)
+
+    hp2 = HyperParams(max_slots=2, batch_size=8, paged_pages=10,
+                      page_size=8)
+    hp2.max_seq_len = 128
+    hp2.spec_k = 3
+    eagle = BatchScheduler(params, cfg, hp2, backend="xla",
+                           eagle_params=ep, eagle_llm=e_llm)
+    got = _run_sched(eagle, prompts)
+    assert got == want, (got, want)

@@ -128,3 +128,81 @@ def test_paged_solo_request_capped_by_pool(tiny):
     assert req.finish_reason == "length"
     # 16-token prompt: 15 prefilled + decode up to the 24-token pool cap
     assert 1 <= len(out) <= 24 - 15
+
+
+def _run_stepwise(sched, prompt, max_tokens=8):
+    import queue as _q
+
+    out, done = [], _q.Queue()
+
+    def sink(t):
+        done.put(True) if t is None else out.append(t)
+
+    sched.submit(Request(prompt_ids=list(prompt), max_tokens=max_tokens,
+                         temperature=0.0, sink=sink))
+    for _ in range(500):
+        if not done.empty():
+            break
+        sched.step()
+    assert not done.empty(), "request did not finish"
+    return out
+
+
+def test_paged_spec_matches_plain(tiny):
+    """Paged pool composes with batched chain speculation: full-depth
+    self-draft greedy output equals the plain dense scheduler's."""
+    cfg, params = tiny
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=128)
+    plain = BatchScheduler(params, cfg, hp, backend="xla")
+    want = _run_stepwise(plain, [3, 17, 5, 9])
+    plain.stop()
+
+    hp2 = HyperParams(max_slots=2, batch_size=8, max_seq_len=128,
+                      paged_pages=16, page_size=16, spec_k=3)
+    spec = BatchScheduler(params, cfg, hp2, backend="xla",
+                          draft_params=params, draft_llm=cfg.llm)
+    got = _run_stepwise(spec, [3, 17, 5, 9])
+    spec.stop()
+    assert got == want
+
+
+def test_paged_spec_preemption(tiny):
+    """Spec tick preempts when the pool can't hold the transient tree:
+    outputs still match, the preemption actually happened."""
+    cfg, params = tiny
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=128)
+    plain = BatchScheduler(params, cfg, hp, backend="xla")
+    p1, p2 = list(range(3, 11)), list(range(40, 48))  # 8 tokens each
+    w1 = _run_stepwise(plain, p1, 10)
+    w2 = _run_stepwise(plain, p2, 10)
+    plain.stop()
+
+    # pool: 5 pages * 8 = 40 tokens. Admission (9 tokens) takes 2 pages
+    # per slot; the first spec tick needs pos + horizon*(k+1) + (k+1) =
+    # 8 + 12 = 20 tokens = 3 pages, so with 4/5 pages held one slot
+    # grows and the other must PREEMPT (not just defer at admission)
+    hp2 = HyperParams(max_slots=2, batch_size=8, max_seq_len=128,
+                      paged_pages=5, page_size=8, spec_k=3)
+    spec = BatchScheduler(params, cfg, hp2, backend="xla",
+                          draft_params=params, draft_llm=cfg.llm)
+    import queue as _q
+
+    outs, dones = [], []
+    for p in (p1, p2):
+        out, done = [], _q.Queue()
+
+        def sink(t, out=out, done=done):
+            done.put(True) if t is None else out.append(t)
+
+        spec.submit(Request(prompt_ids=p, max_tokens=10, temperature=0.0,
+                            sink=sink))
+        outs.append(out)
+        dones.append(done)
+    for _ in range(1000):
+        if all(not d.empty() for d in dones):
+            break
+        spec.step()
+    assert all(not d.empty() for d in dones)
+    spec.stop()
+    assert outs[0] == w1 and outs[1] == w2
+    assert spec.n_preemptions >= 1
