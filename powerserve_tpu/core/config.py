@@ -161,6 +161,11 @@ class HyperParams:
     # deferred admission + recompute preemption); 0 = dense per-slot KV
     paged_pages: int = 0
     page_size: int = 64  # tokens per page (paged mode)
+    # tree-speculation verification: True = SpecInfer-style sampled-
+    # without-replacement children + recursive rejection (lossless,
+    # higher acceptance on flat dists); False = greedy top-k children +
+    # exact-match acceptance
+    spec_wor: bool = False
 
     @classmethod
     def from_json(cls, d: dict[str, Any]) -> "HyperParams":

@@ -761,7 +761,8 @@ class BatchScheduler:
                 self.params, self.dparams, self.kv, self.d_kv,
                 jnp.asarray(tokens), self.cfg.llm, self.d_llm,
                 self.spec_horizon, tpl.key(), self.backend,
-                sample=True, **common)
+                sample="wor" if getattr(self.hp, "spec_wor", False)
+                else True, **common)
         room = (self.max_seq - self.spec_horizon * (tpl.max_depth + 1)
                 - tpl.n_nodes)
         self._emit_spec_results(decoding, emitted_d, counts, next_tok,

@@ -944,6 +944,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--spec-k", type=int, default=0,
                     help="chain draft length for \"main+draft\" models "
                          "(0 = hparams default)")
+    ap.add_argument("--spec-wor", action="store_true",
+                    help="tree speculation verifies sampled-without-"
+                         "replacement children (recursive rejection) "
+                         "instead of exact-match on greedy top-k")
     ap.add_argument("--paged-pages", type=int, default=0,
                     help="paged KV pool size in pages (0 = dense "
                          "per-slot KV); slots share the pool with "
@@ -983,6 +987,8 @@ def main(argv: list[str] | None = None) -> None:
     if args.paged_pages:
         hp.paged_pages = args.paged_pages
         hp.page_size = args.page_size
+    if args.spec_wor:
+        hp.spec_wor = True
     ctx = ServerContext(root_dir, default, hp, args.backend, mesh=mesh,
                         max_models=args.max_models)
     app = build_app(ctx)

@@ -167,9 +167,27 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
     """n_steps batched tree-speculation steps in one dispatch.
 
     root: [S] int32 last committed token per slot. tree_key: a
-    TreeTemplate.key() (static). sample=True draws each node's target
-    token with the slot's sampler params (rngs [S, 2] raw keys);
-    sample=False is greedy argmax. Drafting is always greedy top-k.
+    TreeTemplate.key() (static).
+
+    sample modes:
+      False  — greedy argmax verification, greedy top-k drafting.
+      True   — EXACT-MATCH stochastic: target samples one token per
+               node with the slot's sampler params; a child is accepted
+               iff its greedy-top-k drafted token equals the target's
+               sample. Lossless (emitted tokens ARE target samples).
+      "wor"  — SpecInfer-style multi-candidate speculative sampling:
+               children are SAMPLED WITHOUT REPLACEMENT from the
+               draft's post-transform distribution q (Gumbel top-k),
+               and verification is recursive rejection over the rank
+               order — accept child t w.p. min(1, p_t(x_t)/q_t(x_t)),
+               on rejection p_{t+1} = norm((p_t - q_t)^+) and q_{t+1} =
+               norm(q_t minus x_t) [the without-replacement
+               adjustment]; if every child rejects, emit a residual
+               sample and stop. Marginals are exactly the target's
+               (TV-tested), and acceptance on FLAT distributions beats
+               exact-match by roughly the summed q-mass of the
+               candidate set. Net-new vs the reference's greedy verify
+               (token_tree.cpp:213-229).
 
     Returns (emitted [n_steps, S, D+1], counts [n_steps, S], t_kv,
     d_kv, root, rngs): step i emitted emitted[i, s, :counts[i, s]].
@@ -187,10 +205,27 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
     anc = jnp.asarray(tpl.anc)
     T = t_kv.max_seq
 
+    wor = sample == "wor"
+    V = t_llm.vocab_size
+    if wor:
+        assert temp is not None and top_k is not None and top_p is not None
+        from ..sampling.sampler import (
+            categorical_from_dist,
+            sample_dist_batched,
+        )
+
     def spec_step(carry, _):
         t_kv, d_kv, root, rngs = carry
         c = d_kv.pos.astype(jnp.int32)  # [S] committed length
         mask0 = d_kv.mask  # committed visibility BEFORE this tree
+
+        if wor:
+            split = jax.vmap(lambda r: jax.random.split(r, 3 * D + 2))(rngs)
+            wor_rngs = split[:, 0]
+            g_keys = split[:, 1:1 + D]  # per-level Gumbel draws
+            u_keys = split[:, 1 + D:1 + 2 * D]  # per-depth accept coins
+            r_keys = split[:, 1 + 2 * D:]  # D + 1 residual samples
+            q_dists = jnp.zeros((S, N, V), jnp.float32)
 
         tokens = jnp.zeros((S, N), jnp.int32).at[:, 0].set(root)
         # -- draft every level (the deepest only to write its KV) ------
@@ -206,7 +241,28 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
                                    cache_positions=cpos, vis_override=vis,
                                    active=active, backend=backend,
                                    logits_mode="all" if d < D else "none")
-            if d < D:
+            if d < D and wor:
+                # children = WOR samples from the draft's post-transform
+                # dist q: Gumbel top-k == sequential without-replacement
+                # draws in rank order, exactly what the verification's
+                # q-zeroing assumes
+                w = tpl.level_topk[d]
+                ln = len(lev)
+                repl = lambda a: jnp.repeat(a, ln, axis=0)  # noqa: E731
+                q_rows = sample_dist_batched(
+                    logits.reshape(S * ln, -1)[:, :V], repl(temp),
+                    repl(top_k), repl(top_p),
+                    vocab_size=V).reshape(S, ln, V)
+                q_dists = q_dists.at[:, lev].set(q_rows)
+                g = jax.vmap(lambda r: jax.random.gumbel(r, (ln, V)))(
+                    g_keys[:, d])
+                scores = jnp.where(q_rows > 0, jnp.log(q_rows) + g,
+                                   -jnp.inf)
+                _, top_ids = jax.lax.top_k(scores, w)
+                for row, child, r in tpl.assignments[d]:
+                    tokens = tokens.at[:, child].set(
+                        top_ids[:, row, r].astype(jnp.int32))
+            elif d < D:
                 w = tpl.level_topk[d]
                 _, top_ids = jax.lax.top_k(
                     logits[:, :, :d_llm.vocab_size], w)  # [S, len(lev), w]
@@ -221,6 +277,89 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
                                cache_positions=cpos_v, intra_mask=anc,
                                active=active, backend=backend,
                                logits_mode="all")  # [S, N, V]
+        if wor:
+            # -- recursive rejection over each node's rank-ordered WOR
+            # candidates; the walk carries the evolving residual p_t ---
+            repn = lambda a: jnp.repeat(a, N, axis=0)  # noqa: E731
+            p_dists = sample_dist_batched(
+                logits.reshape(S * N, -1)[:, :V], repn(temp), repn(top_k),
+                repn(top_p), vocab_size=V).reshape(S, N, V)
+            srows = jnp.arange(S)
+            cur = jnp.zeros(S, jnp.int32)
+            alive = active
+            final_tok = root
+            p_res = p_dists[:, 0]
+            chain = [cur]
+            for step in range(D):
+                cand = child_tab[cur]  # [S, Cmax] rank order
+                q_t = jnp.take_along_axis(
+                    q_dists, cur[:, None, None], axis=1)[:, 0]  # [S, V]
+                u = jax.vmap(lambda r: jax.random.uniform(
+                    r, (tpl.max_children,)))(u_keys[:, step])
+                accepted = jnp.zeros(S, bool)
+                chosen = cur
+                for t in range(tpl.max_children):
+                    ch = cand[:, t]
+                    x_t = jnp.take_along_axis(
+                        tokens, jnp.maximum(ch, 0)[:, None], axis=1)[:, 0]
+                    qx = q_t[srows, x_t]
+                    px = p_res[srows, x_t]
+                    # a child only counts as a real draw if it exists
+                    # and still has q-mass (WOR can exhaust the support)
+                    real = alive & ~accepted & (ch >= 0) & (qx > 1e-12)
+                    acc = real & (u[:, t] * qx < px)
+                    chosen = jnp.where(acc, ch, chosen)
+                    accepted = accepted | acc
+                    rej = real & ~acc
+                    p_new = jnp.maximum(p_res - q_t, 0.0)
+                    ps = p_new.sum(-1, keepdims=True)
+                    p_new = jnp.where(ps > 1e-12,
+                                      p_new / jnp.maximum(ps, 1e-30), p_res)
+                    p_res = jnp.where(rej[:, None], p_new, p_res)
+                    q_z = q_t.at[srows, x_t].set(0.0)
+                    qs = q_z.sum(-1, keepdims=True)
+                    q_z = jnp.where(qs > 1e-12,
+                                    q_z / jnp.maximum(qs, 1e-30), q_z)
+                    q_t = jnp.where(rej[:, None], q_z, q_t)
+                res = categorical_from_dist(r_keys[:, step],
+                                            p_res).astype(jnp.int32)
+                stopped = alive & ~accepted
+                final_tok = jnp.where(stopped, res, final_tok)
+                chain.append(jnp.where(accepted, chosen, -1))
+                p_next = jnp.take_along_axis(
+                    p_dists, jnp.maximum(chosen, 0)[:, None, None],
+                    axis=1)[:, 0]
+                p_res = jnp.where(accepted[:, None], p_next, p_res)
+                cur = jnp.where(accepted, chosen, cur)
+                alive = alive & accepted
+            # leaves (or a fully-accepted path) emit the bonus/residual
+            res = categorical_from_dist(r_keys[:, D],
+                                        p_res).astype(jnp.int32)
+            final_tok = jnp.where(alive, res, final_tok)
+
+            chain_m = jnp.stack(chain, axis=1)  # [S, D+1]
+            child_nodes = chain_m[:, 1:]
+            n_acc = jnp.sum(child_nodes >= 0, axis=1)
+            acc_toks = jnp.take_along_axis(
+                tokens, jnp.maximum(child_nodes, 0), axis=1)
+            acc_toks = jnp.where(child_nodes >= 0, acc_toks, -1)
+            emit = jnp.concatenate(
+                [acc_toks, jnp.full((S, 1), -1, jnp.int32)], axis=1)
+            lane = jnp.arange(D + 1, dtype=jnp.int32)[None, :]
+            emit = jnp.where(lane == n_acc[:, None], final_tok[:, None],
+                             emit)
+            emit = jnp.where(active[:, None], emit, -1)
+            new_root = jnp.where(active, final_tok, root)
+
+            t_kv = t_kv.rollback(t_kv.pos.astype(jnp.int32) - c,
+                                 active=active)
+            d_kv = d_kv.rollback(d_kv.pos.astype(jnp.int32) - c,
+                                 active=active)
+            src = jnp.where(chain_m >= 0, c[:, None] + chain_m, -1)
+            n_commit = jnp.where(active, n_acc + 1, 0)
+            t_kv = t_kv.commit_tokens(jnp.arange(S), src, n_commit)
+            d_kv = d_kv.commit_tokens(jnp.arange(S), src, n_commit)
+            return (t_kv, d_kv, new_root, wor_rngs), (emit, n_commit)
         if sample:
             from ..sampling.sampler import sample_logits_batched
 

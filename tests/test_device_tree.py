@@ -134,3 +134,157 @@ def test_tree_spec_batched_active_mask():
     total = int(counts[:, 0].sum())
     assert int(np.asarray(t_kv2.pos)[0]) == 4 + total
     assert int(np.asarray(d_kv2.pos)[0]) == 4 + total
+
+
+def test_wor_tree_greedy_degenerates_to_vanilla():
+    """sample='wor' with temp=0: one-hot q/p collapse the recursive
+    rejection to exact greedy verification — output equals vanilla."""
+    import jax
+
+    cfg, params = make_device_params("tiny", "q8_0")
+    llm = cfg.llm
+    prompt = [3, 17, 5, 9]
+    want = _vanilla_greedy(params, cfg, prompt, 12)
+
+    from powerserve_tpu.engine.loops import prefill_step
+
+    tpl = TreeTemplate.from_widths([2, 1])
+    t_kv = KVCache.create(llm.n_layers, 1, llm.seq_len, llm.n_kv_heads,
+                          llm.head_size, "bf16")
+    d_kv = KVCache.create(llm.n_layers, 1, llm.seq_len, llm.n_kv_heads,
+                          llm.head_size, "bf16")
+    toks = jnp.asarray([prompt[:-1]], jnp.int32)
+    pos = jnp.arange(3, dtype=jnp.int32)[None, :]
+    _, t_kv = prefill_step(params, toks, pos, t_kv, llm, "xla")
+    _, d_kv = prefill_step(params, toks, pos, d_kv, llm, "xla")
+    root = jnp.asarray([prompt[-1]], jnp.int32)
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(1))
+    z = jnp.zeros(1, jnp.float32)
+    emitted, counts, *_ = tree_spec_scan(
+        params, params, t_kv, d_kv, root, llm, llm, 8, tpl.key(), "xla",
+        rngs=rngs, temp=z, top_k=jnp.full(1, 8, jnp.int32),
+        top_p=jnp.ones(1), sample="wor")
+    emitted = np.asarray(emitted)
+    counts = np.asarray(counts)
+    got = []
+    for i in range(8):
+        got.extend(int(t) for t in emitted[i, 0, :counts[i, 0]])
+    assert got[:12] == want, (got[:12], want)
+
+
+def test_wor_tree_lossless_and_beats_exact_match():
+    """Without-replacement multi-candidate verification: the first
+    emitted token's marginal equals the target sampling distribution
+    (TV-tested over 4096 slots), and with a PERFECT draft (q == p,
+    full-depth self-draft) the rank-0 candidate always accepts — every
+    step emits max_depth + 1 tokens, above the exact-match scheme's
+    E[prod p(sample)] expectation on a flat dist."""
+    import jax
+
+    from powerserve_tpu.models.llama import forward
+    from powerserve_tpu.sampling.sampler import sample_dist_batched
+
+    cfg, params = make_device_params("tiny", "q8_0")
+    llm = cfg.llm
+    S = 4096
+    tpl = TreeTemplate.from_widths([2, 1])
+    root = jnp.full((S,), 7, jnp.int32)
+    temp = jnp.full((S,), 1.0, jnp.float32)
+    top_k = jnp.full((S,), 8, jnp.int32)
+    top_p = jnp.ones((S,), jnp.float32)
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(S))
+
+    def fresh():
+        return KVCache.create(llm.n_layers, S, 16, llm.n_kv_heads,
+                              llm.head_size, "int8")
+
+    logits, _ = forward(params, llm, fresh(), root[:, None],
+                        jnp.zeros((S, 1), jnp.int32), backend="xla",
+                        logits_mode="last")
+    p0 = np.asarray(sample_dist_batched(logits[:, :llm.vocab_size],
+                                        temp, top_k, top_p)[0])
+
+    emitted, counts, *_ = tree_spec_scan(
+        params, params, fresh(), fresh(), root, llm, llm, 1, tpl.key(),
+        "xla", rngs=rngs, temp=temp, top_k=top_k, top_p=top_p,
+        sample="wor")
+    emitted = np.asarray(emitted)[0]  # [S, D+1]
+    counts = np.asarray(counts)[0]
+
+    hist = np.bincount(emitted[:, 0], minlength=llm.vocab_size)
+    hist = hist.astype(np.float64) / hist.sum()
+    tv = 0.5 * np.abs(hist - p0).sum()
+    assert tv < 0.08, f"first-token marginal TV {tv}"
+    # perfect draft: q == p -> min(1, p/q) = 1 at rank 0, every level
+    assert counts.mean() > 0.95 * (tpl.max_depth + 1), counts.mean()
+
+
+def test_wor_beats_exact_match_acceptance_imperfect_draft():
+    """The motivating case: with an IMPERFECT draft at temperature,
+    sampled-without-replacement verification accepts more tokens/step
+    than exact-match against the target's samples (on flat random-model
+    dists exact-match collapses to E[p(sample)])."""
+    import jax
+
+    cfg, params = make_device_params("tiny", "q8_0")
+    from powerserve_tpu.speculative.chain import self_draft_config
+
+    llm = cfg.llm
+    d_llm = self_draft_config(llm, max(llm.n_layers // 2, 1))
+    S = 2048
+    tpl = TreeTemplate.from_widths([2, 1])
+    root = jnp.full((S,), 7, jnp.int32)
+    temp = jnp.full((S,), 1.0, jnp.float32)
+    top_k = jnp.full((S,), 8, jnp.int32)
+    top_p = jnp.ones((S,), jnp.float32)
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(S))
+
+    def fresh():
+        return KVCache.create(llm.n_layers, S, 16, llm.n_kv_heads,
+                              llm.head_size, "int8")
+
+    means = {}
+    for mode in (True, "wor"):
+        _, counts, *_ = tree_spec_scan(
+            params, params, fresh(), fresh(), root, llm, d_llm, 1,
+            tpl.key(), "xla", rngs=rngs, temp=temp, top_k=top_k,
+            top_p=top_p, sample=mode)
+        means[mode] = float(np.asarray(counts)[0].mean())
+    assert means["wor"] > means[True] + 0.1, means
+
+
+def test_wor_scheduler_greedy_matches_plain():
+    """hp.spec_wor routes tree templates to WOR verification; greedy
+    output still equals the plain scheduler's."""
+    import queue as _q
+
+    from powerserve_tpu.core.config import HyperParams
+    from powerserve_tpu.engine.scheduler import BatchScheduler, Request
+
+    cfg, params = make_device_params("tiny", "q8_0")
+
+    def run_req(sched, prompt):
+        out, done = [], _q.Queue()
+
+        def sink(t):
+            done.put(True) if t is None else out.append(t)
+
+        sched.submit(Request(prompt_ids=prompt, max_tokens=6,
+                             temperature=0.0, sink=sink))
+        for _ in range(300):
+            if not done.empty():
+                break
+            sched.step()
+        assert not done.empty()
+        return out
+
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=128)
+    plain = BatchScheduler(params, cfg, hp, backend="xla")
+    want = run_req(plain, [3, 17, 5, 9])
+
+    hp2 = HyperParams(max_slots=2, batch_size=8, max_seq_len=128,
+                      spec_tree="2,1", spec_wor=True)
+    wor = BatchScheduler(params, cfg, hp2, backend="xla",
+                         draft_params=params, draft_llm=cfg.llm)
+    got = run_req(wor, [3, 17, 5, 9])
+    assert got == want
