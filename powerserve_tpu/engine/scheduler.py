@@ -188,8 +188,6 @@ class BatchScheduler:
             # each reserving max_seq (memory oversubscription; kv/paged.py).
             # Admission defers and decode preempts-by-recompute when the
             # pool runs dry.
-            assert mesh is None, \
-                "paged KV does not yet compose with GSPMD meshes"
             assert self.hp.kv_dtype == "int8", "paged KV pool is int8-only"
             from ..kv.paged import PagedKVCache, PagePool
 

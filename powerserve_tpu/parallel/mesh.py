@@ -166,9 +166,31 @@ def shard_kv(kv: KVCache, mesh: Mesh) -> KVCache:
     1/sp of the context."""
     import dataclasses
 
+    from ..kv.paged import PagedKVCache
+
     tp = mesh.shape["tp"]
     dp = mesh.shape["dp"]
     sp = mesh.shape.get("sp", 1)
+    if isinstance(kv, PagedKVCache):
+        # paged pool [L, P, H, page, D]: shard kv heads over tp (each
+        # chip stores the full pool for its head shard — the per-layer
+        # whole-page gather and the page-table scatters stay local);
+        # page table / mask / pos replicate. The pool is shared across
+        # slots, so dp/sp axes don't apply to it.
+        Hp = kv.k.shape[2]
+        h_ax = "tp" if _shardable(Hp, tp) else None
+        kvspec = P(None, None, h_ax, None, None)
+        scspec = P(None, None, h_ax, None)
+        return dataclasses.replace(
+            kv,
+            k=_put(kv.k, mesh, kvspec),
+            v=_put(kv.v, mesh, kvspec),
+            k_scale=_put(kv.k_scale, mesh, scspec),
+            v_scale=_put(kv.v_scale, mesh, scspec),
+            page_table=_put(kv.page_table, mesh, P()),
+            mask=_put(kv.mask, mesh, P()),
+            pos=_put(kv.pos, mesh, P()),
+        )
     L, S, H, T, D = kv.k.shape
     s_ax = "dp" if _shardable(S, dp) and dp > 1 else None
     h_ax = "tp" if _shardable(H, tp) else None

@@ -229,3 +229,33 @@ def test_tp_prepare_repacks_row_parallel(tp_model):
     down = p2.layers.w_down
     if down is not None and down.packed:
         assert (down.in_features // 4) % down.pack_group == 0
+
+
+def test_paged_sharded_forward_matches_single(model):
+    """Paged pool under GSPMD: kv heads shard over tp, page table
+    replicates; sharded forward equals single-device paged forward."""
+    from powerserve_tpu.kv.paged import PagedKVCache, PagePool
+
+    cfg, params = model
+    llm = cfg.llm
+
+    def mk():
+        kv = PagedKVCache.create(llm.n_layers, 4, 16, llm.n_kv_heads,
+                                 llm.head_size, n_pages=9, page_size=8)
+        pool = PagePool(9, 4, kv.max_pages, 8)
+        for s in range(4):
+            assert pool.ensure(s, 16)
+        return pool.flush(kv)
+
+    ref, _ = _run(params, cfg, mk())
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    p2 = shard_params(params, mesh)
+    kv2 = shard_kv(mk(), mesh)
+    got, kv2 = _run(p2, cfg, kv2, mesh)
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999
+    # the intended shardings actually applied
+    ks = kv2.k.sharding.spec
+    assert ks[2] == "tp" and ks[1] is None
