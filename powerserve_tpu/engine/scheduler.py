@@ -849,6 +849,8 @@ class BatchScheduler:
                       top_p=jnp.asarray(top_p), sample=True)
         if self.spec_template is not None:
             tpl = self.spec_template
+            if getattr(self.hp, "spec_wor", False):
+                common["sample"] = "wor"
             (emitted_d, counts, self.kv, self.d_kv, next_tok, self.feat,
              self.rngs) = eagle_tree_spec_scan(
                 self.params, self.eparams, self.kv, self.d_kv,

@@ -148,6 +148,95 @@ def _level_visibility(mask0: jax.Array, anc_rows: np.ndarray,
     return mask0[:, None, :] | vis_anc
 
 
+def _wor_accept_walk(tokens, q_dists, p_dists, tpl, child_tab, active,
+                     u_keys, r_keys, root):
+    """Recursive-rejection acceptance over rank-ordered WOR candidates.
+
+    tokens [S, N] drafted tree tokens; q_dists/p_dists [S, N, V] draft/
+    target post-transform distributions per node; u_keys [S, D, 2]
+    accept-coin keys; r_keys [S, D+1, 2] residual-sample keys.
+    Returns (chain_m [S, D+1] accepted node ids (-1 dead), n_acc,
+    final_tok [S] — the residual/bonus sample emitted after the last
+    accepted node). Shared by the model-draft and EAGLE tree scans.
+    """
+    from ..sampling.sampler import categorical_from_dist
+
+    S, N = tokens.shape
+    D = tpl.max_depth
+    srows = jnp.arange(S)
+    cur = jnp.zeros(S, jnp.int32)
+    alive = active
+    final_tok = root
+    p_res = p_dists[:, 0]
+    chain = [cur]
+    for step in range(D):
+        cand = child_tab[cur]  # [S, Cmax] rank order
+        q_t = jnp.take_along_axis(
+            q_dists, cur[:, None, None], axis=1)[:, 0]  # [S, V]
+        u = jax.vmap(lambda r: jax.random.uniform(
+            r, (tpl.max_children,)))(u_keys[:, step])
+        accepted = jnp.zeros(S, bool)
+        chosen = cur
+        for t in range(tpl.max_children):
+            ch = cand[:, t]
+            x_t = jnp.take_along_axis(
+                tokens, jnp.maximum(ch, 0)[:, None], axis=1)[:, 0]
+            qx = q_t[srows, x_t]
+            px = p_res[srows, x_t]
+            # a child only counts as a real draw if it exists and
+            # still has q-mass (WOR can exhaust the support)
+            real = alive & ~accepted & (ch >= 0) & (qx > 1e-12)
+            acc = real & (u[:, t] * qx < px)
+            chosen = jnp.where(acc, ch, chosen)
+            accepted = accepted | acc
+            rej = real & ~acc
+            p_new = jnp.maximum(p_res - q_t, 0.0)
+            ps = p_new.sum(-1, keepdims=True)
+            p_new = jnp.where(ps > 1e-12,
+                              p_new / jnp.maximum(ps, 1e-30), p_res)
+            p_res = jnp.where(rej[:, None], p_new, p_res)
+            q_z = q_t.at[srows, x_t].set(0.0)
+            qs = q_z.sum(-1, keepdims=True)
+            q_z = jnp.where(qs > 1e-12,
+                            q_z / jnp.maximum(qs, 1e-30), q_z)
+            q_t = jnp.where(rej[:, None], q_z, q_t)
+        res = categorical_from_dist(r_keys[:, step],
+                                    p_res).astype(jnp.int32)
+        stopped = alive & ~accepted
+        final_tok = jnp.where(stopped, res, final_tok)
+        chain.append(jnp.where(accepted, chosen, -1))
+        p_next = jnp.take_along_axis(
+            p_dists, jnp.maximum(chosen, 0)[:, None, None], axis=1)[:, 0]
+        p_res = jnp.where(accepted[:, None], p_next, p_res)
+        cur = jnp.where(accepted, chosen, cur)
+        alive = alive & accepted
+    # leaves (or a fully-accepted path) emit the bonus/residual
+    res = categorical_from_dist(r_keys[:, D], p_res).astype(jnp.int32)
+    final_tok = jnp.where(alive, res, final_tok)
+    chain_m = jnp.stack(chain, axis=1)  # [S, D+1]
+    n_acc = jnp.sum(chain_m[:, 1:] >= 0, axis=1)
+    return chain_m, n_acc, final_tok
+
+
+def _wor_emit(tokens, chain_m, n_acc, final_tok, active, root):
+    """Emitted stream for a WOR step: accepted draft tokens along the
+    chain, then the residual/bonus sample; -1 beyond. Returns
+    (emit [S, D+1], new_root [S])."""
+    S = tokens.shape[0]
+    D1 = chain_m.shape[1]
+    child_nodes = chain_m[:, 1:]
+    acc_toks = jnp.take_along_axis(
+        tokens, jnp.maximum(child_nodes, 0), axis=1)
+    acc_toks = jnp.where(child_nodes >= 0, acc_toks, -1)
+    emit = jnp.concatenate(
+        [acc_toks, jnp.full((S, 1), -1, jnp.int32)], axis=1)
+    lane = jnp.arange(D1, dtype=jnp.int32)[None, :]
+    emit = jnp.where(lane == n_acc[:, None], final_tok[:, None], emit)
+    emit = jnp.where(active[:, None], emit, -1)
+    new_root = jnp.where(active, final_tok, root)
+    return emit, new_root
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("t_llm", "d_llm", "n_steps", "tree_key", "backend",
@@ -284,72 +373,11 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
             p_dists = sample_dist_batched(
                 logits.reshape(S * N, -1)[:, :V], repn(temp), repn(top_k),
                 repn(top_p), vocab_size=V).reshape(S, N, V)
-            srows = jnp.arange(S)
-            cur = jnp.zeros(S, jnp.int32)
-            alive = active
-            final_tok = root
-            p_res = p_dists[:, 0]
-            chain = [cur]
-            for step in range(D):
-                cand = child_tab[cur]  # [S, Cmax] rank order
-                q_t = jnp.take_along_axis(
-                    q_dists, cur[:, None, None], axis=1)[:, 0]  # [S, V]
-                u = jax.vmap(lambda r: jax.random.uniform(
-                    r, (tpl.max_children,)))(u_keys[:, step])
-                accepted = jnp.zeros(S, bool)
-                chosen = cur
-                for t in range(tpl.max_children):
-                    ch = cand[:, t]
-                    x_t = jnp.take_along_axis(
-                        tokens, jnp.maximum(ch, 0)[:, None], axis=1)[:, 0]
-                    qx = q_t[srows, x_t]
-                    px = p_res[srows, x_t]
-                    # a child only counts as a real draw if it exists
-                    # and still has q-mass (WOR can exhaust the support)
-                    real = alive & ~accepted & (ch >= 0) & (qx > 1e-12)
-                    acc = real & (u[:, t] * qx < px)
-                    chosen = jnp.where(acc, ch, chosen)
-                    accepted = accepted | acc
-                    rej = real & ~acc
-                    p_new = jnp.maximum(p_res - q_t, 0.0)
-                    ps = p_new.sum(-1, keepdims=True)
-                    p_new = jnp.where(ps > 1e-12,
-                                      p_new / jnp.maximum(ps, 1e-30), p_res)
-                    p_res = jnp.where(rej[:, None], p_new, p_res)
-                    q_z = q_t.at[srows, x_t].set(0.0)
-                    qs = q_z.sum(-1, keepdims=True)
-                    q_z = jnp.where(qs > 1e-12,
-                                    q_z / jnp.maximum(qs, 1e-30), q_z)
-                    q_t = jnp.where(rej[:, None], q_z, q_t)
-                res = categorical_from_dist(r_keys[:, step],
-                                            p_res).astype(jnp.int32)
-                stopped = alive & ~accepted
-                final_tok = jnp.where(stopped, res, final_tok)
-                chain.append(jnp.where(accepted, chosen, -1))
-                p_next = jnp.take_along_axis(
-                    p_dists, jnp.maximum(chosen, 0)[:, None, None],
-                    axis=1)[:, 0]
-                p_res = jnp.where(accepted[:, None], p_next, p_res)
-                cur = jnp.where(accepted, chosen, cur)
-                alive = alive & accepted
-            # leaves (or a fully-accepted path) emit the bonus/residual
-            res = categorical_from_dist(r_keys[:, D],
-                                        p_res).astype(jnp.int32)
-            final_tok = jnp.where(alive, res, final_tok)
-
-            chain_m = jnp.stack(chain, axis=1)  # [S, D+1]
-            child_nodes = chain_m[:, 1:]
-            n_acc = jnp.sum(child_nodes >= 0, axis=1)
-            acc_toks = jnp.take_along_axis(
-                tokens, jnp.maximum(child_nodes, 0), axis=1)
-            acc_toks = jnp.where(child_nodes >= 0, acc_toks, -1)
-            emit = jnp.concatenate(
-                [acc_toks, jnp.full((S, 1), -1, jnp.int32)], axis=1)
-            lane = jnp.arange(D + 1, dtype=jnp.int32)[None, :]
-            emit = jnp.where(lane == n_acc[:, None], final_tok[:, None],
-                             emit)
-            emit = jnp.where(active[:, None], emit, -1)
-            new_root = jnp.where(active, final_tok, root)
+            chain_m, n_acc, final_tok = _wor_accept_walk(
+                tokens, q_dists, p_dists, tpl, child_tab, active,
+                u_keys, r_keys, root)
+            emit, new_root = _wor_emit(tokens, chain_m, n_acc, final_tok,
+                                       active, root)
 
             t_kv = t_kv.rollback(t_kv.pos.astype(jnp.int32) - c,
                                  active=active)

@@ -408,7 +408,12 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
     deepest level forwarded — its nodes have no children — so only
     N - |last level| head entries are written per step).
     """
-    from .device_tree import TreeTemplate, _level_visibility
+    from .device_tree import (
+        TreeTemplate,
+        _level_visibility,
+        _wor_accept_walk,
+        _wor_emit,
+    )
 
     tpl = TreeTemplate(*tree_key)
     N, Dp = tpl.n_nodes, tpl.max_depth
@@ -418,6 +423,11 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         active = jnp.ones(S, bool)
     if rngs is None:
         rngs = jnp.zeros((S, 2), jnp.uint32)
+    wor = sample == "wor"
+    V = t_llm.vocab_size
+    if wor:
+        assert temp is not None and top_k is not None and top_p is not None
+        from ..sampling.sampler import sample_dist_batched
     depths = jnp.asarray(tpl.depths)
     idx_arr = jnp.arange(N, dtype=jnp.int32)
     child_tab = jnp.asarray(tpl.child_table)
@@ -429,6 +439,15 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         t_kv, e_kv, root, root_feat, rngs = carry
         c = t_kv.pos.astype(jnp.int32)  # [S] committed length
         mask0 = e_kv.mask  # committed visibility BEFORE this tree
+
+        if wor:
+            split = jax.vmap(lambda r: jax.random.split(r, 3 * Dp + 2))(
+                rngs)
+            wor_rngs = split[:, 0]
+            g_keys = split[:, 1:1 + Dp]
+            u_keys = split[:, 1 + Dp:1 + 2 * Dp]
+            r_keys = split[:, 1 + 2 * Dp:]
+            q_dists = jnp.zeros((S, N, V), jnp.float32)
 
         tokens = jnp.zeros((S, N), jnp.int32).at[:, 0].set(root)
         # per-node input feature (feature-level autoregression: node i
@@ -450,8 +469,25 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                 cache_positions=cpos, vis_override=vis, active=active,
                 backend=backend, logits_mode="all")
             w = tpl.level_topk[d]
-            _, top_ids = jax.lax.top_k(
-                logits[:, :, :t_llm.vocab_size], w)  # [S, len(lev), w]
+            if wor:
+                # children = WOR samples from the head's post-transform
+                # dist (Gumbel top-k); verification's recursive
+                # rejection assumes exactly this draw order
+                ln = len(lev)
+                repl = lambda a: jnp.repeat(a, ln, axis=0)  # noqa: E731
+                q_rows = sample_dist_batched(
+                    logits.reshape(S * ln, -1)[:, :V], repl(temp),
+                    repl(top_k), repl(top_p),
+                    vocab_size=V).reshape(S, ln, V)
+                q_dists = q_dists.at[:, lev].set(q_rows)
+                g = jax.vmap(lambda r: jax.random.gumbel(r, (ln, V)))(
+                    g_keys[:, d])
+                scores = jnp.where(q_rows > 0, jnp.log(q_rows) + g,
+                                   -jnp.inf)
+                _, top_ids = jax.lax.top_k(scores, w)
+            else:
+                _, top_ids = jax.lax.top_k(
+                    logits[:, :, :t_llm.vocab_size], w)  # [S, len(lev), w]
             for row, child, r in tpl.assignments[d]:
                 tokens = tokens.at[:, child].set(
                     top_ids[:, row, r].astype(jnp.int32))
@@ -465,6 +501,48 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             intra_mask=anc, active=active, backend=backend,
             logits_mode="all", return_final_hidden=True)
         feats_true = feats_true.astype(jnp.float32)  # [S, N, dim]
+        if wor:
+            repn = lambda a: jnp.repeat(a, N, axis=0)  # noqa: E731
+            p_dists = sample_dist_batched(
+                logits.reshape(S * N, -1)[:, :V], repn(temp), repn(top_k),
+                repn(top_p), vocab_size=V).reshape(S, N, V)
+            chain_m, n_acc, final_tok = _wor_accept_walk(
+                tokens, q_dists, p_dists, tpl, child_tab, active,
+                u_keys, r_keys, root)
+            emit, new_root = _wor_emit(tokens, chain_m, n_acc, final_tok,
+                                       active, root)
+            # the next root token was sampled at the stop node: pair it
+            # with that node's TRUE target feature
+            stop_node = jnp.max(jnp.where(chain_m >= 0, chain_m, 0),
+                                axis=1)
+            new_root_feat = jnp.where(
+                active[:, None],
+                jnp.take_along_axis(
+                    feats_true, stop_node[:, None, None], axis=1)[:, 0],
+                root_feat)
+
+            t_kv = t_kv.rollback(t_kv.pos.astype(jnp.int32) - c,
+                                 active=active)
+            src = jnp.where(chain_m >= 0, c[:, None] + chain_m, -1)
+            n_commit = jnp.where(active, n_acc + 1, 0)
+            t_kv = t_kv.commit_tokens(jnp.arange(S), src, n_commit)
+            e_kv = e_kv.rollback(jnp.where(active, n_drafted, 0))
+            fed_chain = jnp.take_along_axis(
+                tokens, jnp.maximum(chain_m, 0), axis=1)
+            pred = jnp.maximum(chain_m[:, :-1], 0)
+            feats_pred = jnp.take_along_axis(
+                feats_true, pred[:, :, None], axis=1)
+            commit_feats = jnp.concatenate(
+                [root_feat[:, None, :], feats_pred], axis=1)
+            lanes = jnp.arange(Dp + 1)
+            live = lanes[None, :] <= n_acc[:, None]
+            commit_pos = jnp.where(live & active[:, None],
+                                   c[:, None] + lanes[None, :], -1)
+            _, _, e_kv = eagle_forward(
+                eparams, e_llm, e_kv, fed_chain, commit_feats, commit_pos,
+                active=active, backend=backend, logits_mode="none")
+            return ((t_kv, e_kv, new_root, new_root_feat, wor_rngs),
+                    (emit, n_commit))
         if sample:
             from ..sampling.sampler import sample_logits_batched
 

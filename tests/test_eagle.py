@@ -486,3 +486,84 @@ def test_eagle_paged_scheduler_matches_plain():
                            eagle_params=ep, eagle_llm=e_llm)
     got = _run_sched(eagle, prompts)
     assert got == want, (got, want)
+
+
+def test_eagle_wor_tree_scheduler_matches_plain():
+    """hp.spec_wor routes EAGLE trees to sampled-without-replacement
+    verification; greedy output equals the plain scheduler's (one-hot
+    p/q collapse the recursive rejection to exact greedy)."""
+    from powerserve_tpu.core.config import HyperParams
+    from powerserve_tpu.engine.scheduler import BatchScheduler
+
+    params, cfg, _ = _mk_target(0, layers=2)
+    d_params, _, _ = _mk_target(7, layers=1)
+    rng = np.random.default_rng(11)
+    fc = _qlinear_from_float(
+        rng.standard_normal((DIM, 2 * DIM)).astype(np.float32) * 0.05,
+        GGMLType.Q8_0)
+    ep = EagleParams(
+        fc=fc, fc_bias=None, layers=(d_params.layers[0],),
+        embed=params.embed, lm_head=params.lm_head, out_norm=None,
+        input_norm=False)
+    e_llm = dataclasses.replace(cfg.llm, n_layers=1)
+
+    prompts = [[3, 17, 5, 9], [1, 2, 3, 4, 5]]
+    hp = HyperParams(max_slots=2, batch_size=8)
+    hp.max_seq_len = 128
+    plain = BatchScheduler(params, cfg, hp, backend="xla")
+    want = _run_sched(plain, prompts)
+
+    hp2 = HyperParams(max_slots=2, batch_size=8, spec_wor=True)
+    hp2.max_seq_len = 128
+    hp2.spec_tree = "2,1"
+    eagle = BatchScheduler(params, cfg, hp2, backend="xla",
+                           eagle_params=ep, eagle_llm=e_llm)
+    got = _run_sched(eagle, prompts)
+    assert got == want, (got, want)
+
+
+def test_eagle_wor_replica_head_full_acceptance():
+    """WOR verification with an exact-replica head (q == p): rank-0
+    candidates always accept, so every step emits max_depth + 1 tokens
+    even at temperature."""
+    import jax
+    from powerserve_tpu.speculative.device_tree import TreeTemplate
+    from powerserve_tpu.speculative.eagle import eagle_tree_spec_scan
+
+    params, cfg, _ = _mk_target(0, layers=1, stacked=False)
+    llm = cfg.llm
+    # replica head: identical layer + identity feature mixer -> the
+    # head's logits equal the target's at every node
+    ep = EagleParams(fc=_identity_fc(), fc_bias=None,
+                     layers=(params.layers[0],), embed=params.embed,
+                     lm_head=params.lm_head, out_norm=params.out_norm,
+                     input_norm=True)
+    e_llm = cfg.llm
+    S = 64
+    tpl = TreeTemplate.from_widths([2, 1])
+    t_kv = KVCache.create(llm.n_layers, S, 32, llm.n_kv_heads,
+                          llm.head_size, "int8")
+    e_kv = KVCache.create(llm.n_layers, S, 32, llm.n_kv_heads,
+                          llm.head_size, "int8")
+    from powerserve_tpu.models.llama import forward as fwd
+    from powerserve_tpu.speculative.eagle import eagle_forward
+
+    prompt = jnp.broadcast_to(jnp.asarray([3, 17, 5], jnp.int32), (S, 3))
+    pos = jnp.broadcast_to(jnp.arange(3, dtype=jnp.int32), (S, 3))
+    _, t_kv, feats = fwd(params, llm, t_kv, prompt, pos, backend="xla",
+                         logits_mode="none", return_final_hidden=True)
+    feats = feats.astype(jnp.float32)
+    head_feats = jnp.concatenate(
+        [jnp.zeros((S, 1, llm.dim)), feats[:, :-1]], axis=1)
+    _, _, e_kv = eagle_forward(ep, e_llm, e_kv, prompt, head_feats, pos,
+                               backend="xla", logits_mode="none")
+    root = jnp.full((S,), 9, jnp.int32)
+    root_feat = feats[:, -1]
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(S))
+    emitted, counts, *_ = eagle_tree_spec_scan(
+        params, ep, t_kv, e_kv, root, root_feat, llm, e_llm, 2,
+        tpl.key(), "xla", rngs=rngs,
+        temp=jnp.ones(S), top_k=jnp.full(S, 8, jnp.int32),
+        top_p=jnp.ones(S), sample="wor")
+    counts = np.asarray(counts)
+    assert counts.mean() > 0.95 * (tpl.max_depth + 1), counts.mean()
