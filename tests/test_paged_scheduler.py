@@ -206,3 +206,31 @@ def test_paged_spec_preemption(tiny):
     spec.stop()
     assert outs[0] == w1 and outs[1] == w2
     assert spec.n_preemptions >= 1
+
+
+def test_paged_spec_prefix_cache_hit(tiny):
+    """Prefix cache on a paged+spec scheduler: the second request's
+    shared prefix restores into freshly allocated pages (target paged,
+    draft dense) and greedy output still matches the plain scheduler."""
+    cfg, params = tiny
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=128)
+    plain = BatchScheduler(params, cfg, hp, backend="xla")
+    prefix = list(range(3, 21))  # 18 tokens (>= prefix_cache_min 16)
+    p1 = prefix + [30, 31]
+    # the cache key is p1's PREFILLED prompt (p1[:-1]); p2 extends it
+    p2 = prefix + [30, 41, 42]
+    w1 = _run_stepwise(plain, p1, 8)
+    w2 = _run_stepwise(plain, p2, 8)
+    plain.stop()
+
+    hp2 = HyperParams(max_slots=2, batch_size=8, max_seq_len=128,
+                      paged_pages=16, page_size=8, spec_k=3,
+                      prefix_cache=4, prefix_cache_min=16)
+    spec = BatchScheduler(params, cfg, hp2, backend="xla",
+                          draft_params=params, draft_llm=cfg.llm)
+    g1 = _run_stepwise(spec, p1, 8)
+    g2 = _run_stepwise(spec, p2, 8)
+    hits = spec.prefix_cache.hits
+    spec.stop()
+    assert g1 == w1 and g2 == w2
+    assert hits >= 1  # the second request reused the cached prefix
