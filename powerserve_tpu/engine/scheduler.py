@@ -511,45 +511,60 @@ class BatchScheduler:
             self.pool.release(i)
         self.slots[i] = _Slot()
 
+    def _preempt(self, i: int) -> None:
+        """Recompute preemption (vLLM-style): free slot i's pages and
+        re-queue its request with prompt = prompt + generated-so-far —
+        a later prefill rebuilds the KV exactly, so greedy continuations
+        are unchanged and already-emitted tokens are never re-emitted."""
+        s = self.slots[i]
+        req = s.req
+        if req.embeds is not None and s.generated:
+            # keep embedding rows aligned with the recompute prompt
+            ext = np.asarray(self.params.embed.lookup(
+                jnp.asarray([s.generated], jnp.int32))[0], np.float32)
+            req.embeds = np.concatenate(
+                [np.asarray(req.embeds, np.float32), ext], axis=0)
+        req.prompt_ids = list(req.prompt_ids) + s.generated
+        self._waitq.appendleft(req)
+        self._free_slot(i)
+        self.n_preemptions += 1
+        log.debug(f"req {req.id}: preempted (paged pool dry)")
+
     def _ensure_decode_pages(self, decoding: list[int],
                              extra: int) -> list[int]:
         """Paged mode: grow each decoding slot's page mapping to cover
-        this tick's writes. A slot the pool can't serve is PREEMPTED by
-        recompute (vLLM-style): its pages free up, the request re-queues
-        with prompt = prompt + generated-so-far, and a later prefill
-        rebuilds the KV exactly — greedy continuations are unchanged and
-        already-emitted tokens are never re-emitted."""
+        this tick's writes. When the pool runs dry, the YOUNGEST
+        page-holding request is preempted first (least work lost to
+        recompute); a slot that is itself the youngest preempts itself.
+        A lone request the pool can't serve finishes with 'length'
+        instead of thrashing through re-admit into the same dry pool."""
         pos_host = np.asarray(self.kv.pos)
         keep = []
         for i in decoding:
-            if self.pool.ensure(i, int(pos_host[i]) + extra):
-                keep.append(i)
-                continue
             s = self.slots[i]
-            holders = [j for j in range(self.S)
-                       if j != i and self.pool.owned[j]]
-            if not holders:
-                # nobody else holds pages, so preempting would just
-                # thrash through re-admit into the same dry pool —
-                # finish the request at the capacity it actually got
+            if s.req is None:  # already preempted as a victim this tick
+                continue
+            while not self.pool.ensure(i, int(pos_host[i]) + extra):
+                victims = [j for j in range(self.S)
+                           if j != i and self.slots[j].req is not None
+                           and self.pool.owned[j]]
+                if victims:
+                    v = max(victims, key=lambda j: self.slots[j].req.id)
+                    if self.slots[v].req.id > s.req.id:
+                        self._preempt(v)
+                        continue  # retry with the freed pages
+                    self._preempt(i)
+                    break
                 s.req.finish_reason = "length"
                 self._emit(s.req, None)
                 self._free_slot(i)
-                continue
-            req = s.req
-            if req.embeds is not None and s.generated:
-                # keep embedding rows aligned with the recompute prompt
-                ext = np.asarray(self.params.embed.lookup(
-                    jnp.asarray([s.generated], jnp.int32))[0], np.float32)
-                req.embeds = np.concatenate(
-                    [np.asarray(req.embeds, np.float32), ext], axis=0)
-            req.prompt_ids = list(req.prompt_ids) + s.generated
-            self._waitq.appendleft(req)
-            self._free_slot(i)
-            self.n_preemptions += 1
-            log.debug(f"req {req.id}: preempted (paged pool dry)")
+                break
+            else:
+                keep.append(i)
         self.kv = self.pool.flush(self.kv)
-        return keep
+        # a slot kept earlier can still be chosen as a LATER slot's
+        # youngest-victim — drop slots whose request was preempted away
+        return [i for i in keep if self.slots[i].req is not None]
 
     # -- core loop ----------------------------------------------------------
 

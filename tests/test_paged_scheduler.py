@@ -234,3 +234,47 @@ def test_paged_spec_prefix_cache_hit(tiny):
     spec.stop()
     assert g1 == w1 and g2 == w2
     assert hits >= 1  # the second request reused the cached prefix
+
+
+def test_paged_preemption_prefers_youngest(tiny):
+    """When an OLDER request hits pool exhaustion, the YOUNGEST
+    page-holder is preempted (least recompute lost), not the older
+    requester itself."""
+    import queue as _q
+
+    cfg, params = tiny
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64,
+                     paged_pages=4, page_size=8, prefix_cache=0)
+    s = BatchScheduler(params, cfg, hp, backend="xla")
+
+    def submit(prompt, n):
+        out, done = [], _q.Queue()
+
+        def sink(t, out=out, done=done):
+            done.put(True) if t is None else out.append(t)
+
+        r = s.submit(Request(prompt_ids=list(prompt), max_tokens=n,
+                             temperature=0.0, sink=sink))
+        return r, out, done
+
+    p8 = list(range(3, 11))
+    r0, o0, d0 = submit(p8, 2)  # slot0, finishes fast, frees 2 pages
+    r1, o1, d1 = submit(list(range(20, 28)), 12)  # slot1, long-running
+    while d0.empty():
+        s.step()
+    r2, o2, d2 = submit(list(range(40, 48)), 12)  # takes slot0, YOUNGEST
+    # both residents need a 3rd page past pos 12 with the pool full:
+    # whichever hits exhaustion, the YOUNGEST (r2) must be the victim —
+    # the older r1 keeps its pages and its prompt never grows
+    for _ in range(500):
+        if not d1.empty() and not d2.empty():
+            break
+        s.step()
+    assert not d1.empty() and not d2.empty()
+    s.stop()
+    assert s.n_preemptions >= 1
+    assert len(o1) == 12 and len(o2) == 12
+    # r1 (older) was never preempted: a preempted request re-queues
+    # with prompt + generated, so its prompt would have grown
+    assert len(r1.prompt_ids) == 8, "older request was preempted"
+    assert len(r2.prompt_ids) > 8, "youngest was not the victim"
