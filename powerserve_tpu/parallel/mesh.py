@@ -45,11 +45,13 @@ def make_mesh(shape: dict[str, int] | None = None,
     if not shape:
         shape = {"dp": 1, "sp": 1, "tp": n}
     dp = int(shape.get("dp", 1))
+    pp = int(shape.get("pp", 1))  # pipeline stages (parallel/pp.py)
     sp = int(shape.get("sp", 1))
-    tp = int(shape.get("tp", n // (dp * sp)))
-    assert dp * sp * tp == n, f"mesh {dp}x{sp}x{tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, sp, tp)
-    return Mesh(arr, ("dp", "sp", "tp"))
+    tp = int(shape.get("tp", n // (dp * pp * sp)))
+    assert dp * pp * sp * tp == n, \
+        f"mesh {dp}x{pp}x{sp}x{tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, pp, sp, tp)
+    return Mesh(arr, ("dp", "pp", "sp", "tp"))
 
 
 def _shardable(dim_size: int, n_shards: int) -> bool:
