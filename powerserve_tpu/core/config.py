@@ -69,6 +69,11 @@ class LLMConfig:
     rope: RopeConfig = field(default_factory=RopeConfig)
     norm_eps: float = 1e-5
     tie_embeddings: bool = False
+    # mixture-of-experts (mixtral / qwen3moe): per-layer FFN becomes
+    # n_experts expert FFNs of width hidden_dim, n_experts_used active
+    # per token (0 = dense FFN)
+    n_experts: int = 0
+    n_experts_used: int = 0
 
     def __post_init__(self) -> None:
         if self.head_size * self.n_kv_heads != self.kv_dim:

@@ -67,7 +67,8 @@ class QEmbedding:
     jax.tree_util.register_dataclass,
     data_fields=["attn_norm", "ffn_norm", "wq", "wk", "wv", "wo",
                  "bq", "bk", "bv", "w_gate", "w_up", "w_down",
-                 "wqkv", "bqkv", "wgu", "q_norm", "k_norm"],
+                 "wqkv", "bqkv", "wgu", "q_norm", "k_norm",
+                 "router", "w_gate_exps", "w_up_exps", "w_down_exps"],
     meta_fields=[],
 )
 @dataclass
@@ -83,7 +84,7 @@ class LayerWeights:
     bv: jax.Array | None
     w_gate: QLinear | None
     w_up: QLinear | None
-    w_down: QLinear
+    w_down: QLinear | None
     # fused projections (fewer, larger kernel launches — decode is
     # launch-overhead sensitive); when set, the unfused fields are None
     wqkv: QLinear | None = None
@@ -93,6 +94,13 @@ class LayerWeights:
     # q / k after the head reshape, before RoPE
     q_norm: jax.Array | None = None
     k_norm: jax.Array | None = None
+    # mixture-of-experts FFN (mixtral / qwen3moe): router [dim, E] f32
+    # + expert projections stacked on a leading E axis (per layer);
+    # when set, w_gate/w_up/w_down are None
+    router: jax.Array | None = None
+    w_gate_exps: QLinear | None = None  # q [E(, L merged), K.., ffn]
+    w_up_exps: QLinear | None = None
+    w_down_exps: QLinear | None = None
 
 
 @functools.partial(
@@ -122,6 +130,7 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             return_final_hidden: bool = False,
             tp_axis: str | None = None,
             sp_axis: str | None = None,
+            ep_axis: str | None = None,
             kv_update: str | None = None):
     """One forward pass over a batch of slots.
 
@@ -209,6 +218,38 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     rope_type = llm.rope.rope_type
 
     quantized = kv.quantized
+    # MoE: expert QLinear leaves are [E, ...] per layer (unrolled) or
+    # [L, E, ...] stacked. For the stacked scan, flatten a
+    # (layer, expert) VIEW (free contiguous reshape) so the kernel's
+    # scalar-prefetch index layer * moe_e_local + e picks a slab; the
+    # stored [L, E, ...] order stays shardable over an "ep" axis (under
+    # an ep shard_map these leaves are the LOCAL expert slice).
+    import dataclasses as _dcm
+
+    _tuple_mode = isinstance(params.layers, (tuple, list))
+    _lw0 = params.layers[0] if _tuple_mode else params.layers
+    if _lw0.w_gate_exps is not None:
+        if _tuple_mode:
+            moe_e_local = _lw0.w_gate_exps.q.shape[0]
+        else:
+            moe_e_local = _lw0.w_gate_exps.q.shape[1]
+
+            def _flat(lin):
+                return _dcm.replace(
+                    lin,
+                    q=lin.q.reshape((-1,) + lin.q.shape[2:]),
+                    scales=lin.scales.reshape(
+                        (-1,) + lin.scales.shape[2:]),
+                    bias=None if lin.bias is None
+                    else lin.bias.reshape((-1,) + lin.bias.shape[2:]))
+
+            params = _dcm.replace(params, layers=_dcm.replace(
+                params.layers,
+                w_gate_exps=_flat(params.layers.w_gate_exps),
+                w_up_exps=_flat(params.layers.w_up_exps),
+                w_down_exps=_flat(params.layers.w_down_exps)))
+    else:
+        moe_e_local = 0
     paged = isinstance(kv, PagedKVCache)
     if paged:
         assert sp_axis is None, "paged KV + sequence parallel unsupported"
@@ -360,6 +401,46 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
 
         h2 = rms_norm(x, sl(lw.ffn_norm), llm.norm_eps).astype(jnp.bfloat16)
         h2f = h2.reshape(S * Tq, -1)
+        if lw.router is not None:
+            # mixture-of-experts FFN (mixtral / qwen3moe): softmax over
+            # all experts, take the top n_experts_used, renormalize
+            # (equal to softmax over the selected logits — the HF/
+            # llama.cpp norm_topk semantics), then a scan over the
+            # LOCAL experts accumulates weighted expert outputs. Every
+            # expert runs on every token (weight 0 when unrouted) —
+            # correct everywhere and bandwidth-optimal per chip under
+            # "ep" sharding; a grouped top-k dispatch kernel is the
+            # measured-perf follow-up. ep_axis: experts sharded over
+            # that shard_map axis — local ids offset by the shard, the
+            # psum sums disjoint expert contributions.
+            rl = jnp.einsum("nd,de->ne", h2f.astype(jnp.float32),
+                            sl(lw.router).astype(jnp.float32))
+            probs = jax.nn.softmax(rl, axis=-1)
+            topw, topi = jax.lax.top_k(probs, llm.n_experts_used)
+            topw = topw / jnp.maximum(topw.sum(-1, keepdims=True), 1e-9)
+            e_off = (0 if ep_axis is None
+                     else jax.lax.axis_index(ep_axis) * moe_e_local)
+
+            def expert_step(acc, e):
+                idx = e if layer is None else layer * moe_e_local + e
+                g = qmatmul(h2f, lw.w_gate_exps, backend=backend,
+                            layer=idx)
+                u = qmatmul(h2f, lw.w_up_exps, backend=backend, layer=idx)
+                a = silu_hadamard(g, u).astype(jnp.bfloat16)
+                y = qmatmul(a, lw.w_down_exps, backend=backend, layer=idx)
+                w_e = jnp.sum(
+                    jnp.where(topi == e + e_off, topw, 0.0), axis=-1)
+                return acc + y.astype(jnp.float32) * w_e[:, None], None
+
+            acc0 = jnp.zeros((h2f.shape[0], x.shape[-1]), jnp.float32)
+            down, _ = jax.lax.scan(expert_step, acc0,
+                                   jnp.arange(moe_e_local))
+            if ep_axis is not None:
+                down = jax.lax.psum(down, ep_axis)
+            if tp_axis is not None:  # row-parallel expert down projs
+                down = jax.lax.psum(down, tp_axis)
+            x = x + down.reshape(S, Tq, -1).astype(x.dtype)
+            return x, (k_l, v_l, ks_l, vs_l)
         if lw.wgu is not None:
             gu = lin(h2f, lw.wgu, None)
             F = gu.shape[-1] // 2

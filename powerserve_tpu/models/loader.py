@@ -34,13 +34,32 @@ import jax
 log = get_logger("loader")
 
 
+def _stack_qlinears(parts: list[QLinear]) -> QLinear:
+    """Stack same-shape QLinears on a new leading axis (MoE experts)."""
+    import dataclasses
+
+    head = parts[0]
+    return dataclasses.replace(
+        head,
+        q=jnp.stack([p.q for p in parts]),
+        scales=jnp.stack([p.scales for p in parts]),
+        bias=None if head.bias is None
+        else jnp.stack([p.bias for p in parts]))
+
+
 def stack_layers(layers: list[LayerWeights]) -> LayerWeights:
-    """Stack per-layer pytrees on a new leading axis (for lax.scan)."""
+    """Stack per-layer pytrees on a new leading axis (for lax.scan).
+    Expert QLinears end up [L, E, ...] — forward() flattens a
+    (layer, expert) view at trace time (free reshape) so the kernel's
+    scalar-prefetch index layer * E + e addresses a slab, while the
+    stored axis order stays shardable over an "ep" mesh axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
 
 
 def _concat_qlinear(parts: list[QLinear]) -> QLinear | None:
     """Concatenate QLinears along the output axis (same K/format)."""
+    if any(p is None for p in parts):
+        return None
     head = parts[0]
     for p in parts[1:]:
         if (p.packed != head.packed or p.unsigned != head.unsigned
@@ -63,28 +82,32 @@ def _concat_qlinear(parts: list[QLinear]) -> QLinear | None:
 
 def fuse_layer(lw: LayerWeights) -> LayerWeights:
     """Fuse QKV and gate/up projections into single matmuls (fewer,
-    larger kernel launches; decode is launch-overhead sensitive)."""
+    larger kernel launches; decode is launch-overhead sensitive).
+    Fusions apply independently — MoE layers have no dense gate/up but
+    still fuse QKV."""
     import dataclasses
 
+    out = lw
     wqkv = _concat_qlinear([lw.wq, lw.wk, lw.wv])
+    if wqkv is not None:
+        bqkv = None
+        if lw.bq is not None:
+            bqkv = jnp.concatenate([lw.bq, lw.bk, lw.bv], axis=-1)
+        out = dataclasses.replace(
+            out, wqkv=wqkv, bqkv=bqkv,
+            wq=None, wk=None, wv=None, bq=None, bk=None, bv=None)
     wgu = _concat_qlinear([lw.w_gate, lw.w_up])
-    if wqkv is None or wgu is None:
-        return lw
-    bqkv = None
-    if lw.bq is not None:
-        bqkv = jnp.concatenate([lw.bq, lw.bk, lw.bv], axis=-1)
-    return dataclasses.replace(
-        lw, wqkv=wqkv, bqkv=bqkv, wgu=wgu,
-        wq=None, wk=None, wv=None, bq=None, bk=None, bv=None,
-        w_gate=None, w_up=None)
+    if wgu is not None:
+        out = dataclasses.replace(out, wgu=wgu, w_gate=None, w_up=None)
+    return out
 
 
 # llama-family architectures sharing the same forward (QKV bias and
 # rope style vary per-model; the reference's headline list maps to:
 # llama / qwen2 (SmallThinker, Qwen-2.x) / internlm3 (InternLM-3) /
 # DeepSeek-R1-Distill-Llama = llama)
-LLAMA_FAMILY = {"llama", "qwen2", "qwen3", "internlm2", "internlm3",
-                "smallthinker", "internvl"}
+LLAMA_FAMILY = {"llama", "qwen2", "qwen3", "qwen2moe", "qwen3moe",
+                "internlm2", "internlm3", "smallthinker", "internvl"}
 
 
 def apply_hf_rope_scaling(rope: RopeConfig, rope_scaling: dict | None,
@@ -139,8 +162,8 @@ def config_from_gguf_metadata(md: dict[str, Any]) -> ModelConfig:
     vocab = md.get("tokenizer.ggml.tokens")
     vocab_size = int(key("vocab_size", len(vocab) if vocab is not None else 32000))
     default_rope = (ROPE_TYPE_NEOX
-                    if arch in ("qwen2", "qwen3", "internvl", "internlm2",
-                                "internlm3")
+                    if arch in ("qwen2", "qwen3", "qwen2moe", "qwen3moe",
+                                "internvl", "internlm2", "internlm3")
                     else ROPE_TYPE_NORM)
     # rope scaling: llama.cpp-standard keys (rope.scaling.*, written by
     # gguf-py and by our convert_hf) — reference carries these into
@@ -177,9 +200,17 @@ def config_from_gguf_metadata(md: dict[str, Any]) -> ModelConfig:
         high_freq_factor=float(key("rope.scaling.high_freq_factor", 4.0)
                                or 4.0),
     )
+    n_experts = int(key("expert_count", 0) or 0)
+    # MoE: hidden_dim is the EXPERT ffn width (qwen3moe carries it as
+    # expert_feed_forward_length; mixtral-as-llama reuses
+    # feed_forward_length)
+    ffn_len = int(key("expert_feed_forward_length", 0) or 0) if n_experts \
+        else 0
     llm = LLMConfig(
         dim=dim,
-        hidden_dim=int(key("feed_forward_length", 4 * dim)),
+        hidden_dim=ffn_len or int(key("feed_forward_length", 4 * dim)),
+        n_experts=n_experts,
+        n_experts_used=int(key("expert_used_count", 0) or 0),
         n_layers=int(key("block_count", 16)),
         n_heads=n_heads,
         n_kv_heads=n_kv,
@@ -218,6 +249,23 @@ def _qlinear_from_gguf(reader: GGUFReader, name: str,
     qt = repack_gguf_tensor(reader.tensor_raw(name), info.ggml_type,
                             info.shape)
     return QLinear.from_quantized(qt, pack=pack)
+
+
+def _qlinear_experts(reader: GGUFReader, name: str,
+                     pack: bool = True) -> QLinear:
+    """3-D expert tensor [E, N_out, K_in] -> stacked QLinear (leading
+    expert axis). ggml stores experts contiguously (slowest dim), so
+    the payload splits into E equal per-expert 2-D payloads."""
+    info = reader.tensors[name]
+    E = info.shape[0]
+    raw = reader.tensor_raw(name)
+    per = raw.size // E
+    parts = []
+    for e in range(E):
+        qt = repack_gguf_tensor(raw[e * per:(e + 1) * per],
+                                info.ggml_type, tuple(info.shape[1:]))
+        parts.append(QLinear.from_quantized(qt, pack=pack))
+    return _stack_qlinears(parts)
 
 
 def _embedding_from_gguf(reader: GGUFReader, name: str) -> QEmbedding:
@@ -286,6 +334,27 @@ def load_gguf_model(path: str | os.PathLike, pack: bool = True,
     layers = []
     for i in range(L):
         pre = f"blk.{i}."
+        if pre + "ffn_gate_exps.weight" in reader.tensors:
+            # MoE FFN (mixtral-as-llama / qwen3moe): router + stacked
+            # expert projections — the reference cannot load these
+            router = reader.tensor_float(pre + "ffn_gate_inp.weight")
+            ffn_kw = dict(
+                router=jnp.asarray(router.T.copy().astype(np.float32)),
+                w_gate_exps=_qlinear_experts(
+                    reader, pre + "ffn_gate_exps.weight", pack),
+                w_up_exps=_qlinear_experts(
+                    reader, pre + "ffn_up_exps.weight", pack),
+                w_down_exps=_qlinear_experts(
+                    reader, pre + "ffn_down_exps.weight", pack),
+                w_gate=None, w_up=None, w_down=None)
+        else:
+            ffn_kw = dict(
+                w_gate=_qlinear_from_gguf(
+                    reader, pre + "ffn_gate.weight", pack, mxu),
+                w_up=_qlinear_from_gguf(
+                    reader, pre + "ffn_up.weight", pack, mxu),
+                w_down=_qlinear_from_gguf(
+                    reader, pre + "ffn_down.weight", pack, mxu))
         layers.append(LayerWeights(
             attn_norm=_norm_from_gguf(reader, pre + "attn_norm.weight"),
             ffn_norm=_norm_from_gguf(reader, pre + "ffn_norm.weight"),
@@ -298,9 +367,7 @@ def load_gguf_model(path: str | os.PathLike, pack: bool = True,
             bq=_maybe_bias(reader, pre + "attn_q.bias"),
             bk=_maybe_bias(reader, pre + "attn_k.bias"),
             bv=_maybe_bias(reader, pre + "attn_v.bias"),
-            w_gate=_qlinear_from_gguf(reader, pre + "ffn_gate.weight", pack, mxu),
-            w_up=_qlinear_from_gguf(reader, pre + "ffn_up.weight", pack, mxu),
-            w_down=_qlinear_from_gguf(reader, pre + "ffn_down.weight", pack, mxu),
+            **ffn_kw,
         ))
     out_norm = _norm_from_gguf(reader, "output_norm.weight")
     if "output.weight" in reader.tensors:
@@ -363,6 +430,44 @@ def params_from_hf_state_dict(sd: dict[str, np.ndarray], cfg: ModelConfig,
             full = pre + name
             return jnp.asarray(get(full)) if full in sd else None
 
+        # MoE layers: HF Mixtral (block_sparse_moe.gate + experts.j.w1/
+        # w2/w3) or Qwen3-MoE (mlp.gate + mlp.experts.j.*_proj)
+        moe_kw: dict = {}
+        dense_kw: dict = {}
+        if pre + "block_sparse_moe.gate.weight" in sd:
+            gate_w = get(pre + "block_sparse_moe.gate.weight")  # [E, dim]
+            names = [(f"block_sparse_moe.experts.{j}.w1.weight",
+                      f"block_sparse_moe.experts.{j}.w3.weight",
+                      f"block_sparse_moe.experts.{j}.w2.weight")
+                     for j in range(gate_w.shape[0])]
+        elif pre + "mlp.gate.weight" in sd:
+            gate_w = get(pre + "mlp.gate.weight")
+            names = [(f"mlp.experts.{j}.gate_proj.weight",
+                      f"mlp.experts.{j}.up_proj.weight",
+                      f"mlp.experts.{j}.down_proj.weight")
+                     for j in range(gate_w.shape[0])]
+        else:
+            gate_w = None
+        if gate_w is not None:
+            gs, us, ds = [], [], []
+            for gn, un, dn in names:
+                gs.append(_qlinear_from_float(get(pre + gn), fmt, pack))
+                us.append(_qlinear_from_float(get(pre + un), fmt, pack))
+                ds.append(_qlinear_from_float(get(pre + dn), fmt, pack))
+            moe_kw = dict(router=jnp.asarray(gate_w.T.copy()),
+                          w_gate_exps=_stack_qlinears(gs),
+                          w_up_exps=_stack_qlinears(us),
+                          w_down_exps=_stack_qlinears(ds),
+                          w_gate=None, w_up=None, w_down=None)
+        else:
+            dense_kw = dict(
+                w_gate=_qlinear_from_float(
+                    get(pre + "mlp.gate_proj.weight"), fmt, pack),
+                w_up=_qlinear_from_float(
+                    get(pre + "mlp.up_proj.weight"), fmt, pack),
+                w_down=_qlinear_from_float(
+                    get(pre + "mlp.down_proj.weight"), fmt, pack),
+            )
         layers.append(LayerWeights(
             attn_norm=jnp.asarray(get(pre + "input_layernorm.weight")),
             ffn_norm=jnp.asarray(get(pre + "post_attention_layernorm.weight")),
@@ -375,9 +480,7 @@ def params_from_hf_state_dict(sd: dict[str, np.ndarray], cfg: ModelConfig,
             bv=b("self_attn.v_proj.bias"),
             q_norm=b("self_attn.q_norm.weight"),
             k_norm=b("self_attn.k_norm.weight"),
-            w_gate=_qlinear_from_float(get(pre + "mlp.gate_proj.weight"), fmt, pack),
-            w_up=_qlinear_from_float(get(pre + "mlp.up_proj.weight"), fmt, pack),
-            w_down=_qlinear_from_float(get(pre + "mlp.down_proj.weight"), fmt, pack),
+            **dense_kw, **moe_kw,
         ))
     out_norm = jnp.asarray(get("model.norm.weight"))
     if fuse:

@@ -46,12 +46,13 @@ def make_mesh(shape: dict[str, int] | None = None,
         shape = {"dp": 1, "sp": 1, "tp": n}
     dp = int(shape.get("dp", 1))
     pp = int(shape.get("pp", 1))  # pipeline stages (parallel/pp.py)
+    ep = int(shape.get("ep", 1))  # expert parallel (MoE FFNs)
     sp = int(shape.get("sp", 1))
-    tp = int(shape.get("tp", n // (dp * pp * sp)))
-    assert dp * pp * sp * tp == n, \
-        f"mesh {dp}x{pp}x{sp}x{tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, pp, sp, tp)
-    return Mesh(arr, ("dp", "pp", "sp", "tp"))
+    tp = int(shape.get("tp", n // (dp * pp * ep * sp)))
+    assert dp * pp * ep * sp * tp == n, \
+        f"mesh {dp}x{pp}x{ep}x{sp}x{tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, pp, ep, sp, tp)
+    return Mesh(arr, ("dp", "pp", "ep", "sp", "tp"))
 
 
 def _shardable(dim_size: int, n_shards: int) -> bool:
@@ -130,6 +131,14 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
             # sharding still works (GSPMD reshards the split) but
             # multi-chip deployments should prefer fuse=False
             wqkv=col(lw.wqkv), bqkv=bias_col(lw.bqkv), wgu=col(lw.wgu),
+            # MoE experts: matmul dims shard over tp like the dense FFN
+            # (GSPMD path; true expert-parallel "ep" locality is the
+            # shard_map path, parallel/tp.py — the stacked flat-view
+            # reshape would force GSPMD to reshard an ep-sharded axis)
+            router=repl(lw.router),
+            w_gate_exps=col(lw.w_gate_exps),
+            w_up_exps=col(lw.w_up_exps),
+            w_down_exps=row(lw.w_down_exps),
         )
 
     if isinstance(params.layers, (tuple, list)):

@@ -141,7 +141,8 @@ def prepare_params_for_tp(params: LlamaParams, cfg: LLMConfig,
                 out, wgu=_permute_cols(lw.wgu, _gu_perm(F, tp)))
         return dataclasses.replace(
             out, wo=_repack_rows(out.wo, tp),
-            w_down=_repack_rows(out.w_down, tp))
+            w_down=_repack_rows(out.w_down, tp),
+            w_down_exps=_repack_rows(out.w_down_exps, tp))
 
     if isinstance(params.layers, (tuple, list)):
         layers = tuple(fix_layer(lw) for lw in params.layers)
@@ -178,6 +179,10 @@ def param_specs(params: LlamaParams, tp: int) -> LlamaParams:
         def bias(b):
             return None if b is None else P(*lead, "tp")
 
+        # expert leaves carry (layer?, expert, K, N): experts shard
+        # over "ep", and their matmul dims over "tp" like the dense FFN
+        ecol = P(*lead, "ep", None, "tp")
+        erow = P(*lead, "ep", "tp", None)
         return LayerWeights(
             attn_norm=repl, ffn_norm=repl,
             wq=colspec(lw.wq), wk=colspec(lw.wk), wv=colspec(lw.wv),
@@ -190,6 +195,10 @@ def param_specs(params: LlamaParams, tp: int) -> LlamaParams:
             # QK-norm weights are per-head [hd]: replicated
             q_norm=None if lw.q_norm is None else repl,
             k_norm=None if lw.k_norm is None else repl,
+            router=None if lw.router is None else repl,
+            w_gate_exps=None if lw.w_gate_exps is None else ecol,
+            w_up_exps=None if lw.w_up_exps is None else ecol,
+            w_down_exps=None if lw.w_down_exps is None else erow,
         )
 
     if stacked:
@@ -243,6 +252,9 @@ def _localize_params(params: LlamaParams) -> LlamaParams:
             w_down=_localize_qlinear(lw.w_down),
             wqkv=_localize_qlinear(lw.wqkv),
             wgu=_localize_qlinear(lw.wgu),
+            w_gate_exps=_localize_qlinear(lw.w_gate_exps),
+            w_up_exps=_localize_qlinear(lw.w_up_exps),
+            w_down_exps=_localize_qlinear(lw.w_down_exps),
         )
 
     if isinstance(params.layers, (tuple, list)):
@@ -306,19 +318,21 @@ def tp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
     """
     tp = mesh.shape["tp"]
     sp = mesh.shape.get("sp", 1)
+    ep = mesh.shape.get("ep", 1)
     llm_local = local_llm_config(llm, tp)
     pspecs = param_specs(params, tp)
     kspecs = kv_specs(kv)
     tok_spec = P("dp", None)
     act_spec = None if active is None else P("dp")
     sp_axis = "sp" if sp > 1 else None
+    ep_axis = "ep" if ep > 1 else None
 
     def body(params, kv, tokens, positions, active):
         params = _localize_params(params)
         return forward(params, llm_local, kv, tokens, positions,
                        active=active, backend=backend,
                        logits_mode=logits_mode, tp_axis="tp",
-                       sp_axis=sp_axis)
+                       sp_axis=sp_axis, ep_axis=ep_axis)
 
     f = jax.shard_map(
         body, mesh=mesh,

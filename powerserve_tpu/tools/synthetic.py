@@ -30,6 +30,10 @@ PRESETS = {
     # (q4_k/q5_k/q6_k need K % 256 == 0)
     "tiny-k": dict(dim=256, ffn=512, layers=2, heads=4, kv_heads=2,
                    vocab=512, arch="llama", bias=False),
+    # mixture-of-experts (mixtral-as-llama layout: router + _exps)
+    "tiny-moe": dict(dim=64, ffn=96, layers=2, heads=4, kv_heads=2,
+                     vocab=256, arch="llama", bias=False, experts=4,
+                     experts_used=2),
 }
 
 
@@ -81,6 +85,10 @@ def make_synthetic_gguf(
     md[f"{arch}.rope.freq_base"] = 500000.0 if "llama" in preset else 10000.0
     md[f"{arch}.attention.layer_norm_rms_epsilon"] = 1e-5
     md[f"{arch}.vocab_size"] = V
+    E = int(p.get("experts", 0))
+    if E:
+        md[f"{arch}.expert_count"] = E
+        md[f"{arch}.expert_used_count"] = int(p.get("experts_used", 2))
     toks, scores, types = _simple_vocab(V)
     md["tokenizer.ggml.model"] = "llama"
     md["tokenizer.ggml.tokens"] = toks
@@ -116,9 +124,31 @@ def make_synthetic_gguf(
                               ("attn_v.bias", Hkv * hd)):
                 w.add_float_tensor(pre + nm,
                                    rng.standard_normal(n_out).astype(np.float32) * 0.01)
-        add(pre + "ffn_gate.weight", (ffn, dim))
-        add(pre + "ffn_up.weight", (ffn, dim))
-        add(pre + "ffn_down.weight", (dim, ffn))
+        if E:
+            w.add_float_tensor(
+                pre + "ffn_gate_inp.weight",
+                rng.standard_normal((E, dim)).astype(np.float32) * 0.05)
+
+            def add_exps(name, shape_out_in):
+                block = 256 if quant in (
+                    GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+                    GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.IQ4_XS) else 32
+                f = quant if shape_out_in[1] % block == 0 else GGMLType.F16
+                payloads = [quantize(
+                    rng.standard_normal(shape_out_in,
+                                        dtype=np.float32) * 0.02, f)
+                    for _ in range(E)]
+                w.add_tensor(name,
+                             tuple(reversed(shape_out_in)) + (E,), f,
+                             np.concatenate(payloads).tobytes())
+
+            add_exps(pre + "ffn_gate_exps.weight", (ffn, dim))
+            add_exps(pre + "ffn_up_exps.weight", (ffn, dim))
+            add_exps(pre + "ffn_down_exps.weight", (dim, ffn))
+        else:
+            add(pre + "ffn_gate.weight", (ffn, dim))
+            add(pre + "ffn_up.weight", (ffn, dim))
+            add(pre + "ffn_down.weight", (dim, ffn))
     add_norm("output_norm.weight")
     add("output.weight", (V, dim))
     w.write(model_dir / "weights.gguf")

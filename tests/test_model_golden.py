@@ -312,3 +312,54 @@ def test_rope_scaling_matches_hf_beyond_orig_ctx(rope_scaling):
     assert rel < 0.08, f"logits rel err {rel}"
     corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
     assert corr > 0.999, f"logits correlation {corr}"
+
+
+def test_mixtral_moe_logits_match_hf():
+    """MoE golden test: our router (softmax -> top-k -> renormalize) +
+    expert-scan FFN vs transformers MixtralForCausalLM. The reference
+    cannot load MoE GGUFs at all — this family is net-new."""
+    torch.manual_seed(0)
+    dim, heads, kv_heads, ffn, E, k = 64, 4, 2, 96, 4, 2
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=256, hidden_size=dim, intermediate_size=ffn,
+        num_hidden_layers=2, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, num_local_experts=E,
+        num_experts_per_tok=k, max_position_embeddings=128,
+        rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=False)
+    model = transformers.MixtralForCausalLM(hf_cfg)
+    model.eval()
+    cfg = ModelConfig(arch="llama")
+    cfg.llm.dim = dim
+    cfg.llm.hidden_dim = ffn
+    cfg.llm.n_layers = 2
+    cfg.llm.n_heads = heads
+    cfg.llm.n_kv_heads = kv_heads
+    cfg.llm.head_size = dim // heads
+    cfg.llm.seq_len = 128
+    cfg.llm.vocab_size = 256
+    cfg.llm.kv_dim = kv_heads * (dim // heads)
+    cfg.llm.rope.n_dims = dim // heads
+    cfg.llm.rope.freq_base = 10000.0
+    cfg.llm.norm_eps = 1e-5
+    cfg.llm.n_experts = E
+    cfg.llm.n_experts_used = k
+    params = params_from_hf_state_dict(_to_sd(model), cfg, fmt=GGMLType.Q8_0)
+    assert params.layers.router is not None
+    # stacked [L, E, ...] (shardable over "ep"; forward flattens a
+    # (layer, expert) view for the kernel's scalar-prefetch index)
+    assert params.layers.w_gate_exps.q.shape[:2] == (2, E)
+
+    T = 10
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 256, (1, T))
+    with torch.no_grad():
+        ref = model(torch.tensor(tokens)).logits.numpy()[0]
+    kv = KVCache.create(2, 1, 32, kv_heads, dim // heads, dtype="bf16")
+    logits, _ = forward(params, cfg.llm, kv, jnp.asarray(tokens),
+                        jnp.arange(T)[None, :], backend="xla",
+                        logits_mode="all")
+    got = np.asarray(logits)[0]
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.08, f"logits rel err {rel}"
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999, f"logits correlation {corr}"
