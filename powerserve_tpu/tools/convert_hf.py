@@ -109,13 +109,15 @@ def convert_hf_model(model_dir: str | Path, out_dir: str | Path,
 
     hf_cfg = json.loads((model_dir / "config.json").read_text())
     arch_list = hf_cfg.get("architectures", ["LlamaForCausalLM"])
-    arch = ("qwen3" if any("Qwen3" in a for a in arch_list)
+    arch = ("qwen3moe" if any("Qwen3Moe" in a for a in arch_list)
+            else "qwen3" if any("Qwen3" in a for a in arch_list)
             else "qwen2" if any("Qwen2" in a for a in arch_list)
-            else "llama")
+            else "llama")  # Mixtral stays arch "llama" (llama.cpp)
     dim = hf_cfg["hidden_size"]
     n_heads = hf_cfg["num_attention_heads"]
     n_kv = hf_cfg.get("num_key_value_heads", n_heads)
-    head_dim = hf_cfg.get("head_dim", dim // n_heads)
+    # some configs carry an explicit null head_dim (e.g. Mixtral)
+    head_dim = hf_cfg.get("head_dim") or dim // n_heads
     n_layers = hf_cfg["num_hidden_layers"]
 
     w = GGUFWriter()
@@ -159,10 +161,62 @@ def convert_hf_model(model_dir: str | Path, out_dir: str | Path,
         hf_cfg.get("rms_norm_eps", 1e-5))
     md[f"{arch}.vocab_size"] = hf_cfg["vocab_size"]
     md["powerserve.rope_type"] = ROPE_TYPE_NEOX  # unpermuted HF layout
+    n_experts = int(hf_cfg.get("num_local_experts",
+                               hf_cfg.get("num_experts", 0)) or 0)
+    if n_experts:
+        md[f"{arch}.expert_count"] = n_experts
+        md[f"{arch}.expert_used_count"] = int(
+            hf_cfg.get("num_experts_per_tok", 2))
+        md[f"{arch}.expert_feed_forward_length"] = int(
+            hf_cfg.get("moe_intermediate_size",
+                       hf_cfg.get("intermediate_size")))
 
     tied = bool(hf_cfg.get("tie_word_embeddings", False))
     n_written = 0
+    # MoE expert tensors buffer per (layer, kind) until all E arrive,
+    # then flush as ONE 3-D gguf tensor [*shape, E] (ggml convention)
+    import re as _re
+
+    exp_re = _re.compile(
+        r"model\.layers\.(\d+)\.(?:block_sparse_moe|mlp)\.experts\."
+        r"(\d+)\.(w1|w2|w3|gate_proj|up_proj|down_proj)\.weight")
+    kind_map = {"w1": "ffn_gate_exps", "w3": "ffn_up_exps",
+                "w2": "ffn_down_exps", "gate_proj": "ffn_gate_exps",
+                "up_proj": "ffn_up_exps", "down_proj": "ffn_down_exps"}
+    exp_buf: dict = {}
+
+    def flush_experts(layer, kind):
+        parts = exp_buf.pop((layer, kind))
+        shape = parts[0].shape
+        use = fmt
+        block = 256 if fmt in _BLOCK256 else 32
+        if shape[-1] % block != 0:
+            use = GGMLType.F16
+        payloads = [quantize(parts[j], use) for j in range(len(parts))]
+        w.add_tensor(f"blk.{layer}.{kind}.weight",
+                     tuple(reversed(shape)) + (len(parts),), use,
+                     np.concatenate(payloads).tobytes())
+
     for hf_name, arr in _iter_hf_tensors(model_dir):
+        m = exp_re.fullmatch(hf_name)
+        if m is not None:
+            layer, j, kind = int(m.group(1)), int(m.group(2)), \
+                kind_map[m.group(3)]
+            buf = exp_buf.setdefault((layer, kind), {})
+            buf[j] = np.asarray(arr, np.float32)
+            if len(buf) == n_experts:
+                exp_buf[(layer, kind)] = [buf[j] for j in range(n_experts)]
+                flush_experts(layer, kind)
+                n_written += 1
+            continue
+        if hf_name.endswith((".block_sparse_moe.gate.weight",
+                             ".mlp.gate.weight")) \
+                and hf_name.startswith("model.layers."):
+            layer = hf_name.split(".")[2]
+            w.add_float_tensor(f"blk.{layer}.ffn_gate_inp.weight",
+                               np.asarray(arr, np.float32))
+            n_written += 1
+            continue
         name = _gguf_name(hf_name)
         if name is None:
             continue
@@ -179,6 +233,7 @@ def convert_hf_model(model_dir: str | Path, out_dir: str | Path,
         n_written += 1
     if tied:
         pass  # loader falls back to token_embd for lm_head
+    assert not exp_buf, f"incomplete expert groups: {list(exp_buf)}"
     w.write(target / "weights.gguf")
 
     for f in ("tokenizer.json", "tokenizer_config.json"):

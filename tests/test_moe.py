@@ -170,3 +170,45 @@ def test_moe_ep_tp_compose(tmp_path):
                                rtol=2e-4, atol=2e-3)
     assert np.corrcoef(np.asarray(got).ravel(),
                        np.asarray(ref).ravel())[0, 1] > 0.999
+
+
+def test_moe_convert_hf_roundtrip(tmp_path):
+    """HF Mixtral checkpoint -> convert_hf_model workspace -> GGUF load
+    -> logits match the HF model (the full offline pipeline for MoE)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from powerserve_tpu.tools.convert_hf import convert_hf_model
+
+    torch.manual_seed(0)
+    dim, E, k = 64, 4, 2
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=256, hidden_size=dim, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, num_local_experts=E,
+        num_experts_per_tok=k, max_position_embeddings=128,
+        rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=False)
+    model = transformers.MixtralForCausalLM(hf_cfg)
+    model.eval()
+    src = tmp_path / "hf"
+    model.save_pretrained(src, safe_serialization=True)
+
+    ws = convert_hf_model(src, tmp_path / "ws", quant="q8_0")
+    cfg, params = load_gguf_model(ws / "model")
+    assert cfg.llm.n_experts == E and cfg.llm.n_experts_used == k
+    llm = cfg.llm
+
+    rng = np.random.default_rng(0)
+    T = 8
+    tokens = rng.integers(0, 256, (1, T))
+    with torch.no_grad():
+        ref = model(torch.tensor(tokens)).logits.numpy()[0]
+    kv = KVCache.create(llm.n_layers, 1, 32, llm.n_kv_heads,
+                        llm.head_size, dtype="bf16")
+    logits, _ = forward(params, llm, kv, jnp.asarray(tokens),
+                        jnp.arange(T, dtype=jnp.int32)[None, :],
+                        backend="xla", logits_mode="all")
+    got = np.asarray(logits)[0]
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.08, f"logits rel err {rel}"
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
