@@ -47,6 +47,14 @@ def main() -> None:
     ap.add_argument("--self-draft-layers", type=int, default=0,
                     help="chain mode: layer-skip self-draft depth "
                          "(0 = use --draft as a separate model)")
+    ap.add_argument("--tree", default="",
+                    help="chain mode: measure tree_spec_scan with these "
+                         "widths per depth (e.g. 2,1,1) instead of the "
+                         "k-chain")
+    ap.add_argument("--wor", action="store_true",
+                    help="with --tree and --temp > 0: sampled-without-"
+                         "replacement children + recursive rejection "
+                         "(hp.spec_wor semantics)")
     args = ap.parse_args()
 
     import jax
@@ -174,6 +182,25 @@ def run_chain(args, t_cfg, t_params) -> None:
 
     def spec(n):
         t_kv, d_kv = fresh(tl), fresh(dl)
+        if args.tree:
+            from powerserve_tpu.speculative.device_tree import (
+                TreeTemplate,
+                tree_spec_scan,
+            )
+
+            tpl = TreeTemplate.from_widths(
+                [int(x) for x in args.tree.split(",")])
+            S = 1
+            mode = ("wor" if args.wor and args.temp > 0
+                    else args.temp > 0)
+            _, counts, *_ = tree_spec_scan(
+                t_params, dp, t_kv, d_kv, jnp.zeros(S, jnp.int32) + 7,
+                tl, dl, n, tpl.key(), "auto", sample=mode,
+                rngs=jax.vmap(jax.random.PRNGKey)(jnp.arange(S)),
+                temp=jnp.full(S, max(args.temp, 0.0), jnp.float32),
+                top_k=jnp.full(S, 40, jnp.int32),
+                top_p=jnp.full(S, 0.95, jnp.float32))
+            return int(np.asarray(counts).sum()), n
         if args.temp > 0:
             S = 1
             _, counts, *_ = chain_spec_sample_scan(
@@ -211,8 +238,10 @@ def run_chain(args, t_cfg, t_params) -> None:
     need = 2.0 * t_step / t_dec
 
     print(json.dumps({
-        "metric": "speculative_chain_tok_s",
+        "metric": ("speculative_tree_tok_s" if args.tree
+                   else "speculative_chain_tok_s"),
         "target": args.target, "draft": draft_desc, "k": args.k,
+        "tree": args.tree or None, "wor": bool(args.wor and args.tree),
         "t_decode_ms": round(t_dec * 1e3, 2),
         "t_spec_step_ms": round(t_step * 1e3, 2),
         "tokens_per_step": round(tokens_per_step, 2),
