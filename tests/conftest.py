@@ -19,3 +19,18 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled XLA programs after each test module: a full-suite
+    run accumulates ~250+ CPU executables alongside torch in one
+    process and the XLA CPU client has been seen to segfault near the
+    end of the suite (flaky, never reproducible on a half-suite or a
+    single file). Cross-module jit reuse is negligible — every module
+    builds its own tiny models — so this costs little."""
+    yield
+    jax.clear_caches()
