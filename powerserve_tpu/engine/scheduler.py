@@ -150,7 +150,8 @@ class BatchScheduler:
                  hp: HyperParams | None = None, backend: str = "auto",
                  draft_params: LlamaParams | None = None,
                  draft_llm=None, spec_k: int = 0, mesh=None,
-                 eagle_params=None, eagle_llm=None, mm_dim: int = 0):
+                 eagle_params=None, eagle_llm=None, mm_dim: int = 0,
+                 pp_mesh=None):
         """draft_params/draft_llm: enable BATCHED chain speculation —
         every decode tick drafts a k-chain per active slot (one batched
         draft scan), verifies all slots in one target forward, and
@@ -230,6 +231,18 @@ class BatchScheduler:
                 draft_llm.n_layers, self.S, self.max_seq,
                 draft_llm.n_kv_heads, draft_llm.head_size,
                 self.hp.kv_dtype)
+        self.pp_mesh = pp_mesh
+        if pp_mesh is not None:
+            # pipeline-parallel serving (parallel/pp.py): params must
+            # already be sharded by shard_params_pp; the kv created
+            # above shards its layer axis here. Plain decode/prefill
+            # only — speculation/mm/paged compose with pp later.
+            assert draft_params is None and eagle_params is None \
+                and mm_dim == 0 and self.pool is None and mesh is None, \
+                "pp serving composes with plain decode only (for now)"
+            from ..parallel.pp import shard_kv_pp
+
+            self.kv = shard_kv_pp(self.kv, pp_mesh)
         self.mesh = mesh
         if mesh is not None:
             # multichip serving (GSPMD): params must already be sharded
@@ -294,10 +307,24 @@ class BatchScheduler:
         backend = self.backend
         vocab = llm.vocab_size
 
+        if self.pp_mesh is not None:
+            from ..parallel.pp import pp_forward
+
+            pp_mesh = self.pp_mesh
+
+            def step_fwd(params, kv, tokens, positions, active, mode):
+                return pp_forward(params, llm, kv, tokens, positions,
+                                  mesh=pp_mesh, active=active,
+                                  backend=backend, logits_mode=mode)
+        else:
+            def step_fwd(params, kv, tokens, positions, active, mode):
+                return forward(params, llm, kv, tokens, positions,
+                               active=active, backend=backend,
+                               logits_mode=mode)
+
         @functools.partial(jax.jit, donate_argnums=(1,))
         def prefill_chunk(params, kv, tokens, positions, active):
-            return forward(params, llm, kv, tokens, positions, active=active,
-                           backend=backend, logits_mode="none")
+            return step_fwd(params, kv, tokens, positions, active, "none")
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def mm_prefill_chunk(params, kv, tokens, positions, active,
@@ -330,9 +357,8 @@ class BatchScheduler:
                 tok, kv, penalty, rngs = carry
                 positions = jnp.where(active[:, None],
                                       kv.pos[:, None].astype(jnp.int32), -1)
-                logits, kv = forward(params, llm, kv, tok[:, None],
-                                     positions, active=active,
-                                     backend=backend, logits_mode="last")
+                logits, kv = step_fwd(params, kv, tok[:, None],
+                                      positions, active, "last")
                 split = jax.vmap(lambda k: jax.random.split(k, 2))(rngs)
                 rngs, subs = split[:, 0], split[:, 1]
                 nxt = sample_logits_batched(

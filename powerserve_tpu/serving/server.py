@@ -84,13 +84,16 @@ class ServerContext:
 
     def __init__(self, model_root: str | Path, default_model: str = "",
                  hp: HyperParams | None = None, backend: str = "auto",
-                 mesh=None, max_models: int = 0):
+                 mesh=None, max_models: int = 0, pp: bool = False):
         self.root = Path(model_root)
         self.hp = hp or HyperParams()
         self.backend = backend
         # multichip serving: shard every loaded model + KV over this
-        # (dp, tp) device mesh; GSPMD partitions the scheduler's steps
+        # (dp, tp) device mesh; GSPMD partitions the scheduler's steps.
+        # pp=True treats the mesh as PIPELINE stages instead (layers +
+        # KV slices over "pp", parallel/pp.py)
         self.mesh = mesh
+        self.pp = bool(pp)
         self.models: dict[str, ModelContext] = {}
         # HBM eviction budget: > 0 caps loaded model contexts, evicting
         # the least-recently-used IDLE one (reference keeps a single
@@ -107,7 +110,11 @@ class ServerContext:
 
     def _load(self, d):
         cfg, params = load_gguf_model(d)
-        if self.mesh is not None:
+        if self.mesh is not None and self.pp:
+            from ..parallel.pp import shard_params_pp
+
+            params = shard_params_pp(params, self.mesh, cfg.llm)
+        elif self.mesh is not None:
             from ..parallel.mesh import shard_params
 
             params = shard_params(params, self.mesh)
@@ -285,8 +292,12 @@ class ServerContext:
                 ctx = ModelContext(name, sched, tok)
         else:
             cfg, params = self._load(self.resolve_dir(name))
-            sched = BatchScheduler(params, cfg, self.hp, self.backend,
-                                   mesh=self.mesh)
+            if self.pp:
+                sched = BatchScheduler(params, cfg, self.hp, self.backend,
+                                       pp_mesh=self.mesh)
+            else:
+                sched = BatchScheduler(params, cfg, self.hp, self.backend,
+                                       mesh=self.mesh)
             sched.start()
             tok = Tokenizer.from_model_dir(self.resolve_dir(name))
             ctx = ModelContext(name, sched, tok)
@@ -923,6 +934,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--max-slots", type=int, default=4)
+    ap.add_argument("--pp", type=int, default=0,
+                    help="pipeline stages: shard LAYERS (and their KV "
+                         "slices) over pp devices instead of tensor "
+                         "parallelism (parallel/pp.py)")
     ap.add_argument("--tp", type=int, default=0,
                     help="tensor-parallel ways: shard the model over a "
                          "device mesh (multichip serving; 0 = off)")
@@ -966,6 +981,11 @@ def main(argv: list[str] | None = None) -> None:
 
         init_distributed()
         mesh = make_multihost_mesh(tp=args.tp or None)
+    elif args.pp:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh({"pp": args.pp},
+                         __import__("jax").devices()[:args.pp])
     elif args.tp:
         from ..parallel.mesh import make_mesh
 
@@ -990,7 +1010,7 @@ def main(argv: list[str] | None = None) -> None:
     if args.spec_wor:
         hp.spec_wor = True
     ctx = ServerContext(root_dir, default, hp, args.backend, mesh=mesh,
-                        max_models=args.max_models)
+                        max_models=args.max_models, pp=bool(args.pp))
     app = build_app(ctx)
     log.info(f"serving on http://{args.host}:{args.port}")
     try:

@@ -125,3 +125,47 @@ def test_pp_microbatched_prefill_matches_single(model):
                          backend="xla", logits_mode="last")
     np.testing.assert_allclose(np.asarray(l_pp), np.asarray(l_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pp_scheduler_matches_plain():
+    """BatchScheduler(pp_mesh=...) greedy output equals the plain
+    scheduler's (pipeline-parallel serving path)."""
+    import queue as _q
+
+    from powerserve_tpu.core.config import HyperParams
+    from powerserve_tpu.core.gguf import GGMLType
+    from powerserve_tpu.engine.scheduler import BatchScheduler, Request
+    from powerserve_tpu.models.loader import load_gguf_model
+    from powerserve_tpu.parallel.pp import shard_params_pp
+    from powerserve_tpu.tools.synthetic import make_synthetic_gguf
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        make_synthetic_gguf(td, "tiny", GGMLType.Q8_0, seed=0, seq_len=128)
+        cfg, params = load_gguf_model(td + "/model")
+
+    def run_req(sched, prompt):
+        out, done = [], _q.Queue()
+
+        def sink(t):
+            done.put(True) if t is None else out.append(t)
+
+        sched.submit(Request(prompt_ids=prompt, max_tokens=6,
+                             temperature=0.0, sink=sink))
+        for _ in range(300):
+            if not done.empty():
+                break
+            sched.step()
+        assert not done.empty()
+        return out
+
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=128)
+    plain = BatchScheduler(params, cfg, hp, backend="xla")
+    want = run_req(plain, [3, 17, 5, 9])
+
+    mesh = make_mesh({"pp": 2}, jax.devices()[:2])
+    p2 = shard_params_pp(params, mesh, cfg.llm)
+    hp2 = HyperParams(max_slots=2, batch_size=8, max_seq_len=128)
+    pp_sched = BatchScheduler(p2, cfg, hp2, backend="xla", pp_mesh=mesh)
+    got = run_req(pp_sched, [3, 17, 5, 9])
+    assert got == want, (got, want)
