@@ -58,11 +58,35 @@ def make_device_params(preset: str = "llama-8b", quant: str = "q4_k",
     p = PRESETS[preset]
     dim, ffn, L = p["dim"], p["ffn"], p["layers"]
     H, Hkv, V = p["heads"], p["kv_heads"], p["vocab"]
+    E = int(p.get("experts", 0))
     hd = dim // H
     Vpad = (V + 255) // 256 * 256
 
     def one_layer(key) -> LayerWeights:
-        ks = jax.random.split(key, 7)
+        ks = jax.random.split(key, 8)
+        if E:
+            # MoE FFN: router + vmapped expert slabs ([E, ...] per
+            # layer -> [L, E, ...] after the layer vmap, the loader's
+            # layout)
+            ffn_kw = dict(
+                w_down=None, wgu=None,
+                router=jax.random.uniform(ks[7], (dim, E), jnp.float32,
+                                          -0.05, 0.05),
+                w_gate_exps=jax.vmap(
+                    lambda k: _rand_qlinear(k, dim, ffn, quant))(
+                        jax.random.split(ks[4], E)),
+                w_up_exps=jax.vmap(
+                    lambda k: _rand_qlinear(k, dim, ffn, quant))(
+                        jax.random.split(ks[5], E)),
+                w_down_exps=jax.vmap(
+                    lambda k: _rand_qlinear(k, ffn, dim, quant))(
+                        jax.random.split(ks[6], E)),
+            )
+        else:
+            ffn_kw = dict(
+                w_down=_rand_qlinear(ks[6], ffn, dim, quant),
+                wgu=_rand_qlinear(ks[4], dim, 2 * ffn, quant),
+            )
         return LayerWeights(
             attn_norm=jnp.ones(dim, jnp.float32),
             ffn_norm=jnp.ones(dim, jnp.float32),
@@ -70,10 +94,9 @@ def make_device_params(preset: str = "llama-8b", quant: str = "q4_k",
             wo=_rand_qlinear(ks[3], H * hd, dim, quant),
             bq=None, bk=None, bv=None,
             w_gate=None, w_up=None,
-            w_down=_rand_qlinear(ks[6], ffn, dim, quant),
             wqkv=_rand_qlinear(ks[0], dim, (H + 2 * Hkv) * hd, quant),
             bqkv=None,
-            wgu=_rand_qlinear(ks[4], dim, 2 * ffn, quant),
+            **ffn_kw,
         )
 
     @jax.jit
@@ -101,5 +124,7 @@ def make_device_params(preset: str = "llama-8b", quant: str = "q4_k",
     rope = RopeConfig(n_dims=hd, freq_base=500000.0, rope_type=ROPE_TYPE_NORM)
     llm = LLMConfig(dim=dim, hidden_dim=ffn, n_layers=L, n_heads=H,
                     n_kv_heads=Hkv, head_size=hd, seq_len=2048,
-                    vocab_size=Vpad, kv_dim=Hkv * hd, rope=rope)
+                    vocab_size=Vpad, kv_dim=Hkv * hd, rope=rope,
+                    n_experts=E,
+                    n_experts_used=int(p.get("experts_used", 2)))
     return ModelConfig(arch=p["arch"], llm=llm), params

@@ -34,6 +34,13 @@ PRESETS = {
     "tiny-moe": dict(dim=64, ffn=96, layers=2, heads=4, kv_heads=2,
                      vocab=256, arch="llama", bias=False, experts=4,
                      experts_used=2),
+    # bench-scale MoE that fits one v5e chip at q4 (~6.3GB experts):
+    # 11.3B expert params, 2-of-8 routed (the dense-all-experts scan
+    # reads every expert per step — the grouped-dispatch kernel gap
+    # shows up as decode tok/s here)
+    "mixtral-lite": dict(dim=4096, ffn=3584, layers=32, heads=32,
+                         kv_heads=8, vocab=32000, arch="llama",
+                         bias=False, experts=8, experts_used=2),
 }
 
 

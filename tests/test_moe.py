@@ -212,3 +212,41 @@ def test_moe_convert_hf_roundtrip(tmp_path):
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.08, f"logits rel err {rel}"
     assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
+
+
+def test_moe_chain_spec_matches_plain():
+    """MoE composes with on-device chain speculation: full-depth
+    self-draft greedy == plain scheduler greedy (the routed FFN runs
+    inside the spec scan's draft/verify forwards)."""
+    import queue as _q
+
+    from powerserve_tpu.engine.scheduler import BatchScheduler, Request
+    from powerserve_tpu.tools.bench_params import make_device_params
+
+    cfg, params = make_device_params("tiny-moe", "q8_0")
+
+    def run_req(sched, prompt):
+        out, done = [], _q.Queue()
+
+        def sink(t):
+            done.put(True) if t is None else out.append(t)
+
+        sched.submit(Request(prompt_ids=prompt, max_tokens=6,
+                             temperature=0.0, sink=sink))
+        for _ in range(300):
+            if not done.empty():
+                break
+            sched.step()
+        assert not done.empty()
+        return out
+
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=128)
+    plain = BatchScheduler(params, cfg, hp, backend="xla")
+    want = run_req(plain, [3, 17, 5, 9])
+
+    hp2 = HyperParams(max_slots=2, batch_size=8, max_seq_len=128,
+                      spec_k=3)
+    spec = BatchScheduler(params, cfg, hp2, backend="xla",
+                          draft_params=params, draft_llm=cfg.llm)
+    got = run_req(spec, [3, 17, 5, 9])
+    assert got == want, (got, want)
