@@ -420,21 +420,44 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             topw = topw / jnp.maximum(topw.sum(-1, keepdims=True), 1e-9)
             e_off = (0 if ep_axis is None
                      else jax.lax.axis_index(ep_axis) * moe_e_local)
-
-            def expert_step(acc, e):
-                idx = e if layer is None else layer * moe_e_local + e
-                g = qmatmul(h2f, lw.w_gate_exps, backend=backend,
-                            layer=idx)
-                u = qmatmul(h2f, lw.w_up_exps, backend=backend, layer=idx)
-                a = silu_hadamard(g, u).astype(jnp.bfloat16)
-                y = qmatmul(a, lw.w_down_exps, backend=backend, layer=idx)
-                w_e = jnp.sum(
-                    jnp.where(topi == e + e_off, topw, 0.0), axis=-1)
-                return acc + y.astype(jnp.float32) * w_e[:, None], None
-
             acc0 = jnp.zeros((h2f.shape[0], x.shape[-1]), jnp.float32)
-            down, _ = jax.lax.scan(expert_step, acc0,
-                                   jnp.arange(moe_e_local))
+            if h2f.shape[0] == 1 and ep_axis is None:
+                # single-token decode: the routed expert ids are traced
+                # scalars, so the kernel's scalar-prefetch index can
+                # follow them directly — read ONLY the k selected
+                # experts' weights instead of all E (the whole MoE
+                # bandwidth advantage at batch 1)
+                def sel_step(acc, j):
+                    e_g = topi[0, j].astype(jnp.int32)
+                    idx = (e_g if layer is None
+                           else layer * moe_e_local + e_g)
+                    g = qmatmul(h2f, lw.w_gate_exps, backend=backend,
+                                layer=idx)
+                    u = qmatmul(h2f, lw.w_up_exps, backend=backend,
+                                layer=idx)
+                    a = silu_hadamard(g, u).astype(jnp.bfloat16)
+                    y = qmatmul(a, lw.w_down_exps, backend=backend,
+                                layer=idx)
+                    return acc + y.astype(jnp.float32) * topw[0, j], None
+
+                down, _ = jax.lax.scan(sel_step, acc0,
+                                       jnp.arange(llm.n_experts_used))
+            else:
+                def expert_step(acc, e):
+                    idx = e if layer is None else layer * moe_e_local + e
+                    g = qmatmul(h2f, lw.w_gate_exps, backend=backend,
+                                layer=idx)
+                    u = qmatmul(h2f, lw.w_up_exps, backend=backend,
+                                layer=idx)
+                    a = silu_hadamard(g, u).astype(jnp.bfloat16)
+                    y = qmatmul(a, lw.w_down_exps, backend=backend,
+                                layer=idx)
+                    w_e = jnp.sum(
+                        jnp.where(topi == e + e_off, topw, 0.0), axis=-1)
+                    return acc + y.astype(jnp.float32) * w_e[:, None], None
+
+                down, _ = jax.lax.scan(expert_step, acc0,
+                                       jnp.arange(moe_e_local))
             if ep_axis is not None:
                 down = jax.lax.psum(down, ep_axis)
             if tp_axis is not None:  # row-parallel expert down projs

@@ -250,3 +250,34 @@ def test_moe_chain_spec_matches_plain():
                           draft_params=params, draft_llm=cfg.llm)
     got = run_req(spec, [3, 17, 5, 9])
     assert got == want, (got, want)
+
+
+def test_moe_single_token_routed_fast_path(moe_ws):
+    """Batch-1 decode follows the routed expert ids with the kernel's
+    scalar-prefetch index (reads k of E experts); logits must match the
+    all-experts prefill at the same position."""
+    cfg, params = load_gguf_model(moe_ws / "model")
+    llm = cfg.llm
+    rng = np.random.default_rng(4)
+    toks = rng.integers(0, llm.vocab_size, 5).tolist()
+
+    # all-experts path: Tq=5 prefill, logits at the last position
+    kv = KVCache.create(llm.n_layers, 1, 32, llm.n_kv_heads,
+                        llm.head_size, dtype="int8")
+    ref, _ = forward(params, llm, kv, jnp.asarray([toks]),
+                     jnp.arange(5, dtype=jnp.int32)[None, :],
+                     backend="xla", logits_mode="last")
+
+    # fast path: prefill 4, decode token 5 alone (S*Tq == 1)
+    kv = KVCache.create(llm.n_layers, 1, 32, llm.n_kv_heads,
+                        llm.head_size, dtype="int8")
+    _, kv = forward(params, llm, kv, jnp.asarray([toks[:4]]),
+                    jnp.arange(4, dtype=jnp.int32)[None, :],
+                    backend="xla", logits_mode="none")
+    got, _ = forward(params, llm, kv, jnp.asarray([[toks[4]]]),
+                     jnp.full((1, 1), 4, jnp.int32), backend="xla",
+                     logits_mode="last")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-3)
+    assert np.corrcoef(np.asarray(got).ravel(),
+                       np.asarray(ref).ravel())[0, 1] > 0.999
