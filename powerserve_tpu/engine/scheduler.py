@@ -776,7 +776,6 @@ class BatchScheduler:
         temp = np.zeros(self.S, np.float32)
         top_k = np.zeros(self.S, np.int32)
         top_p = np.ones(self.S, np.float32)
-        pos_host = np.asarray(self.kv.pos)
         for i in decoding:
             s = self.slots[i]
             tokens[i] = s.cur_token
@@ -805,7 +804,7 @@ class BatchScheduler:
         room = (self.max_seq - self.spec_horizon * (tpl.max_depth + 1)
                 - tpl.n_nodes)
         self._emit_spec_results(decoding, emitted_d, counts, next_tok,
-                                pos_host, room)
+                                self.kv.pos, room)
         return True
 
     def _emit_spec_results(self, decoding, emitted_d, counts, next_tok,
@@ -815,9 +814,15 @@ class BatchScheduler:
         down finished slots. emitted_d [H, S, W]; counts [H, S];
         next_tok [S]; room = last safe write position (spec steps
         transiently write past the committed length)."""
-        emitted_d = np.asarray(emitted_d)
-        counts = np.asarray(counts)
-        next_tok = np.asarray(next_tok)
+        # ONE batched host fetch (each np.asarray is its own ~0.1-1s
+        # round trip over a remote-TPU link). pos_host arrives as the
+        # POST-tick value (the pre-tick kv was donated to the scan);
+        # the room check needs the PRE-tick committed length, which is
+        # post - this tick's per-slot emitted counts (every spec step
+        # advances pos by exactly its count).
+        emitted_d, counts, next_tok, post_pos = jax.device_get(
+            (emitted_d, counts, next_tok, pos_host))
+        pos_host = post_pos - counts.sum(axis=0)
         n_active = len(decoding)
         H, W = counts.shape[0], emitted_d.shape[2]
         self.n_spec_steps += H * n_active
@@ -877,7 +882,6 @@ class BatchScheduler:
         temp = np.zeros(self.S, np.float32)
         top_k = np.zeros(self.S, np.int32)
         top_p = np.ones(self.S, np.float32)
-        pos_host = np.asarray(self.kv.pos)
         for i in decoding:
             s = self.slots[i]
             tokens[i] = s.cur_token
@@ -905,7 +909,7 @@ class BatchScheduler:
                 self.spec_horizon, k, self.backend, **common)
         room = self.max_seq - self.spec_horizon * per_step - transient
         self._emit_spec_results(decoding, emitted_d, counts, next_tok,
-                                pos_host, room)
+                                self.kv.pos, room)
         return True
 
     def _decode_tick(self) -> bool:
@@ -927,7 +931,6 @@ class BatchScheduler:
         top_k = np.zeros(self.S, np.int32)
         top_p = np.ones(self.S, np.float32)
         pen = np.ones(self.S, np.float32)
-        pos_host = np.asarray(self.kv.pos)
         for i in decoding:
             s = self.slots[i]
             tokens[i] = s.cur_token
@@ -941,10 +944,11 @@ class BatchScheduler:
             self.params, self.kv, jnp.asarray(tokens),
             self.penalty, self.rngs, jnp.asarray(active), jnp.asarray(temp),
             jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(pen))
-        toks = np.asarray(toks)  # [S, horizon]
-        lps = np.asarray(lps)
-        top_i = np.asarray(top_i)
-        top_lp = np.asarray(top_lp)
+        # ONE batched host fetch: over a remote-TPU link every
+        # np.asarray is its own ~0.1-1s round trip, and this tick needs
+        # five results (CLAUDE.md tunnel quirks)
+        toks, lps, top_i, top_lp, pos_host = jax.device_get(
+            (toks, lps, top_i, top_lp, self.kv.pos))
         for i in decoding:
             s = self.slots[i]
             done = False
