@@ -278,3 +278,57 @@ def test_paged_preemption_prefers_youngest(tiny):
     # with prompt + generated, so its prompt would have grown
     assert len(r1.prompt_ids) == 8, "older request was preempted"
     assert len(r2.prompt_ids) > 8, "youngest was not the victim"
+
+
+def test_paged_mm_embeds_preemption(tiny):
+    """Multimodal (embeds) requests on the paged pool: preemption must
+    extend the embedding rows with table lookups for the generated
+    tokens so the recompute prefill stays aligned — output equals the
+    unpreempted dense run."""
+    import queue as _q
+
+    cfg, params = tiny
+    llm = cfg.llm
+    rng = np.random.default_rng(9)
+    P = 10
+    ids = rng.integers(0, llm.vocab_size, P).tolist()
+    # "vision" embeddings = the real table rows (so dense/paged agree)
+    import jax.numpy as jnp
+
+    emb = np.asarray(params.embed.lookup(jnp.asarray([ids]))[0],
+                     np.float32)
+
+    def run(hp):
+        s = BatchScheduler(params, cfg, hp, backend="xla",
+                           mm_dim=llm.dim)
+        outs = []
+        for k in range(2):
+            out, done = [], _q.Queue()
+
+            def sink(t, out=out, done=done):
+                done.put(True) if t is None else out.append(t)
+
+            s.submit(Request(prompt_ids=list(ids), max_tokens=10,
+                             temperature=0.0, embeds=emb.copy(),
+                             sink=sink))
+            outs.append((out, done))
+        for _ in range(500):
+            if all(not d.empty() for _, d in outs):
+                break
+            s.step()
+        assert all(not d.empty() for _, d in outs)
+        n_pre = getattr(s, "n_preemptions", 0)
+        s.stop()
+        return [o for o, _ in outs], n_pre
+
+    dense_hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64,
+                           prefix_cache=0)
+    want, _ = run(dense_hp)
+
+    # 4 pages x 8 = 32 tokens: both 11-token admissions fit (2 pages
+    # each) but decode growth past 16 forces a preemption
+    paged_hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64,
+                           prefix_cache=0, paged_pages=4, page_size=8)
+    got, n_pre = run(paged_hp)
+    assert got == want
+    assert n_pre >= 1
