@@ -238,8 +238,8 @@ class BatchScheduler:
             # above shards its layer axis here. Plain decode/prefill
             # only — speculation/mm/paged compose with pp later.
             assert draft_params is None and eagle_params is None \
-                and mm_dim == 0 and self.pool is None and mesh is None, \
-                "pp serving composes with plain decode only (for now)"
+                and mm_dim == 0 and mesh is None, \
+                "pp serving composes with plain decode (+ paged) only"
             from ..parallel.pp import shard_kv_pp
 
             self.kv = shard_kv_pp(self.kv, pp_mesh)

@@ -68,10 +68,21 @@ def pp_param_specs(params: LlamaParams) -> LlamaParams:
                                out_norm=P(), lm_head=head)
 
 
-def pp_kv_specs(kv: KVCache) -> KVCache:
+def pp_kv_specs(kv: KVCache):
     """[L, S, H, T, D]: layers over pp (each stage holds its own
     slice's cache); mask/pos replicate — every stage advances its
-    replica exactly once, during its own phase, so replicas agree."""
+    replica exactly once, during its own phase, so replicas agree.
+    The paged pool shards the same way ([L, P, H, page, D] slabs;
+    page table replicates — each stage maps the same logical pages
+    onto its own layer slice of the pool)."""
+    from ..kv.paged import PagedKVCache
+
+    if isinstance(kv, PagedKVCache):
+        kvs = P("pp", None, None, None, None)
+        scs = P("pp", None, None, None)
+        return PagedKVCache(k=kvs, v=kvs, k_scale=scs, v_scale=scs,
+                            page_table=P(), mask=P(), pos=P(),
+                            page_size=kv.page_size)
     kvs = P("pp", None, None, None, None)
     scs = P("pp", None, None, None) if kv.quantized else P()
     return KVCache(k=kvs, v=kvs, k_scale=scs, v_scale=scs,

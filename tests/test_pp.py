@@ -169,3 +169,57 @@ def test_pp_scheduler_matches_plain():
     pp_sched = BatchScheduler(p2, cfg, hp2, backend="xla", pp_mesh=mesh)
     got = run_req(pp_sched, [3, 17, 5, 9])
     assert got == want, (got, want)
+
+
+def test_pp_paged_scheduler_matches_plain():
+    """Pipeline stages + the paged pool together: layer-sliced pool
+    slabs per stage, shared page table; greedy output (including a
+    recompute preemption) equals the plain dense scheduler's."""
+    import queue as _q
+    import tempfile
+
+    from powerserve_tpu.core.config import HyperParams
+    from powerserve_tpu.core.gguf import GGMLType
+    from powerserve_tpu.engine.scheduler import BatchScheduler, Request
+    from powerserve_tpu.models.loader import load_gguf_model
+    from powerserve_tpu.parallel.pp import shard_params_pp
+    from powerserve_tpu.tools.synthetic import make_synthetic_gguf
+
+    with tempfile.TemporaryDirectory() as td:
+        make_synthetic_gguf(td, "tiny", GGMLType.Q8_0, seed=0, seq_len=128)
+        cfg, params = load_gguf_model(td + "/model")
+
+    def run_two(sched, prompts, n):
+        outs = []
+        for p in prompts:
+            out, done = [], _q.Queue()
+
+            def sink(t, out=out, done=done):
+                done.put(True) if t is None else out.append(t)
+
+            sched.submit(Request(prompt_ids=list(p), max_tokens=n,
+                                 temperature=0.0, sink=sink))
+            outs.append((out, done))
+        for _ in range(600):
+            if all(not d.empty() for _, d in outs):
+                break
+            sched.step()
+        assert all(not d.empty() for _, d in outs)
+        return [o for o, _ in outs]
+
+    prompts = [list(range(3, 11)), list(range(40, 48))]
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64,
+                     prefix_cache=0)
+    plain = BatchScheduler(params, cfg, hp, backend="xla")
+    want = run_two(plain, prompts, 10)
+    plain.stop()
+
+    mesh = make_mesh({"pp": 2}, jax.devices()[:2])
+    p2 = shard_params_pp(params, mesh, cfg.llm)
+    hp2 = HyperParams(max_slots=2, batch_size=8, max_seq_len=64,
+                      prefix_cache=0, paged_pages=4, page_size=8)
+    sched = BatchScheduler(p2, cfg, hp2, backend="xla", pp_mesh=mesh)
+    got = run_two(sched, prompts, 10)
+    sched.stop()
+    assert got == want
+    assert sched.n_preemptions >= 1  # pool pressure exercised under pp
