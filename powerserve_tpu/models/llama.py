@@ -38,6 +38,15 @@ import os as _os
 # scan (see forward docstring)
 _KV_UPDATE_DEFAULT = _os.environ.get("POWERSERVE_KV_UPDATE", "inline")
 
+# MoE FFN dispatch: "grouped" sorts tokens by routed expert and runs one
+# grouped qmatmul per projection (E/k fewer FLOPs, exact — ops/moe.py);
+# "dense" runs every expert on every token (weights zeroed); "auto"
+# groups when the token batch is large enough that FLOPs dominate the
+# per-expert slab reads the padding tiles add.
+_MOE_DISPATCH = _os.environ.get("POWERSERVE_MOE_DISPATCH", "auto")
+_MOE_BLOCK_M = int(_os.environ.get("POWERSERVE_MOE_BLOCK_M", "128"))
+_MOE_GROUP_MIN = int(_os.environ.get("POWERSERVE_MOE_GROUP_MIN", "64"))
+
 
 @functools.partial(
     jax.tree_util.register_dataclass,
@@ -442,6 +451,30 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
 
                 down, _ = jax.lax.scan(sel_step, acc0,
                                        jnp.arange(llm.n_experts_used))
+            elif _MOE_DISPATCH == "grouped" or (
+                    _MOE_DISPATCH == "auto"
+                    and h2f.shape[0] >= _MOE_GROUP_MIN):
+                # grouped dispatch: sort assignments by expert, pad each
+                # expert's segment to the matmul M tile, compute ONLY
+                # routed (token, expert) pairs via per-tile expert
+                # prefetch (ops/moe.py + qmatmul_grouped) — exact, E/k
+                # fewer FFN FLOPs than dense-all-experts at prefill
+                from ..ops.moe import combine, group_dispatch
+                from ..ops.qmatmul import qmatmul_grouped
+
+                tok_p, w_p, tile_e = group_dispatch(
+                    topi, topw, moe_e_local, e_off, _MOE_BLOCK_M)
+                xg = h2f[jnp.maximum(tok_p, 0)]
+                tids = (tile_e if layer is None
+                        else layer * moe_e_local + tile_e)
+                g = qmatmul_grouped(xg, lw.w_gate_exps, tids,
+                                    block_m=_MOE_BLOCK_M, backend=backend)
+                u = qmatmul_grouped(xg, lw.w_up_exps, tids,
+                                    block_m=_MOE_BLOCK_M, backend=backend)
+                a = silu_hadamard(g, u).astype(jnp.bfloat16)
+                y = qmatmul_grouped(a, lw.w_down_exps, tids,
+                                    block_m=_MOE_BLOCK_M, backend=backend)
+                down = combine(y, tok_p, w_p, h2f.shape[0])
             else:
                 def expert_step(acc, e):
                     idx = e if layer is None else layer * moe_e_local + e

@@ -152,6 +152,20 @@ def _qmatmul_xla(x: jax.Array, lin: QLinear, compute_dtype: Any) -> jax.Array:
                    preferred_element_type=jnp.float32)
 
 
+def _qmatmul_xla_grouped(x: jax.Array, lin: QLinear, tile_ids: jax.Array,
+                         block_m: int, compute_dtype: Any) -> jax.Array:
+    """Grouped fallback: scan over M tiles, dequant one slab per tile."""
+    t = x.shape[0] // block_m
+    xt = x.reshape(t, block_m, x.shape[1])
+
+    def step(_, args):
+        xi, gid = args
+        return None, _qmatmul_xla(xi, _slice_layer(lin, gid), compute_dtype)
+
+    _, y = jax.lax.scan(step, None, (xt, tile_ids.astype(jnp.int32)))
+    return y.reshape(t * block_m, -1)
+
+
 # ---------------------------------------------------------------------------
 # Pallas MXU W8 kernel: int8 weights, per-128 scales on partial sums
 # ---------------------------------------------------------------------------
@@ -516,13 +530,26 @@ def _select_knobs(m: int, k: int, n: int) -> tuple[int, int]:
 def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
                     block_n: int | None = None, block_m: int = 256,
                     block_k: int = 2048, layer: jax.Array | None = None,
+                    tile_ids: jax.Array | None = None,
                     interpret: bool = False) -> jax.Array:
     m, k = x.shape
     n = lin.out_features
-    prefetch = layer is not None  # weights stacked [L, ...], index via SMEM
+    grouped = tile_ids is not None  # per-M-tile slab index (MoE dispatch)
+    # weights stacked [L, ...], slab picked via SMEM scalar prefetch —
+    # either one index for the whole call (layer) or one per M tile
+    # (tile_ids; grouped MoE dispatch, ops/moe.py)
+    prefetch = layer is not None or grouped
+    if grouped:
+        assert layer is None and m % block_m == 0
     bm = min(_round_up(m, 16), block_m)
     tune_bn, tune_groups = _select_knobs(m, k, n)
     bn = _pick_bn(n, block_n or tune_bn)
+
+    def _fallback():
+        if grouped:
+            return _qmatmul_xla_grouped(x, lin, tile_ids, block_m,
+                                        compute_dtype)
+        return _qmatmul_xla(x, _slice_layer(lin, layer), compute_dtype)
     # K tile: whole pack groups when packed (each group's halves split
     # with static slices in-kernel); else the largest 64-aligned divisor.
     # Mosaic constraint: the scales block's sublane dim (bk/32) must be
@@ -553,20 +580,18 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
             if not bk and k <= 8192 and k % group == 0 and _fits(k):
                 bk, n_groups = k, k // group  # single full-K tile
             if not bk:
-                return _qmatmul_xla(x, _slice_layer(lin, layer),
-                                    compute_dtype)
+                return _fallback()
         else:
             n_groups = 1
             bk = choose_pack_group(k, block_k)
             if not _tile_ok(bk) or not _fits(bk):
                 bk = k if (k <= 8192 and _fits(k)) else 0
             if not bk:
-                return _qmatmul_xla(x, _slice_layer(lin, layer),
-                                    compute_dtype)
+                return _fallback()
     except ValueError:
-        return _qmatmul_xla(x, _slice_layer(lin, layer), compute_dtype)
+        return _fallback()
     if bn is None:
-        return _qmatmul_xla(x, _slice_layer(lin, layer), compute_dtype)
+        return _fallback()
     pad_m = _round_up(m, bm) - m
     if pad_m:
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
@@ -581,14 +606,17 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
 
     nb_total = k // QK  # all scale blocks (bsum: s/b blocks span full K)
     if prefetch:
+        # slab index: L[0] for a whole-call layer, L[i] per M tile (MoE
+        # grouped dispatch — each tile's rows belong to one expert)
+        pick = (lambda i, L: L[i]) if grouped else (lambda i, L: L[0])
         q_spec = pl.BlockSpec((1, qrows, bn),
-                              lambda i, j, t, L: (L[0], t, j))
+                              lambda i, j, t, L: (pick(i, L), t, j))
         if bsum:
             s_spec = pl.BlockSpec((1, nb_total, bn),
-                                  lambda i, j, t, L: (L[0], 0, j))
+                                  lambda i, j, t, L: (pick(i, L), 0, j))
         else:
             s_spec = pl.BlockSpec((1, kb, bn),
-                                  lambda i, j, t, L: (L[0], t, j))
+                                  lambda i, j, t, L: (pick(i, L), t, j))
         x_spec = pl.BlockSpec((bm, bk), lambda i, j, t, L: (i, t))
         xb_spec = pl.BlockSpec((bm, nb_total), lambda i, j, t, L: (i, 0))
         o_spec = pl.BlockSpec((bm, bn), lambda i, j, t, L: (i, j))
@@ -643,7 +671,8 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
                 scratch_shapes=common.pop("scratch_shapes"),
             ),
             **{k2: v for k2, v in common.items() if k2 != "scratch_shapes"},
-        )(jnp.asarray(layer, jnp.int32).reshape(1), *inputs)
+        )(tile_ids.astype(jnp.int32) if grouped
+          else jnp.asarray(layer, jnp.int32).reshape(1), *inputs)
     else:
         out = pl.pallas_call(
             kernel,
@@ -704,3 +733,36 @@ def qmatmul(x: jax.Array, lin: QLinear, *, backend: str = "auto",
         return _qmatmul_pallas(x, lin, compute_dtype, layer=layer,
                                interpret=True)
     return _qmatmul_xla(x, _slice_layer(lin, layer), compute_dtype)
+
+
+def qmatmul_grouped(x: jax.Array, lin: QLinear, tile_ids: jax.Array, *,
+                    block_m: int, backend: str = "auto",
+                    compute_dtype: Any = jnp.bfloat16) -> jax.Array:
+    """Grouped quantized matmul: rows [i*block_m, (i+1)*block_m) of x
+    multiply stacked slab lin[tile_ids[i]].
+
+    The MoE top-k dispatch path (ops/moe.py): tokens sorted by routed
+    expert, each expert's segment padded to block_m, so one kernel call
+    computes only routed (token, expert) pairs — E/k fewer FLOPs than
+    dense-all-experts at prefill — while the per-tile scalar-prefetch
+    index reads only that tile's expert slab from HBM (the same
+    mechanism as the stacked-layer index; reference runs MoE as per-row
+    expert matmuls on CPU, libs/ggml mul_mat_id).
+
+    x: [P, K] with P % block_m == 0; tile_ids: int32 [P // block_m].
+    """
+    assert x.ndim == 2 and x.shape[0] % block_m == 0
+    if backend == "auto":
+        backend = "pallas" if _is_tpu() else "xla"
+    if backend == "pallas" and (lin.in_features < 512
+                                or lin.out_features % 128 != 0):
+        backend = "xla"
+    if lin.scale_group != QK:  # W8 MXU format: no grouped kernel yet
+        backend = "xla"
+    if backend == "pallas":
+        return _qmatmul_pallas(x, lin, compute_dtype, block_m=block_m,
+                               tile_ids=tile_ids)
+    if backend == "pallas_interpret":
+        return _qmatmul_pallas(x, lin, compute_dtype, block_m=block_m,
+                               tile_ids=tile_ids, interpret=True)
+    return _qmatmul_xla_grouped(x, lin, tile_ids, block_m, compute_dtype)

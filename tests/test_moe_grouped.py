@@ -1,0 +1,195 @@
+"""MoE grouped top-k dispatch (ops/moe.py + qmatmul_grouped): layout
+invariants, grouped-vs-dense forward equivalence (single device and
+expert-parallel), and the Pallas per-tile prefetch kernel in interpret
+mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import powerserve_tpu.models.llama as llama_mod
+from powerserve_tpu.core.gguf import GGMLType
+from powerserve_tpu.kv import KVCache
+from powerserve_tpu.models.llama import forward
+from powerserve_tpu.models.loader import load_gguf_model
+from powerserve_tpu.ops.moe import combine, group_dispatch
+from powerserve_tpu.ops.qmatmul import QLinear, qmatmul_grouped
+from powerserve_tpu.tools.synthetic import make_synthetic_gguf
+
+
+def test_group_dispatch_layout_invariants():
+    """Every local assignment lands exactly once in its expert's padded
+    segment; tile ownership matches the rows it covers; non-local
+    assignments drop with zero weight."""
+    rng = np.random.default_rng(0)
+    n, k, e, bm = 37, 2, 4, 8
+    n_local, e_off = 2, 1  # shard owns global experts {1, 2}
+    topi = jnp.asarray(
+        np.stack([rng.choice(e, size=k, replace=False) for _ in range(n)]),
+        jnp.int32)
+    topw = jnp.asarray(rng.random((n, k)), jnp.float32)
+    tok, w, tile_e = map(np.asarray,
+                         group_dispatch(topi, topw, n_local, e_off, bm))
+    ti, tw = np.asarray(topi), np.asarray(topw)
+
+    assert tok.shape[0] % bm == 0 and tile_e.shape[0] == tok.shape[0] // bm
+    # padding rows carry no weight
+    assert np.all(w[tok < 0] == 0.0)
+    # each LOCAL (token, expert) assignment appears exactly once, in a
+    # tile owned by its (local) expert, with its routing weight
+    seen = 0
+    for t in range(n):
+        for j in range(k):
+            el = ti[t, j] - e_off
+            rows = [r for r in np.flatnonzero(tok == t)
+                    if tile_e[r // bm] == el and w[r] == tw[t, j]]
+            if 0 <= el < n_local:
+                assert len(rows) == 1, (t, j, rows)
+                seen += 1
+    assert seen == np.sum((ti >= e_off) & (ti < e_off + n_local))
+    # every row of every tile either pads or belongs to the tile expert
+    for r in np.flatnonzero(tok >= 0):
+        row_experts = ti[tok[r]] - e_off
+        assert tile_e[r // bm] in row_experts
+
+
+def test_group_dispatch_combine_matches_dense():
+    """dispatch -> per-slab matmul -> combine == the dense weighted sum
+    over all experts (pure numpy-verifiable semantics)."""
+    rng = np.random.default_rng(1)
+    n, k, e, dim, bm = 19, 2, 4, 16, 8
+    x = jnp.asarray(rng.standard_normal((n, dim)), jnp.float32)
+    wexp = jnp.asarray(rng.standard_normal((e, dim, dim)), jnp.float32)
+    topi = jnp.asarray(
+        np.stack([rng.choice(e, size=k, replace=False) for _ in range(n)]),
+        jnp.int32)
+    topw = jnp.asarray(rng.random((n, k)), jnp.float32)
+
+    tok, w, tile_e = group_dispatch(topi, topw, e, 0, bm)
+    xg = x[jnp.maximum(tok, 0)]
+    yg = jnp.einsum("pd,pdf->pf", xg, wexp[tile_e].repeat(bm, axis=0)
+                    [: xg.shape[0]])
+    got = np.asarray(combine(yg, tok, w, n))
+
+    ref = np.zeros((n, dim), np.float32)
+    for t in range(n):
+        for j in range(k):
+            ref[t] += np.asarray(topw)[t, j] * (
+                np.asarray(x)[t] @ np.asarray(wexp)[np.asarray(topi)[t, j]])
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def _stacked_qlin(rng, e, kdim, n):
+    ws = rng.standard_normal((e, kdim, n)).astype(np.float32)
+    qs = [QLinear.from_float(w, GGMLType.Q8_0) for w in ws]
+    q0 = qs[0]
+    import dataclasses
+
+    return ws, dataclasses.replace(
+        q0, q=jnp.stack([q.q for q in qs]),
+        scales=jnp.stack([q.scales for q in qs]), bias=None)
+
+
+def test_qmatmul_grouped_matches_per_slab_xla():
+    rng = np.random.default_rng(2)
+    e, kdim, n, bm = 3, 64, 32, 16
+    ws, lin = _stacked_qlin(rng, e, kdim, n)
+    tiles = jnp.asarray([0, 2, 2, 1], jnp.int32)
+    x = jnp.asarray(rng.standard_normal((4 * bm, kdim)), jnp.bfloat16)
+    got = np.asarray(qmatmul_grouped(x, lin, tiles, block_m=bm,
+                                     backend="xla"))
+    from powerserve_tpu.ops.qmatmul import qmatmul
+
+    for i, g in enumerate(np.asarray(tiles)):
+        want = np.asarray(qmatmul(x[i * bm:(i + 1) * bm], lin,
+                                  backend="xla", layer=jnp.int32(g)))
+        np.testing.assert_allclose(got[i * bm:(i + 1) * bm], want,
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_qmatmul_grouped_pallas_interpret_matches_xla():
+    """The per-tile scalar-prefetch index map (G[i] slab pick) on the
+    real kernel, via interpret mode (shape passes the pallas gate:
+    K >= 512, N % 128 == 0)."""
+    rng = np.random.default_rng(3)
+    e, kdim, n, bm = 2, 512, 128, 16
+    _, lin = _stacked_qlin(rng, e, kdim, n)
+    tiles = jnp.asarray([1, 0, 1], jnp.int32)
+    x = jnp.asarray(rng.standard_normal((3 * bm, kdim)), jnp.float32)
+    ref = np.asarray(qmatmul_grouped(x, lin, tiles, block_m=bm,
+                                     backend="xla",
+                                     compute_dtype=jnp.float32))
+    got = np.asarray(qmatmul_grouped(x, lin, tiles, block_m=bm,
+                                     backend="pallas_interpret",
+                                     compute_dtype=jnp.float32))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 2e-5, f"rel err {rel}"
+
+
+@pytest.fixture(scope="module")
+def moe_ws(tmp_path_factory):
+    out = tmp_path_factory.mktemp("moe_grouped")
+    make_synthetic_gguf(out, "tiny-moe", GGMLType.Q8_0, seed=7,
+                        seq_len=128)
+    return out
+
+
+def test_moe_forward_grouped_matches_dense(moe_ws, monkeypatch):
+    """forward() with POWERSERVE_MOE_DISPATCH=grouped reproduces the
+    dense-all-experts logits (exact same (token, expert) pairs, only
+    the summation grouping differs)."""
+    cfg, params = load_gguf_model(moe_ws / "model")
+    llm = cfg.llm
+    rng = np.random.default_rng(5)
+    T = 9
+    tokens = jnp.asarray(rng.integers(0, llm.vocab_size, (2, T)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (2, T))
+
+    def run(mode):
+        monkeypatch.setattr(llama_mod, "_MOE_DISPATCH", mode)
+        kv = KVCache.create(llm.n_layers, 2, 32, llm.n_kv_heads,
+                            llm.head_size, dtype="int8")
+        logits, _ = forward(params, llm, kv, tokens, pos, backend="xla",
+                            logits_mode="all")
+        return np.asarray(logits)
+
+    dense, grouped = run("dense"), run("grouped")
+    np.testing.assert_allclose(grouped, dense, rtol=1e-3, atol=2e-3)
+    assert np.corrcoef(grouped.ravel(), dense.ravel())[0, 1] > 0.9999
+
+
+def test_moe_grouped_expert_parallel(moe_ws, monkeypatch):
+    """Grouped dispatch inside the ep shard_map: each shard groups only
+    its local routed assignments; psum of disjoint contributions equals
+    the single-device dense forward."""
+    from powerserve_tpu.parallel import make_mesh
+    from powerserve_tpu.parallel.tp import (
+        shard_kv_tp,
+        shard_params_tp,
+        tp_forward,
+    )
+
+    cfg, params = load_gguf_model(moe_ws / "model", stacked=True)
+    llm = cfg.llm
+    S, T = 2, 7
+    rng = np.random.default_rng(6)
+    tokens = jnp.asarray(rng.integers(0, llm.vocab_size, (S, T)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (S, T))
+
+    kv0 = KVCache.create(llm.n_layers, S, 32, llm.n_kv_heads,
+                         llm.head_size, dtype="int8")
+    ref, _ = forward(params, llm, kv0, tokens, pos, backend="xla",
+                     logits_mode="all")
+
+    monkeypatch.setattr(llama_mod, "_MOE_DISPATCH", "grouped")
+    mesh = make_mesh({"ep": 2}, jax.devices()[:2])
+    p2 = shard_params_tp(params, mesh, llm)
+    kv2 = shard_kv_tp(KVCache.create(llm.n_layers, S, 32, llm.n_kv_heads,
+                                     llm.head_size, dtype="int8"), mesh)
+    got, _ = tp_forward(p2, llm, kv2, tokens, pos, mesh=mesh,
+                        backend="xla", logits_mode="all")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-3)
+    assert np.corrcoef(np.asarray(got).ravel(),
+                       np.asarray(ref).ravel())[0, 1] > 0.999
