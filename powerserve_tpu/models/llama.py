@@ -33,10 +33,12 @@ from ..ops.qmatmul import QLinear, qmatmul
 
 import os as _os
 
-# decode-path default for forward(kv_update=None): measured on-TPU per
-# shape; "deferred" avoids per-layer cache-slab copies inside the layer
-# scan (see forward docstring)
-_KV_UPDATE_DEFAULT = _os.environ.get("POWERSERVE_KV_UPDATE", "inline")
+# default for forward(kv_update=None): "auto" routes by shape —
+# measured on-TPU (8B Q4_K, marginal method, fresh processes x2):
+# deferred wins decode (70.9 vs 68.5 tok/s; no per-layer cache-slab
+# copies inside the layer scan), inline wins prefill (6.3k vs 5.7k
+# tok/s; the post-scan batched scatter re-reads the big new-KV block)
+_KV_UPDATE_DEFAULT = _os.environ.get("POWERSERVE_KV_UPDATE", "auto")
 
 # MoE FFN dispatch: "grouped" sorts tokens by routed expert and runs one
 # grouped qmatmul per projection (E/k fewer FLOPs, exact — ops/moe.py);
@@ -171,9 +173,12 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
                  them as an in-flight block past the cache, and ONE
                  batched scatter after the scan commits all layers
                  (avoids per-layer slab copies XLA materializes for
-                 scatters on loop-sliced cache slabs). None -> the
-                 POWERSERVE_KV_UPDATE env default. Falls back to inline
-                 for vis_override / float-cache / unrolled layers.
+                 scatters on loop-sliced cache slabs); "auto" — deferred
+                 at decode-sized Tq (<= 16), inline otherwise (the
+                 measured winner per shape). None -> the
+                 POWERSERVE_KV_UPDATE env default ("auto"). Falls back
+                 to inline for vis_override / float-cache / unrolled
+                 layers.
     tp_axis: when called inside a shard_map over a mesh axis of that
                  name (parallel/tp.py), params hold LOCAL tensor-
                  parallel shards and cfg holds LOCAL head counts; the
@@ -266,6 +271,8 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         pg_idx, pg_off = kv.locate(cache_positions)
     if kv_update is None:
         kv_update = _KV_UPDATE_DEFAULT
+    if kv_update == "auto":  # decode-sized queries defer, prefill inlines
+        kv_update = "deferred" if Tq <= 16 else "inline"
     deferred = (kv_update == "deferred" and vis_override is None
                 and quantized and sp_axis is None and not paged
                 and not isinstance(params.layers, (tuple, list)))
