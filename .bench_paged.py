@@ -73,8 +73,7 @@ for S, T, page in [(1, 1024, 256), (8, 1024, 256), (1, 4096, 256),
     pos = T - 128
     d = marginal(lambda: mk_dense(S, T, pos), S, T, pos, "auto")
     p = marginal(lambda: mk_paged(S, T, pos, page), S, T, pos, "xla")
-    pf = marginal(lambda: mk_paged(S, T, pos, page), S, T, pos, "auto") \
-        if T >= 2048 else float("nan")
+    pf = marginal(lambda: mk_paged(S, T, pos, page), S, T, pos, "auto")
     print(f"S={S} T={T:5d} page={page:3d}: dense {d:8.1f}  "
           f"paged-gather {p:8.1f}  paged-flash {pf:8.1f} us/step",
           flush=True)

@@ -342,7 +342,12 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             v_l = PagedKVCache.scatter_slab(v_l, vq, pg_idx, pg_off)
             ks_l = PagedKVCache.scatter_slab(ks_l, ks, pg_idx, pg_off)
             vs_l = PagedKVCache.scatter_slab(vs_l, vsc, pg_idx, pg_off)
-            route_flash = (Tq == 1 and kv.max_seq >= 2048
+            # decode always takes the paged-flash kernel: the XLA
+            # alternative materializes the gathered view per layer —
+            # measured 100-130 ms/step vs ~dense-parity for the kernel
+            # (.bench_paged.py; the old T>=2048 gate was inherited from
+            # the DENSE flash-vs-XLA crossover, irrelevant here)
+            route_flash = (Tq == 1
                            and backend in ("auto", "pallas",
                                            "pallas_interpret"))
             if route_flash and (backend == "pallas_interpret"
