@@ -16,7 +16,7 @@ def make(S, T, Tq, start, seed=0):
     ks = jax.random.uniform(k[3], (S, Hkv, T), jnp.float32, 0.01, 0.02)
     vs = jax.random.uniform(k[4], (S, Hkv, T), jnp.float32, 0.01, 0.02)
     col = jnp.arange(T)[None, :]
-    cache_mask = col < start
+    cache_mask = jnp.broadcast_to(col < start, (S, T))
     starts = jnp.full((S,), start, jnp.int32)
     positions = start + jnp.arange(Tq)[None, :] + jnp.zeros((S, 1), jnp.int32)
     vis = build_visibility(cache_mask, positions, None)

@@ -235,11 +235,11 @@ class BatchScheduler:
         if pp_mesh is not None:
             # pipeline-parallel serving (parallel/pp.py): params must
             # already be sharded by shard_params_pp; the kv created
-            # above shards its layer axis here. Plain decode/prefill
-            # only — speculation/mm/paged compose with pp later.
+            # above shards its layer axis here. Plain + multimodal
+            # decode/prefill — speculation composes with pp later.
             assert draft_params is None and eagle_params is None \
-                and mm_dim == 0 and mesh is None, \
-                "pp serving composes with plain decode (+ paged) only"
+                and mesh is None, \
+                "pp serving composes with plain/mm decode (+ paged) only"
             from ..parallel.pp import shard_kv_pp
 
             self.kv = shard_kv_pp(self.kv, pp_mesh)
@@ -326,17 +326,31 @@ class BatchScheduler:
         def prefill_chunk(params, kv, tokens, positions, active):
             return step_fwd(params, kv, tokens, positions, active, "none")
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def mm_prefill_chunk(params, kv, tokens, positions, active,
-                             embeds, use_embeds):
-            """Prefill with per-slot embedding overlay: slots flagged in
-            use_embeds take their rows from `embeds` (vision features at
-            image-token positions); the rest use the embedding table."""
-            x = params.embed.lookup(tokens).astype(jnp.bfloat16)
-            x = jnp.where(use_embeds[:, None, None],
-                          embeds.astype(jnp.bfloat16), x)
-            return forward(params, llm, kv, tokens, positions, active=active,
-                           backend=backend, logits_mode="none", embeds=x)
+        if self.pp_mesh is not None:
+            from ..parallel.pp import pp_forward as _ppf
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def mm_prefill_chunk(params, kv, tokens, positions, active,
+                                 embeds, use_embeds):
+                """Embedding-overlay prefill through the pipeline: the
+                overlay happens on stage 0 inside pp_forward."""
+                return _ppf(params, llm, kv, tokens, positions,
+                            mesh=self.pp_mesh, active=active,
+                            backend=backend, logits_mode="none",
+                            embeds=embeds, use_embeds=use_embeds)
+        else:
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def mm_prefill_chunk(params, kv, tokens, positions, active,
+                                 embeds, use_embeds):
+                """Prefill with per-slot embedding overlay: slots flagged in
+                use_embeds take their rows from `embeds` (vision features at
+                image-token positions); the rest use the embedding table."""
+                x = params.embed.lookup(tokens).astype(jnp.bfloat16)
+                x = jnp.where(use_embeds[:, None, None],
+                              embeds.astype(jnp.bfloat16), x)
+                return forward(params, llm, kv, tokens, positions,
+                               active=active, backend=backend,
+                               logits_mode="none", embeds=x)
 
         horizon = max(int(getattr(self.hp, "decode_horizon", 1)), 1)
 

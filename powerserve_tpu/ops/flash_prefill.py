@@ -66,7 +66,9 @@ def _kernel(start_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, mask_ref,
     kx = k_ref[0, 0]  # [C, D] int8
     ksx = ks_ref[0, 0, 0]  # [1, C] f32
     vsx = vs_ref[0, 0, 0]
-    mrow = mask_ref[0, 0]  # [1, C] uint8 committed-visibility
+    mrow = mask_ref[0, 0]  # [1, C] int32 committed-visibility (Mosaic
+    # rejects unsigned-i8 vector compares — "Target does not support
+    # this comparison" — so the host ships int32)
 
     s_c = jax.lax.dot_general(
         qx, kx.astype(qx.dtype),
@@ -143,7 +145,7 @@ def flash_prefill_quant(q: jax.Array, kq: jax.Array, ks: jax.Array,
           .reshape(S, Hkv, nq, R, D).astype(jnp.bfloat16))
     ksc = ks.reshape(S, Hkv, nc, 1, C).astype(jnp.float32)
     vsc = vs.reshape(S, Hkv, nc, 1, C).astype(jnp.float32)
-    maskc = cache_mask.reshape(S, nc, 1, C).astype(jnp.uint8)
+    maskc = cache_mask.reshape(S, nc, 1, C).astype(jnp.int32)
 
     kernel = functools.partial(_kernel, n_chunks=nc, G=G, Qb=Qb, C=C,
                                T_real=T_real, scale=scale)

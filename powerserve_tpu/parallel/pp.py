@@ -109,21 +109,32 @@ def shard_kv_pp(kv: KVCache, mesh: Mesh) -> KVCache:
 def pp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
                tokens: jax.Array, positions: jax.Array, *,
                mesh: Mesh, active: jax.Array | None = None,
-               backend: str = "auto", logits_mode: str = "last"):
+               backend: str = "auto", logits_mode: str = "last",
+               embeds: jax.Array | None = None,
+               use_embeds: jax.Array | None = None):
     """Pipelined forward: logits (replicated), updated kv (layer-
     sharded). Single microbatch — pp phases, one stage live per phase.
+
+    embeds/use_embeds: optional per-slot embedding overlay (the VLM
+    prefill path — scheduler mm_prefill_chunk): slots flagged in
+    use_embeds [S] take their stage-0 input rows from embeds
+    [S, Tq, dim] (replicated over pp) instead of the token table.
     """
     pp = mesh.shape["pp"]
     pspecs = pp_param_specs(params)
     kspecs = pp_kv_specs(kv)
     act_spec = None if active is None else P()
+    emb_spec = None if embeds is None else P()
     S = tokens.shape[0]
 
-    def body(params, kv, tokens, positions, active):
+    def body(params, kv, tokens, positions, active, embeds, use_embeds):
         params = _localize_params(params)
         s = jax.lax.axis_index("pp")
         act = jnp.ones(S, bool) if active is None else active
         x0 = params.embed.lookup(tokens).astype(jnp.bfloat16)
+        if embeds is not None:
+            x0 = jnp.where(use_embeds[:, None, None],
+                           embeds.astype(jnp.bfloat16), x0)
 
         def phase(carry, p):
             x_res, x_final, kv = carry
@@ -162,10 +173,10 @@ def pp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
 
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(pspecs, kspecs, P(), P(), act_spec),
+        in_specs=(pspecs, kspecs, P(), P(), act_spec, emb_spec, emb_spec),
         out_specs=(P(), kspecs),
         check_vma=False)
-    return f(params, kv, tokens, positions, active)
+    return f(params, kv, tokens, positions, active, embeds, use_embeds)
 
 
 @functools.partial(jax.jit,

@@ -223,3 +223,56 @@ def test_pp_paged_scheduler_matches_plain():
     sched.stop()
     assert got == want
     assert sched.n_preemptions >= 1  # pool pressure exercised under pp
+
+
+def test_pp_mm_scheduler_matches_plain():
+    """Multimodal (embedding-overlay) prefill through the pipeline:
+    pp_forward's stage-0 overlay must reproduce the plain mm
+    scheduler's greedy output exactly (VLM x pp composition)."""
+    import queue as _q
+    import tempfile
+
+    from powerserve_tpu.core.config import HyperParams
+    from powerserve_tpu.core.gguf import GGMLType
+    from powerserve_tpu.engine.scheduler import BatchScheduler, Request
+    from powerserve_tpu.models.loader import load_gguf_model
+    from powerserve_tpu.parallel.pp import shard_params_pp
+    from powerserve_tpu.tools.synthetic import make_synthetic_gguf
+
+    with tempfile.TemporaryDirectory() as td:
+        make_synthetic_gguf(td, "tiny", GGMLType.Q8_0, seed=0, seq_len=128)
+        cfg, params = load_gguf_model(td + "/model")
+    dim = cfg.llm.dim
+
+    prompt = list(range(3, 11))
+    rng = np.random.default_rng(5)
+    embeds = rng.standard_normal((len(prompt), dim)).astype(np.float32)
+
+    def run_req(sched):
+        out, done = [], _q.Queue()
+
+        def sink(t):
+            done.put(True) if t is None else out.append(t)
+
+        sched.submit(Request(prompt_ids=list(prompt), max_tokens=8,
+                             temperature=0.0, embeds=embeds, sink=sink))
+        for _ in range(400):
+            if not done.empty():
+                break
+            sched.step()
+        assert not done.empty()
+        return out
+
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64,
+                     prefix_cache=0)
+    plain = BatchScheduler(params, cfg, hp, backend="xla", mm_dim=dim)
+    want = run_req(plain)
+    plain.stop()
+
+    mesh = make_mesh({"pp": 2}, jax.devices()[:2])
+    p2 = shard_params_pp(params, mesh, cfg.llm)
+    sched = BatchScheduler(p2, cfg, hp, backend="xla", mm_dim=dim,
+                           pp_mesh=mesh)
+    got = run_req(sched)
+    sched.stop()
+    assert got == want, (got, want)
