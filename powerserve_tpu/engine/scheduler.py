@@ -39,6 +39,11 @@ class Request:
     top_k: int = 40
     top_p: float = 0.95
     penalty_repeat: float = 1.0
+    # subtractive OpenAI-style penalties over the recent-token window
+    # (sampling/sampler.py sample_dist_batched; reference
+    # sampler.cpp:76-150 freq/present semantics)
+    penalty_freq: float = 0.0
+    penalty_present: float = 0.0
     stop_ids: set[int] = field(default_factory=set)
     # explicit per-request seed (OpenAI `seed`): the slot gets its own
     # PRNG key chain, so the sample stream reproduces regardless of
@@ -151,7 +156,7 @@ class BatchScheduler:
                  draft_params: LlamaParams | None = None,
                  draft_llm=None, spec_k: int = 0, mesh=None,
                  eagle_params=None, eagle_llm=None, mm_dim: int = 0,
-                 pp_mesh=None):
+                 pp_mesh=None, tp_mesh=None):
         """draft_params/draft_llm: enable BATCHED chain speculation —
         every decode tick drafts a k-chain per active slot (one batched
         draft scan), verifies all slots in one target forward, and
@@ -174,7 +179,16 @@ class BatchScheduler:
         injected); the prefill jit overlays them per slot, so VLM
         requests COMPOSE with continuous batching (the reference's VLM
         is single-stream NPU-only, internvl_model.cpp). Incompatible
-        with speculation."""
+        with speculation.
+
+        tp_mesh: SHARD_MAP tensor-parallel serving (parallel/tp.py) —
+        every step (prefill/decode/mm/spec scans) runs inside a
+        shard_map over the (dp, tp) mesh with the fused Pallas dequant
+        kernel on each shard's local weights, instead of the GSPMD
+        `mesh` path's backend="xla" fallback. params (and draft_params)
+        must already be laid out by parallel.tp.shard_params_tp.
+        Constraints: eagle unsupported (use `mesh`); paged pool needs
+        dp == sp == 1; spec needs sp == 1."""
         self.params = params
         self.cfg = cfg
         self.hp = hp or HyperParams()
@@ -243,6 +257,27 @@ class BatchScheduler:
             from ..parallel.pp import shard_kv_pp
 
             self.kv = shard_kv_pp(self.kv, pp_mesh)
+        self.tp_mesh = tp_mesh
+        if tp_mesh is not None:
+            # shard_map tensor-parallel serving: the KV cache shards kv
+            # heads over "tp" / slots over "dp" with EXPLICIT specs;
+            # every jitted step wraps the forward in a shard_map so the
+            # Pallas kernel runs per-shard (parallel/tp.py docstring).
+            assert mesh is None and pp_mesh is None, \
+                "tp_mesh excludes the GSPMD mesh and pp_mesh paths"
+            assert eagle_params is None, \
+                "EAGLE x shard_map tp is unsupported; use the GSPMD mesh"
+            from ..parallel.tp import shard_kv_tp
+
+            if self.pool is not None:
+                assert tp_mesh.shape.get("dp", 1) == 1 \
+                    and tp_mesh.shape.get("sp", 1) == 1, \
+                    "paged pool x tp_mesh requires dp == sp == 1"
+            if self.d_kv is not None:
+                assert tp_mesh.shape.get("sp", 1) == 1, \
+                    "speculation x tp_mesh requires sp == 1"
+                self.d_kv = shard_kv_tp(self.d_kv, tp_mesh)
+            self.kv = shard_kv_tp(self.kv, tp_mesh)
         self.mesh = mesh
         if mesh is not None:
             # multichip serving (GSPMD): params must already be sharded
@@ -316,6 +351,15 @@ class BatchScheduler:
                 return pp_forward(params, llm, kv, tokens, positions,
                                   mesh=pp_mesh, active=active,
                                   backend=backend, logits_mode=mode)
+        elif self.tp_mesh is not None:
+            from ..parallel.tp import tp_forward
+
+            tp_mesh = self.tp_mesh
+
+            def step_fwd(params, kv, tokens, positions, active, mode):
+                return tp_forward(params, llm, kv, tokens, positions,
+                                  mesh=tp_mesh, active=active,
+                                  backend=backend, logits_mode=mode)
         else:
             def step_fwd(params, kv, tokens, positions, active, mode):
                 return forward(params, llm, kv, tokens, positions,
@@ -338,6 +382,19 @@ class BatchScheduler:
                             mesh=self.pp_mesh, active=active,
                             backend=backend, logits_mode="none",
                             embeds=embeds, use_embeds=use_embeds)
+        elif self.tp_mesh is not None:
+            from ..parallel.tp import tp_forward as _tpf
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def mm_prefill_chunk(params, kv, tokens, positions, active,
+                                 embeds, use_embeds):
+                """Embedding-overlay prefill inside the shard_map (the
+                overlay runs per-shard after the vocab-sharded lookup,
+                parallel/tp.py tp_forward embeds path)."""
+                return _tpf(params, llm, kv, tokens, positions,
+                            mesh=self.tp_mesh, active=active,
+                            backend=backend, logits_mode="none",
+                            embeds=embeds, use_embeds=use_embeds)
         else:
             @functools.partial(jax.jit, donate_argnums=(1,))
             def mm_prefill_chunk(params, kv, tokens, positions, active,
@@ -358,7 +415,7 @@ class BatchScheduler:
 
         @functools.partial(jax.jit, donate_argnums=(1, 3))
         def decode_all(params, kv, tokens, penalty, rngs, active,
-                       temp, top_k, top_p, pen_rep):
+                       temp, top_k, top_p, pen_rep, pen_freq, pen_pres):
             """`horizon` decode steps in one device dispatch; tokens past
             a slot's stop are discarded host-side (the slot resets, so no
             KV fixup is needed). rngs: per-slot raw keys [S, 2]. Also
@@ -377,7 +434,8 @@ class BatchScheduler:
                 rngs, subs = split[:, 0], split[:, 1]
                 nxt = sample_logits_batched(
                     subs[0], logits, temp, top_k, top_p, state=penalty,
-                    penalty_repeat=pen_rep, vocab_size=vocab, keys=subs
+                    penalty_repeat=pen_rep, penalty_freq=pen_freq,
+                    penalty_present=pen_pres, vocab_size=vocab, keys=subs
                 ).astype(jnp.int32)
                 penalty = penalty.push(nxt, active)
                 lf = logits.astype(jnp.float32)[:, :vocab]
@@ -413,16 +471,32 @@ class BatchScheduler:
         # constants (catastrophic compile + HBM duplication, and for
         # self-drafting it would duplicate the whole target model)
 
-        @functools.partial(jax.jit, donate_argnums=(2, 3))
-        def spec_prefill_chunk(params, dparams, kv, d_kv, tokens,
-                               positions, active):
-            _, kv = forward(params, llm, kv, tokens, positions,
-                            active=active, backend=backend,
-                            logits_mode="none")
-            _, d_kv = forward(dparams, d_llm, d_kv, tokens, positions,
-                              active=active, backend=backend,
-                              logits_mode="none")
-            return kv, d_kv
+        if self.tp_mesh is not None:
+            from ..parallel.tp import tp_forward as _tpf
+
+            tp_mesh = self.tp_mesh
+
+            @functools.partial(jax.jit, donate_argnums=(2, 3))
+            def spec_prefill_chunk(params, dparams, kv, d_kv, tokens,
+                                   positions, active):
+                _, kv = _tpf(params, llm, kv, tokens, positions,
+                             mesh=tp_mesh, active=active,
+                             backend=backend, logits_mode="none")
+                _, d_kv = _tpf(dparams, d_llm, d_kv, tokens, positions,
+                               mesh=tp_mesh, active=active,
+                               backend=backend, logits_mode="none")
+                return kv, d_kv
+        else:
+            @functools.partial(jax.jit, donate_argnums=(2, 3))
+            def spec_prefill_chunk(params, dparams, kv, d_kv, tokens,
+                                   positions, active):
+                _, kv = forward(params, llm, kv, tokens, positions,
+                                active=active, backend=backend,
+                                logits_mode="none")
+                _, d_kv = forward(dparams, d_llm, d_kv, tokens, positions,
+                                  active=active, backend=backend,
+                                  logits_mode="none")
+                return kv, d_kv
 
         self.spec_horizon = max(int(getattr(self.hp, "spec_horizon", 1)), 1)
         # speculation topology: hp.spec_tree widths, or a spec_k-chain.
@@ -672,6 +746,12 @@ class BatchScheduler:
                     slot.prefill_off = n
                     log.debug(f"req {req.id}: prefix cache hit ({n} tok)")
             self.penalty = self.penalty.reset_slot(i)
+            if (req.penalty_repeat != 1.0 or req.penalty_freq
+                    or req.penalty_present):
+                # penalties count PROMPT tokens too (reference
+                # RepeatPenalty accepts prompt tokens during prefill;
+                # same as the single-stream engine, generator.py)
+                self.penalty = self.penalty.seed_slot(i, req.prompt_ids)
             seed = req.seed if req.seed is not None \
                 else self.hp.sampler.seed + req.id * 7919 + i
             self.rngs = self.rngs.at[i].set(jax.random.PRNGKey(seed))
@@ -800,7 +880,28 @@ class BatchScheduler:
         common = dict(active=jnp.asarray(active), rngs=self.rngs,
                       temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
                       top_p=jnp.asarray(top_p))
-        if tpl.n_nodes == tpl.max_depth + 1:  # pure chain
+        if self.tp_mesh is not None:
+            # spec x shard_map tp: the whole scan runs in one shard_map
+            # so each shard's Pallas kernel sees local weights
+            from ..parallel.tp import tp_chain_spec_scan, tp_tree_spec_scan
+
+            if tpl.n_nodes == tpl.max_depth + 1:  # pure chain
+                (emitted_d, counts, self.kv, self.d_kv, next_tok,
+                 self.rngs) = tp_chain_spec_scan(
+                    self.params, self.dparams, self.kv, self.d_kv,
+                    jnp.asarray(tokens), self.cfg.llm, self.d_llm,
+                    self.spec_horizon, tpl.max_depth, self.tp_mesh,
+                    self.backend, **common)
+            else:
+                (emitted_d, counts, self.kv, self.d_kv, next_tok,
+                 self.rngs) = tp_tree_spec_scan(
+                    self.params, self.dparams, self.kv, self.d_kv,
+                    jnp.asarray(tokens), self.cfg.llm, self.d_llm,
+                    self.spec_horizon, tpl.key(), self.tp_mesh,
+                    self.backend,
+                    sample="wor" if getattr(self.hp, "spec_wor", False)
+                    else True, **common)
+        elif tpl.n_nodes == tpl.max_depth + 1:  # pure chain
             kk = tpl.max_depth
             (emitted_d, counts, self.kv, self.d_kv, next_tok,
              self.rngs) = chain_spec_sample_scan(
@@ -945,6 +1046,8 @@ class BatchScheduler:
         top_k = np.zeros(self.S, np.int32)
         top_p = np.ones(self.S, np.float32)
         pen = np.ones(self.S, np.float32)
+        pfreq = np.zeros(self.S, np.float32)
+        ppres = np.zeros(self.S, np.float32)
         for i in decoding:
             s = self.slots[i]
             tokens[i] = s.cur_token
@@ -953,11 +1056,14 @@ class BatchScheduler:
             top_k[i] = s.req.top_k
             top_p[i] = s.req.top_p
             pen[i] = s.req.penalty_repeat
+            pfreq[i] = s.req.penalty_freq
+            ppres[i] = s.req.penalty_present
         (toks, lps, top_i, top_lp, self.kv, self.penalty,
          self.rngs) = self._decode_all(
             self.params, self.kv, jnp.asarray(tokens),
             self.penalty, self.rngs, jnp.asarray(active), jnp.asarray(temp),
-            jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(pen))
+            jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(pen),
+            jnp.asarray(pfreq), jnp.asarray(ppres))
         # ONE batched host fetch: over a remote-TPU link every
         # np.asarray is its own ~0.1-1s round trip, and this tick needs
         # five results (CLAUDE.md tunnel quirks)

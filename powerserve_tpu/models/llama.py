@@ -274,7 +274,7 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     if kv_update == "auto":  # decode-sized queries defer, prefill inlines
         kv_update = "deferred" if Tq <= 16 else "inline"
     deferred = (kv_update == "deferred" and vis_override is None
-                and quantized and sp_axis is None and not paged
+                and quantized and sp_axis is None
                 and not isinstance(params.layers, (tuple, list)))
     if deferred:
         # in-flight visibility: intra mask with padded/OOB lanes' columns
@@ -331,7 +331,40 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             return cache_s.at[:, pos_s].set(new_s.astype(cache_s.dtype),
                                             mode="drop")
 
-        if paged:
+        if paged and deferred:
+            # deferred paged decode: NO per-layer pool scatter (slab
+            # updates inside the scan force XLA to copy the loop-sliced
+            # pool slab every layer — the measured +33-44% S=8 paged
+            # overhead, CLAUDE.md r2s4 A/B). The committed pages stream
+            # through the paged flash kernel in STATE mode; this step's
+            # K/V ride as a second softmax partition merged in XLA, and
+            # one post-scan scatter commits all layers.
+            kq, ks = KVCache.quantize_kv(knew)
+            vq, vsc = KVCache.quantize_kv(vnew)
+            kqh = kq.transpose(0, 2, 1, 3)  # [S, Hkv, Tq, D]
+            vqh = vq.transpose(0, 2, 1, 3)
+            ksh = ks.transpose(0, 2, 1)  # [S, Hkv, Tq]
+            vsh = vsc.transpose(0, 2, 1)
+            route_flash = backend in ("auto", "pallas",
+                                      "pallas_interpret")
+            if route_flash and (backend == "pallas_interpret"
+                                or jax.default_backend() == "tpu"):
+                from ..ops.flash_decode import flash_decode_paged_deferred
+
+                vis_c = jnp.broadcast_to(kv.mask[:, None, :],
+                                         (S, Tq, kv.mask.shape[1]))
+                attn = flash_decode_paged_deferred(
+                    q, k_l, ks_l, v_l, vs_l, kv.page_table, vis_c,
+                    kqh, ksh, vqh, vsh, intra_vis_new, scale,
+                    kv.page_size,
+                    interpret=backend == "pallas_interpret")
+            else:
+                attn = gqa_attention_quant_deferred(
+                    q, kv.gather_slab(k_l), kv.gather_slab(ks_l),
+                    kv.gather_slab(v_l), kv.gather_slab(vs_l), kv.mask,
+                    kqh, ksh, vqh, vsh, intra_vis_new, scale)
+            k_l, v_l, ks_l, vs_l = kqh, vqh, ksh, vsh
+        elif paged:
             # paged pool: scatter through the page table, then gather a
             # dense per-slot view for attention (one whole-page gather
             # per layer; the Pallas paged-decode path can scalar-
@@ -568,7 +601,22 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         k_new, v_new, ks_new, vs_new = ys[:4]
         if return_hidden:
             hidden = ys[4]
-        if deferred:
+        if deferred and paged:
+            # one batched scatter commits every layer's in-flight K/V
+            # into the pool via the page table ([L, S, Hkv, Tq, ...]
+            # at (pg_idx, pg_off); page id == n_pages drops)
+            def commit_pool(slab, new):
+                vals = jnp.swapaxes(new, 2, 3)  # [L, S, Tq, Hkv, ...]
+                return jax.vmap(PagedKVCache.scatter_slab,
+                                in_axes=(0, 0, None, None))(
+                    slab, vals, pg_idx, pg_off)
+
+            kv = _dc.replace(kv,
+                             k=commit_pool(kv.k, k_new),
+                             v=commit_pool(kv.v, v_new),
+                             k_scale=commit_pool(kv.k_scale, ks_new),
+                             v_scale=commit_pool(kv.v_scale, vs_new))
+        elif deferred:
             # one batched scatter commits every layer's in-flight K/V:
             # stacked new [L, S, Hkv, Tq, ...] into cache [L, S, Hkv, T, ...]
             safe_pos = jnp.where(

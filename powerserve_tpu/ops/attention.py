@@ -105,14 +105,20 @@ def gqa_attention_quant(q: jax.Array, kq: jax.Array, ks: jax.Array,
 
     prefill_start/cache_mask: the standard-prefill contiguity facts
     ([S] write offsets + [S, T] committed mask) that let the Pallas
-    flash-prefill kernel compute visibility in-kernel; routed there
-    when POWERSERVE_FLASH_PREFILL enables it (unmeasured on TPU yet).
+    flash-prefill kernel compute visibility in-kernel. Auto-routing
+    (measured r2s4, flash_prefill.py docstring): ONLY the batched
+    small-Tq bucket S >= 8 and 32 <= Tq <= 128 wins there (308 vs
+    392 us at S=8/Tq=128/T=1024); every other prefill shape stays on
+    the MXU-efficient XLA path. POWERSERVE_FLASH_PREFILL=1 forces the
+    kernel everywhere its contiguity facts hold (re-benchmarks).
     """
     S, Tq, H, D = q.shape
     Hkv, T = kq.shape[1], kq.shape[2]
     G = H // Hkv
     if (prefill_start is not None and cache_mask is not None
-            and Tq >= 32 and _FLASH_PREFILL in ("1", "interpret")
+            and Tq >= 32
+            and (_FLASH_PREFILL in ("1", "interpret")
+                 or (S >= 8 and Tq <= 128))
             and backend in ("auto", "pallas", "pallas_interpret")):
         interp = (_FLASH_PREFILL == "interpret"
                   or backend == "pallas_interpret")

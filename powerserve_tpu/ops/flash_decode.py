@@ -51,7 +51,7 @@ NEG_INF = -1e30
 
 def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, vb_ref, o_ref,
             m_sc, l_sc, acc, *, n_chunks: int, Hkv: int, G: int, Tq: int,
-            C: int, scale: float):
+            C: int, scale: float, m_ref=None, l_ref=None):
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -98,9 +98,17 @@ def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, vb_ref, o_ref,
 
     @pl.when(c == n_chunks - 1)
     def _():
-        l = l_sc[...][:, :1]
-        safe = jnp.where(l > 0, l, 1.0)
-        o_ref[0] = (acc[...] / safe).astype(o_ref.dtype)
+        if m_ref is not None:
+            # state mode: unnormalized accumulator + (m, l) out — the
+            # caller merges another softmax partition (the deferred
+            # in-flight K/V block) before normalizing
+            o_ref[0] = acc[...].astype(o_ref.dtype)
+            m_ref[0] = m_sc[...].astype(m_ref.dtype)
+            l_ref[0] = l_sc[...].astype(l_ref.dtype)
+        else:
+            l = l_sc[...][:, :1]
+            safe = jnp.where(l > 0, l, 1.0)
+            o_ref[0] = (acc[...] / safe).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "chunk", "interpret"))
@@ -170,12 +178,13 @@ def flash_decode_quant(q: jax.Array, kq: jax.Array, ks: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("scale", "page_size", "interpret"))
+                   static_argnames=("scale", "page_size", "interpret",
+                                    "state"))
 def flash_decode_paged(q: jax.Array, k_pool: jax.Array, ks_pool: jax.Array,
                        v_pool: jax.Array, vs_pool: jax.Array,
                        page_table: jax.Array, visibility: jax.Array,
                        scale: float, page_size: int,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False, state: bool = False):
     """Flash-decode directly over the PAGED pool (kv/paged.py): the
     page table rides as a scalar-prefetch operand and each T-chunk's
     BlockSpec index_map dereferences it — chunk == page, so the kernel
@@ -187,7 +196,14 @@ def flash_decode_paged(q: jax.Array, k_pool: jax.Array, ks_pool: jax.Array,
     ks_pool/vs_pool: [P, Hkv, page] f32; page_table: [S, MP] int32
     (entries may be P = unallocated — clipped here, masked by
     visibility); visibility: [S, Tq, MP * page] bool.
-    Returns [S, Tq, H*D] f32. Same kernel as flash_decode_quant."""
+    Returns [S, Tq, H*D] f32. Same kernel as flash_decode_quant.
+
+    state=True: returns the UNNORMALIZED softmax partition
+    (o [S, R, D], m [S, R], l [S, R]) with rows R = (h, g, tq)
+    tq-minor — the deferred-KV path merges the in-flight block's
+    partition in XLA before normalizing (forward() paged decode defers
+    all pool scatters to one post-scan commit; per-layer scatters on
+    loop-sliced pool slabs were the measured +33-44% S=8 overhead)."""
     S, Tq, H, D = q.shape
     P, Hkv, C = k_pool.shape[0], k_pool.shape[1], page_size
     MP = page_table.shape[1]
@@ -208,9 +224,27 @@ def flash_decode_paged(q: jax.Array, k_pool: jax.Array, ks_pool: jax.Array,
                           ).reshape(S, nc, Tq, cols)
     pt = jnp.minimum(page_table, P - 1).astype(jnp.int32)
 
-    def kernel(pt_ref, *args):
-        # the prefetched page table is consumed by the index_maps only
-        _kernel(*args, n_chunks=nc, Hkv=Hkv, G=G, Tq=Tq, C=C, scale=scale)
+    if state:
+        def kernel(pt_ref, q, k, ks, v, vs, vb, o, m_o, l_o,
+                   m_sc, l_sc, acc):
+            _kernel(q, k, ks, v, vs, vb, o, m_sc, l_sc, acc,
+                    n_chunks=nc, Hkv=Hkv, G=G, Tq=Tq, C=C, scale=scale,
+                    m_ref=m_o, l_ref=l_o)
+
+        out_specs = [pl.BlockSpec((1, R, D), lambda s, c, pt: (s, 0, 0)),
+                     pl.BlockSpec((1, R, 128), lambda s, c, pt: (s, 0, 0)),
+                     pl.BlockSpec((1, R, 128), lambda s, c, pt: (s, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct((S, R, D), jnp.float32),
+                     jax.ShapeDtypeStruct((S, R, 128), jnp.float32),
+                     jax.ShapeDtypeStruct((S, R, 128), jnp.float32)]
+    else:
+        def kernel(pt_ref, *args):
+            # the prefetched page table feeds the index_maps only
+            _kernel(*args, n_chunks=nc, Hkv=Hkv, G=G, Tq=Tq, C=C,
+                    scale=scale)
+
+        out_specs = pl.BlockSpec((1, R, D), lambda s, c, pt: (s, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((S, R, D), jnp.float32)
 
     out = pl.pallas_call(
         kernel,
@@ -227,18 +261,76 @@ def flash_decode_paged(q: jax.Array, k_pool: jax.Array, ks_pool: jax.Array,
                 pl.BlockSpec((1, 1, cols), lambda s, c, pt: (pt[s, c], 0, 0)),
                 pl.BlockSpec((1, 1, Tq, cols), lambda s, c, pt: (s, c, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, R, D), lambda s, c, pt: (s, 0, 0)),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((R, 128), jnp.float32),
                 pltpu.VMEM((R, 128), jnp.float32),
                 pltpu.VMEM((R, D), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((S, R, D), jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(pt, qg, k_pool, ksc, v_pool, vsc, vb)
+    if state:
+        o, m, l = out
+        return o, m[:, :, 0], l[:, :, 0]
+    out = out.reshape(S, Hkv, G, Tq, D).transpose(0, 3, 1, 2, 4)
+    return out.reshape(S, Tq, H * D)
+
+
+def flash_decode_paged_deferred(q: jax.Array, k_pool: jax.Array,
+                                ks_pool: jax.Array, v_pool: jax.Array,
+                                vs_pool: jax.Array, page_table: jax.Array,
+                                vis_committed: jax.Array,
+                                knew_q: jax.Array, knew_s: jax.Array,
+                                vnew_q: jax.Array, vnew_s: jax.Array,
+                                intra_vis: jax.Array, scale: float,
+                                page_size: int,
+                                interpret: bool = False) -> jax.Array:
+    """Paged flash decode with a DEFERRED in-flight K/V block.
+
+    The committed pages stream through the state-mode kernel
+    (unnormalized o/m/l); this step's not-yet-committed K/V
+    (knew_q/vnew_q [S, Hkv, Tq, D] int8 + scales [S, Hkv, Tq],
+    intra_vis [S, Tq, Tq]) forms a second softmax partition computed
+    in XLA (Tq-sized — tiny at decode), merged exactly like the
+    sequence-parallel combiner (attention.py gqa_attention_quant_sp).
+    Lets forward() defer every pool scatter to one post-scan commit.
+    """
+    S, Tq, H, D = q.shape
+    Hkv = k_pool.shape[1]
+    G = H // Hkv
+    R = Hkv * G * Tq
+    o1, m1, l1 = flash_decode_paged(q, k_pool, ks_pool, v_pool, vs_pool,
+                                    page_table, vis_committed, scale,
+                                    page_size, interpret=interpret,
+                                    state=True)  # [S,R,D], [S,R], [S,R]
+    dt = jnp.bfloat16
+    qg = q.reshape(S, Tq, Hkv, G, D).astype(dt)
+    sn = jnp.einsum("sqhgd,shkd->shgqk", qg, knew_q.astype(dt),
+                    preferred_element_type=jnp.float32)
+    sn = sn * (knew_s[:, :, None, None, :] * scale)
+    sn = jnp.where(intra_vis[:, None, None, :, :], sn, NEG_INF)
+    m2 = jnp.max(sn, axis=-1)  # [S, Hkv, G, Tq]
+    p2 = jnp.exp(sn - m2[..., None])
+    p2 = jnp.where(sn > NEG_INF / 2, p2, 0.0)
+    l2 = jnp.sum(p2, axis=-1)
+    o2 = jnp.einsum("shgqk,shkd->shgqd",
+                    (p2 * vnew_s[:, :, None, None, :]).astype(dt),
+                    vnew_q.astype(dt),
+                    preferred_element_type=jnp.float32)
+    # grouped [S, Hkv, G, Tq, ...] -> kernel row order R = (h, g, tq)
+    m2r = m2.reshape(S, R)
+    l2r = l2.reshape(S, R)
+    o2r = o2.reshape(S, R, D)
+    m = jnp.maximum(m1, m2r)
+    a1 = jnp.where(m1 > NEG_INF / 2, jnp.exp(m1 - m), 0.0)
+    a2 = jnp.where(m2r > NEG_INF / 2, jnp.exp(m2r - m), 0.0)
+    l = l1 * a1 + l2r * a2
+    o = o1 * a1[..., None] + o2r * a2[..., None]
+    out = o / jnp.where(l > 0, l, 1.0)[..., None]
     out = out.reshape(S, Hkv, G, Tq, D).transpose(0, 3, 1, 2, 4)
     return out.reshape(S, Tq, H * D)

@@ -27,10 +27,14 @@ ops/attention.py::gqa_attention_quant, the golden reference in tests).
 kv-chunk is the innermost "arbitrary" dim accumulating into VMEM
 scratch (flash_decode.py's pattern at decode shapes).
 
-UNMEASURED on real TPU (tunnel down when written): routing is gated
-behind POWERSERVE_FLASH_PREFILL=1 / backend="pallas_prefill" until the
-marginal-cost bench confirms a win; correctness is CI-tested in
-interpret mode against the XLA path.
+MEASURED on v5e (r2s4, marginal-cost .bench_fprefill.py): this kernel
+LOSES to the XLA prefill path at nearly every shape (S=1 T=1024
+Tq=512: 173 vs 65 us; T=8192: 1134 vs 666) and wins only the batched
+small-Tq bucket S=8/Tq=128 (308 vs 392) — XLA's prefill attention is
+already MXU-efficient at large Tq. Routing: gqa_attention_quant
+backend="auto" auto-routes EXACTLY that winning bucket (S >= 8,
+17 <= Tq <= 128, dense int8 cache) here; everything else stays XLA.
+POWERSERVE_FLASH_PREFILL=1 forces the kernel for re-benchmarks.
 
 Replaces the role of the reference's CPU attention subgraph
 (norm_attention.cpp:26-162) at prefill shapes.

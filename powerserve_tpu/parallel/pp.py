@@ -120,6 +120,10 @@ def pp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
     use_embeds [S] take their stage-0 input rows from embeds
     [S, Tq, dim] (replicated over pp) instead of the token table.
     """
+    # embeds/use_embeds share one in_spec and are read together in the
+    # body — a lone embeds would crash on use_embeds[:, None, None]
+    assert (embeds is None) == (use_embeds is None), \
+        "pass embeds and use_embeds together (or neither)"
     pp = mesh.shape["pp"]
     pspecs = pp_param_specs(params)
     kspecs = pp_kv_specs(kv)

@@ -220,7 +220,23 @@ def param_specs(params: LlamaParams, tp: int) -> LlamaParams:
 
 def kv_specs(kv: KVCache) -> KVCache:
     """[L, S, H, T, D]: kv heads over tp, slots over dp, cache time
-    over sp (a no-op when the mesh's sp axis is 1)."""
+    over sp (a no-op when the mesh's sp axis is 1).
+
+    Paged pools ([L, P, H, page, D], kv/paged.py) shard kv heads over
+    tp only: the pool is shared across slots so the page table / mask /
+    pos replicate, and dp/sp must be 1 (each dp shard would otherwise
+    scatter different pages into "replicated" pool slabs and diverge)."""
+    from ..kv.paged import PagedKVCache
+
+    if isinstance(kv, PagedKVCache):
+        import dataclasses
+
+        return dataclasses.replace(
+            kv, k=P(None, None, "tp", None, None),
+            v=P(None, None, "tp", None, None),
+            k_scale=P(None, None, "tp", None),
+            v_scale=P(None, None, "tp", None),
+            page_table=P(), mask=P(), pos=P())
     kvs = P(None, "dp", "tp", "sp", None)
     scs = P(None, "dp", "tp", "sp") if kv.quantized else P()
     return KVCache(k=kvs, v=kvs, k_scale=scs, v_scale=scs,
@@ -309,12 +325,19 @@ def shard_kv_tp(kv: KVCache, mesh: Mesh) -> KVCache:
 def tp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
                tokens: jax.Array, positions: jax.Array, *,
                mesh: Mesh, active: jax.Array | None = None,
-               backend: str = "auto", logits_mode: str = "last"):
+               backend: str = "auto", logits_mode: str = "last",
+               embeds: jax.Array | None = None,
+               use_embeds: jax.Array | None = None):
     """Sharded forward: logits [S, vocab] (S over dp), updated kv.
 
     params/kv must already be laid out by shard_params_tp/shard_kv_tp
     (or carry equivalent NamedShardings). Works under jit and inside
     lax.scan — shard_map stages into the surrounding trace.
+
+    embeds [S, Tq, dim] + use_embeds [S] bool: per-slot embedding
+    overlay (VLM prefill — slots flagged in use_embeds take their input
+    rows from `embeds` instead of the token embedding table; the
+    scheduler's multimodal tick, engine/scheduler.py).
     """
     tp = mesh.shape["tp"]
     sp = mesh.shape.get("sp", 1)
@@ -324,22 +347,42 @@ def tp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
     kspecs = kv_specs(kv)
     tok_spec = P("dp", None)
     act_spec = None if active is None else P("dp")
+    emb_spec = None if embeds is None else P("dp", None, None)
+    use_spec = None if use_embeds is None else P("dp")
     sp_axis = "sp" if sp > 1 else None
     ep_axis = "ep" if ep > 1 else None
 
-    def body(params, kv, tokens, positions, active):
+    def body(params, kv, tokens, positions, active, embeds, use_embeds):
         params = _localize_params(params)
+        x = None
+        if embeds is not None:
+            # overlay AFTER the (possibly vocab-sharded) table lookup:
+            # run forward once just for its embedding path semantics by
+            # computing the table rows here with the same tp logic
+            if params.embed.q.shape[0] < llm_local.vocab_size:
+                v_local = params.embed.q.shape[0]
+                off = jax.lax.axis_index("tp") * v_local
+                local = tokens - off
+                ok = (local >= 0) & (local < v_local)
+                xg = params.embed.lookup(jnp.where(ok, local, 0))
+                xg = jnp.where(ok[..., None], xg, 0.0)
+                xt = jax.lax.psum(xg, "tp").astype(jnp.bfloat16)
+            else:
+                xt = params.embed.lookup(tokens).astype(jnp.bfloat16)
+            x = jnp.where(use_embeds[:, None, None],
+                          embeds.astype(jnp.bfloat16), xt)
         return forward(params, llm_local, kv, tokens, positions,
                        active=active, backend=backend,
                        logits_mode=logits_mode, tp_axis="tp",
-                       sp_axis=sp_axis, ep_axis=ep_axis)
+                       sp_axis=sp_axis, ep_axis=ep_axis, embeds=x)
 
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(pspecs, kspecs, tok_spec, tok_spec, act_spec),
+        in_specs=(pspecs, kspecs, tok_spec, tok_spec, act_spec,
+                  emb_spec, use_spec),
         out_specs=(P("dp", None), kspecs),
         check_vma=False)
-    return f(params, kv, tokens, positions, active)
+    return f(params, kv, tokens, positions, active, embeds, use_embeds)
 
 
 @functools.partial(jax.jit,
@@ -371,3 +414,109 @@ def tp_prefill(params: LlamaParams, tokens: jax.Array,
                mesh: Mesh, backend: str = "auto"):
     return tp_forward(params, llm, kv, tokens, positions, mesh=mesh,
                       backend=backend, logits_mode="last")
+
+
+# ---------------------------------------------------------------------------
+# shard_map speculation (spec x tp: the fused kernel stays in play)
+# ---------------------------------------------------------------------------
+
+def _spec_arg_specs(t_kv, d_kv):
+    vec = P("dp")
+    return dict(tkv=kv_specs(t_kv), dkv=kv_specs(d_kv), vec=vec,
+                rng=P("dp", None))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_llm", "d_llm", "n_steps", "k", "backend", "mesh"),
+    donate_argnums=(2, 3),
+)
+def tp_chain_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
+                       t_kv: KVCache, d_kv: KVCache, root: jax.Array,
+                       t_llm: LLMConfig, d_llm: LLMConfig,
+                       n_steps: int, k: int, mesh: Mesh,
+                       backend: str = "auto",
+                       active: jax.Array | None = None,
+                       rngs: jax.Array | None = None,
+                       temp: jax.Array | None = None,
+                       top_k: jax.Array | None = None,
+                       top_p: jax.Array | None = None):
+    """chain_spec_sample_scan inside ONE shard_map over the (dp, tp)
+    mesh: the whole multi-step draft->verify->accept scan runs with
+    LOCAL weight shards (Pallas kernels on-shard) and explicit megatron
+    collectives — speculation composes with tensor-parallel serving
+    without dropping to the GSPMD backend="xla" fallback. Sampling on
+    the replicated logits is computed redundantly (and identically) per
+    tp shard; slots shard over dp."""
+    from ..speculative.chain import chain_spec_sample_scan
+
+    tp = mesh.shape["tp"]
+    assert mesh.shape.get("sp", 1) == 1, "spec x sp unsupported"
+    t_local = local_llm_config(t_llm, tp)
+    d_local = local_llm_config(d_llm, tp)
+    sp = _spec_arg_specs(t_kv, d_kv)
+
+    def body(tparams, dparams, t_kv, d_kv, root, active, rngs,
+             temp, top_k, top_p):
+        return chain_spec_sample_scan(
+            _localize_params(tparams), _localize_params(dparams),
+            t_kv, d_kv, root, t_local, d_local, n_steps, k,
+            backend=backend, active=active, rngs=rngs, temp=temp,
+            top_k=top_k, top_p=top_p, tp_axis="tp")
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(param_specs(tparams, tp), param_specs(dparams, tp),
+                  sp["tkv"], sp["dkv"], sp["vec"], sp["vec"], sp["rng"],
+                  sp["vec"], sp["vec"], sp["vec"]),
+        out_specs=(P(None, "dp", None), P(None, "dp"), sp["tkv"],
+                   sp["dkv"], sp["vec"], sp["rng"]),
+        check_vma=False)
+    return f(tparams, dparams, t_kv, d_kv, root, active, rngs,
+             temp, top_k, top_p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_llm", "d_llm", "n_steps", "tree_key", "backend",
+                     "mesh", "sample"),
+    donate_argnums=(2, 3),
+)
+def tp_tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
+                      t_kv: KVCache, d_kv: KVCache, root: jax.Array,
+                      t_llm: LLMConfig, d_llm: LLMConfig,
+                      n_steps: int, tree_key: tuple, mesh: Mesh,
+                      backend: str = "auto",
+                      active: jax.Array | None = None,
+                      rngs: jax.Array | None = None,
+                      temp: jax.Array | None = None,
+                      top_k: jax.Array | None = None,
+                      top_p: jax.Array | None = None,
+                      sample: bool = False):
+    """tree_spec_scan inside one shard_map (see tp_chain_spec_scan)."""
+    from ..speculative.device_tree import tree_spec_scan
+
+    tp = mesh.shape["tp"]
+    assert mesh.shape.get("sp", 1) == 1, "spec x sp unsupported"
+    t_local = local_llm_config(t_llm, tp)
+    d_local = local_llm_config(d_llm, tp)
+    sp = _spec_arg_specs(t_kv, d_kv)
+
+    def body(tparams, dparams, t_kv, d_kv, root, active, rngs,
+             temp, top_k, top_p):
+        return tree_spec_scan(
+            _localize_params(tparams), _localize_params(dparams),
+            t_kv, d_kv, root, t_local, d_local, n_steps, tree_key,
+            backend=backend, active=active, rngs=rngs, temp=temp,
+            top_k=top_k, top_p=top_p, sample=sample, tp_axis="tp")
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(param_specs(tparams, tp), param_specs(dparams, tp),
+                  sp["tkv"], sp["dkv"], sp["vec"], sp["vec"], sp["rng"],
+                  sp["vec"], sp["vec"], sp["vec"]),
+        out_specs=(P(None, "dp", None), P(None, "dp"), sp["tkv"],
+                   sp["dkv"], sp["vec"], sp["rng"]),
+        check_vma=False)
+    return f(tparams, dparams, t_kv, d_kv, root, active, rngs,
+             temp, top_k, top_p)

@@ -172,11 +172,21 @@ def sample_dist_batched(logits: jax.Array, temperature: jax.Array,
                         top_k: jax.Array, top_p: jax.Array,
                         state: PenaltyState | None = None,
                         penalty_repeat: jax.Array | None = None,
+                        penalty_freq: jax.Array | None = None,
+                        penalty_present: jax.Array | None = None,
                         max_top_k: int = 64,
                         vocab_size: int | None = None) -> jax.Array:
     """The per-slot SAMPLING DISTRIBUTION [S, V] (normalized) after the
     full transform chain (penalties -> top-k -> temperature -> top-p).
     temperature <= 0 slots get a one-hot at the (post-penalty) argmax.
+
+    penalty_repeat/penalty_freq/penalty_present: per-slot [S] arrays
+    with the reference's RepeatPenalty semantics (sampler.cpp:76-150):
+    window tokens' positive logits divided / negative multiplied by
+    penalty_repeat, then the SUBTRACTIVE freq/presence terms
+    lf -= count * freq + present * presence (the OpenAI
+    frequency_penalty / presence_penalty fields, counted over the
+    penalty window rather than the whole generation).
 
     Exposed separately from the draw so speculative rejection sampling
     can evaluate p(x)/q(x) and residuals against the EXACT distributions
@@ -186,14 +196,21 @@ def sample_dist_batched(logits: jax.Array, temperature: jax.Array,
     if vocab_size is not None and vocab_size < V:
         col = jax.lax.broadcasted_iota(jnp.int32, (S, V), 1)
         lf = jnp.where(col < vocab_size, lf, NEG_INF)
-    if state is not None and penalty_repeat is not None:
+    if state is not None and (penalty_repeat is not None
+                              or penalty_freq is not None
+                              or penalty_present is not None):
         idx = jnp.where(state.recent >= 0, state.recent, V)
         counts = jnp.zeros((S, V), jnp.float32)
         counts = jax.vmap(lambda c, i: c.at[i].add(1.0, mode="drop"))(counts, idx)
         present = counts > 0
-        pr = penalty_repeat[:, None]
-        penalized = jnp.where(lf > 0, lf / pr, lf * pr)
-        lf = jnp.where(present, penalized, lf)
+        if penalty_repeat is not None:
+            pr = penalty_repeat[:, None]
+            penalized = jnp.where(lf > 0, lf / pr, lf * pr)
+            lf = jnp.where(present, penalized, lf)
+        if penalty_freq is not None:
+            lf = lf - counts * penalty_freq[:, None]
+        if penalty_present is not None:
+            lf = lf - present * penalty_present[:, None]
 
     greedy_tok = jnp.argmax(lf, axis=-1)
 
@@ -231,15 +248,17 @@ def sample_logits_batched(key: jax.Array, logits: jax.Array,
                           top_p: jax.Array,
                           state: PenaltyState | None = None,
                           penalty_repeat: jax.Array | None = None,
+                          penalty_freq: jax.Array | None = None,
+                          penalty_present: jax.Array | None = None,
                           max_top_k: int = 64,
                           vocab_size: int | None = None,
                           keys: jax.Array | None = None) -> jax.Array:
     """Per-slot sampling with *array* parameters (continuous batching:
     every request carries its own temperature/top_k/top_p).
 
-    temperature/top_k/top_p/penalty_repeat: [S]. temperature <= 0 means
-    greedy for that slot. top_k <= 0 disables top-k (capped at
-    max_top_k otherwise).
+    temperature/top_k/top_p/penalty_repeat/penalty_freq/
+    penalty_present: [S]. temperature <= 0 means greedy for that slot.
+    top_k <= 0 disables top-k (capped at max_top_k otherwise).
 
     keys: optional per-slot PRNG keys [S, 2] (uint32). When given, each
     slot draws from its own key chain, so a request with an explicit
@@ -248,6 +267,8 @@ def sample_logits_batched(key: jax.Array, logits: jax.Array,
     """
     probs = sample_dist_batched(logits, temperature, top_k, top_p,
                                 state=state, penalty_repeat=penalty_repeat,
+                                penalty_freq=penalty_freq,
+                                penalty_present=penalty_present,
                                 max_top_k=max_top_k, vocab_size=vocab_size)
     greedy_tok = jnp.argmax(probs, axis=-1)
     logp = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)), NEG_INF)

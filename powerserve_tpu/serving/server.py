@@ -84,16 +84,31 @@ class ServerContext:
 
     def __init__(self, model_root: str | Path, default_model: str = "",
                  hp: HyperParams | None = None, backend: str = "auto",
-                 mesh=None, max_models: int = 0, pp: bool = False):
+                 mesh=None, max_models: int = 0, pp: bool = False,
+                 shard_map: bool = True):
         self.root = Path(model_root)
         self.hp = hp or HyperParams()
         self.backend = backend
-        # multichip serving: shard every loaded model + KV over this
-        # (dp, tp) device mesh; GSPMD partitions the scheduler's steps.
+        # multichip serving over this device mesh. Default path is the
+        # EXPLICIT shard_map one (parallel/tp.py): every scheduler step
+        # runs the fused Pallas dequant kernel on local weight shards
+        # with megatron collectives. shard_map=False (serve --gspmd)
+        # falls back to GSPMD auto-partitioning, which forces
+        # backend="xla" because Pallas calls are GSPMD-opaque; models
+        # whose shapes or modes the shard_map path can't handle (EAGLE
+        # drafts, non-divisible head counts) fall back per-model.
         # pp=True treats the mesh as PIPELINE stages instead (layers +
         # KV slices over "pp", parallel/pp.py)
         self.mesh = mesh
         self.pp = bool(pp)
+        self.sm = bool(shard_map) and mesh is not None and not self.pp \
+            and mesh.shape.get("pp", 1) == 1
+        hp_ = hp or HyperParams()
+        if self.sm and getattr(hp_, "paged_pages", 0) > 0 and (
+                mesh.shape.get("dp", 1) > 1 or mesh.shape.get("sp", 1) > 1):
+            log.warning("paged pool x shard_map tp needs dp == sp == 1; "
+                        "falling back to GSPMD serving")
+            self.sm = False
         self.models: dict[str, ModelContext] = {}
         # HBM eviction budget: > 0 caps loaded model contexts, evicting
         # the least-recently-used IDLE one (reference keeps a single
@@ -108,17 +123,34 @@ class ServerContext:
         # graph_interface.cpp:218-260 — generalized to a runtime API)
         self.sessions: dict[str, dict] = {}
 
-    def _load(self, d):
+    def _load(self, d, sm: bool | None = None):
+        """Load + shard one model. Returns (cfg, params, used_sm):
+        used_sm=True means params carry the shard_map layout
+        (parallel/tp.py prepare+shard — fused columns PERMUTED per
+        shard, only valid through tp_forward / a tp_mesh scheduler)."""
         cfg, params = load_gguf_model(d)
+        sm = self.sm if sm is None else sm
         if self.mesh is not None and self.pp:
             from ..parallel.pp import shard_params_pp
 
             params = shard_params_pp(params, self.mesh, cfg.llm)
+        elif self.mesh is not None and sm:
+            from ..parallel.tp import shard_params_tp
+
+            try:
+                return cfg, shard_params_tp(params, self.mesh,
+                                            cfg.llm), True
+            except ValueError as e:
+                log.warning(f"{d}: shard_map tp layout unavailable "
+                            f"({e}); falling back to GSPMD")
+                from ..parallel.mesh import shard_params
+
+                params = shard_params(params, self.mesh)
         elif self.mesh is not None:
             from ..parallel.mesh import shard_params
 
             params = shard_params(params, self.mesh)
-        return cfg, params
+        return cfg, params, False
 
     def resolve_dir(self, name: str) -> Path:
         p = self.root / name
@@ -173,9 +205,19 @@ class ServerContext:
             ivl = internvl_from_hf(m)
             del m
         tok = Tokenizer.from_model_dir(d)
-        sched = BatchScheduler(ivl.llm_params, ivl.cfg, self.hp,
-                               self.backend, mesh=self.mesh,
-                               mm_dim=ivl.cfg.llm.dim)
+        params, mesh_kw = ivl.llm_params, dict(mesh=self.mesh)
+        if self.sm:
+            from ..parallel.tp import shard_params_tp
+
+            try:
+                params = shard_params_tp(params, self.mesh, ivl.cfg.llm)
+                mesh_kw = dict(tp_mesh=self.mesh)
+            except ValueError as e:
+                log.warning(f"{d}: shard_map tp layout unavailable "
+                            f"({e}); VLM falls back to GSPMD")
+        sched = BatchScheduler(params, ivl.cfg, self.hp,
+                               self.backend, mm_dim=ivl.cfg.llm.dim,
+                               **mesh_kw)
         sched.start()
         return ModelContext(name, sched, tok, vlm=ivl)
 
@@ -229,13 +271,23 @@ class ServerContext:
             import os
 
             main_name, draft_name = name.split("+", 1)
-            t_cfg, t_params = self._load(self.resolve_dir(main_name))
-            tok = Tokenizer.from_model_dir(self.resolve_dir(main_name))
             engine_kind = os.environ.get("POWERSERVE_SPEC_ENGINE", "chain")
+            is_self = draft_name.startswith("self:")
+            draft_dir = None if is_self else self.resolve_dir(draft_name)
+            is_eagle = draft_dir is not None \
+                and self._is_eagle_dir(draft_dir)
+            # the host tree engine and EAGLE drafting run outside the
+            # shard_map path (plain forward / scheduler assert); spec x
+            # sequence-parallel is also unsupported there
+            want_sm = (self.sm and engine_kind != "tree" and not is_eagle
+                       and (self.mesh is None
+                            or self.mesh.shape.get("sp", 1) == 1))
+            t_cfg, t_params, t_sm = self._load(
+                self.resolve_dir(main_name), sm=want_sm)
+            tok = Tokenizer.from_model_dir(self.resolve_dir(main_name))
             if engine_kind == "tree":
                 # host-driven token tree, single-stream behind a lock
-                d_cfg, d_params = self._load(
-                    self.resolve_dir(draft_name))
+                d_cfg, d_params, _ = self._load(draft_dir, sm=False)
                 spec = SpeculativeEngine(t_params, t_cfg, d_params, d_cfg,
                                          SpeculativeConfig(),
                                          kv_dtype=self.hp.kv_dtype,
@@ -252,11 +304,11 @@ class ServerContext:
                 # target's own stacked weights, N layers deep.
                 from ..speculative.chain import self_draft_config
 
-                if draft_name.startswith("self:"):
+                if is_self:
                     d_params = t_params
                     d_llm = self_draft_config(t_cfg.llm,
                                               int(draft_name[5:]))
-                elif self._is_eagle_dir(self.resolve_dir(draft_name)):
+                elif is_eagle:
                     # EAGLE feature-level draft head: every tick drafts
                     # a spec_k chain per slot with the head and one
                     # batched target verify covers all slots (EAGLE x
@@ -264,7 +316,7 @@ class ServerContext:
                     from ..models.loader import load_eagle_gguf
 
                     e_llm, ep = load_eagle_gguf(
-                        self.resolve_dir(draft_name), t_params, t_cfg.llm)
+                        draft_dir, t_params, t_cfg.llm)
                     sched = BatchScheduler(t_params, t_cfg, self.hp,
                                            self.backend, mesh=self.mesh,
                                            eagle_params=ep, eagle_llm=e_llm)
@@ -275,8 +327,15 @@ class ServerContext:
                     self._evict_to_budget()
                     return ctx
                 else:
-                    d_cfg, d_params = self._load(
-                        self.resolve_dir(draft_name))
+                    d_cfg, d_params, d_sm = self._load(draft_dir, sm=t_sm)
+                    if t_sm and not d_sm:
+                        # the draft can't take the shard_map layout:
+                        # both models must run the same path — reload
+                        # the target with GSPMD shardings
+                        log.warning(f"draft '{draft_name}' not shard_map-"
+                                    f"shardable; pair falls back to GSPMD")
+                        t_cfg, t_params, t_sm = self._load(
+                            self.resolve_dir(main_name), sm=False)
                     d_llm = d_cfg.llm
                     # acceptance compares token IDS: a vocab mismatch
                     # would silently accept nonsense, not error
@@ -284,17 +343,22 @@ class ServerContext:
                         raise web.HTTPBadRequest(
                             text=f"draft vocab ({d_llm.vocab_size}) != "
                                  f"target vocab ({t_cfg.llm.vocab_size})")
+                mesh_kw = (dict(tp_mesh=self.mesh) if t_sm
+                           else dict(mesh=self.mesh))
                 sched = BatchScheduler(t_params, t_cfg, self.hp,
                                        self.backend,
                                        draft_params=d_params,
-                                       draft_llm=d_llm, mesh=self.mesh)
+                                       draft_llm=d_llm, **mesh_kw)
                 sched.start()
                 ctx = ModelContext(name, sched, tok)
         else:
-            cfg, params = self._load(self.resolve_dir(name))
+            cfg, params, used_sm = self._load(self.resolve_dir(name))
             if self.pp:
                 sched = BatchScheduler(params, cfg, self.hp, self.backend,
                                        pp_mesh=self.mesh)
+            elif used_sm:
+                sched = BatchScheduler(params, cfg, self.hp, self.backend,
+                                       tp_mesh=self.mesh)
             else:
                 sched = BatchScheduler(params, cfg, self.hp, self.backend,
                                        mesh=self.mesh)
@@ -415,14 +479,19 @@ def _logprobs_from_body(body: dict, chat: bool) -> int:
 
 
 def _sampling_from_body(body: dict, chat: bool = False) -> dict:
+    """OpenAI `frequency_penalty`/`presence_penalty` map to the
+    sampler's TRUE subtractive penalties (sampling/sampler.py
+    sample_dist_batched; reference sampler.cpp:76-150) — they are no
+    longer folded into repeat_penalty. `repeat_penalty` stays the
+    native multiplicative llama.cpp-style knob."""
     seed = body.get("seed")
     return dict(
         temperature=float(body.get("temperature", 0.8)),
         top_k=int(body.get("top_k", 40)),
         top_p=float(body.get("top_p", 0.95)),
-        penalty_repeat=float(body.get("repeat_penalty",
-                                      body.get("frequency_penalty", 0.0) + 1.0
-                                      if body.get("frequency_penalty") else 1.0)),
+        penalty_repeat=float(body.get("repeat_penalty", 1.0)),
+        penalty_freq=float(body.get("frequency_penalty", 0.0)),
+        penalty_present=float(body.get("presence_penalty", 0.0)),
         max_tokens=int(body.get("max_tokens", body.get("n_predict", 128))),
         seed=None if seed is None else int(seed),
         logprobs=_logprobs_from_body(body, chat),
@@ -561,7 +630,37 @@ async def _run_vlm(ctx: ModelContext, prompt_ids: list[int], images: list,
         yield tok, req
 
 
+def _check_spec_compat(ctx: ModelContext, sampling: dict) -> None:
+    """Speculative serving verifies whole draft chains/trees against
+    the target's penalty-free distribution — per-token repeat/freq/
+    presence penalties and logprob records are not applied there
+    (engine/scheduler.py spec ticks). Reject such requests explicitly
+    instead of silently degrading (reference behavior: speculation is
+    a separate mode with its own sampler, spec_model.hpp:96-113)."""
+    sched = ctx.scheduler
+    is_spec = ctx.spec is not None or (
+        sched is not None and (getattr(sched, "d_kv", None) is not None
+                               or getattr(sched, "is_eagle", False)))
+    if not is_spec:
+        return
+    bad = []
+    if sampling.get("logprobs", 0):
+        bad.append("logprobs")
+    if sampling.get("penalty_repeat", 1.0) != 1.0:
+        bad.append("repeat_penalty")
+    if sampling.get("penalty_freq", 0.0) != 0.0:
+        bad.append("frequency_penalty")
+    if sampling.get("penalty_present", 0.0) != 0.0:
+        bad.append("presence_penalty")
+    if bad:
+        raise web.HTTPBadRequest(
+            text=f"{', '.join(bad)} unsupported with speculative models "
+                 f"('main+draft'); retry without them or use the plain "
+                 f"model name")
+
+
 def _runner(ctx: ModelContext, prompt_ids, sampling, stop_ids, images=None):
+    _check_spec_compat(ctx, sampling)
     if ctx.vlm is not None:
         return _run_vlm(ctx, prompt_ids, images or [], sampling, stop_ids)
     if ctx.spec is not None:
@@ -940,7 +1039,13 @@ def main(argv: list[str] | None = None) -> None:
                          "parallelism (parallel/pp.py)")
     ap.add_argument("--tp", type=int, default=0,
                     help="tensor-parallel ways: shard the model over a "
-                         "device mesh (multichip serving; 0 = off)")
+                         "device mesh (multichip serving; 0 = off). "
+                         "Default path is shard_map (fused Pallas "
+                         "kernel per shard, parallel/tp.py)")
+    ap.add_argument("--gspmd", action="store_true",
+                    help="use GSPMD auto-partitioning for --tp instead "
+                         "of the shard_map path (forces the XLA dequant "
+                         "fallback; Pallas calls are GSPMD-opaque)")
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel ways (slots sharded across; "
                          "used with --tp)")
@@ -987,9 +1092,13 @@ def main(argv: list[str] | None = None) -> None:
         mesh = make_mesh({"pp": args.pp},
                          __import__("jax").devices()[:args.pp])
     elif args.tp:
+        import jax
+
         from ..parallel.mesh import make_mesh
 
-        mesh = make_mesh({"dp": args.dp, "sp": args.sp, "tp": args.tp})
+        n = args.dp * args.sp * args.tp
+        mesh = make_mesh({"dp": args.dp, "sp": args.sp, "tp": args.tp},
+                         jax.devices()[:n])
 
     root = Path(args.model_root)
     hp = HyperParams(max_slots=args.max_slots)
@@ -1010,7 +1119,8 @@ def main(argv: list[str] | None = None) -> None:
     if args.spec_wor:
         hp.spec_wor = True
     ctx = ServerContext(root_dir, default, hp, args.backend, mesh=mesh,
-                        max_models=args.max_models, pp=bool(args.pp))
+                        max_models=args.max_models, pp=bool(args.pp),
+                        shard_map=not args.gspmd)
     app = build_app(ctx)
     log.info(f"serving on http://{args.host}:{args.port}")
     try:

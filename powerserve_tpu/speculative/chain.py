@@ -121,7 +121,8 @@ def chain_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t_llm", "d_llm", "n_steps", "k", "backend"),
+    static_argnames=("t_llm", "d_llm", "n_steps", "k", "backend",
+                     "tp_axis"),
     donate_argnums=(2, 3),
 )
 def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
@@ -132,7 +133,8 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
                            rngs: jax.Array | None = None,
                            temp: jax.Array | None = None,
                            top_k: jax.Array | None = None,
-                           top_p: jax.Array | None = None):
+                           top_p: jax.Array | None = None,
+                           tp_axis: str | None = None):
     """Batched STOCHASTIC chain speculation: standard speculative
     sampling (Leviathan et al. 2023) instead of exact-match acceptance.
 
@@ -177,7 +179,7 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
             pos = jnp.where(active, kv.pos.astype(jnp.int32), -1)[:, None]
             logits, kv = forward(dparams, d_llm, kv, tok[:, None], pos,
                                  active=active, backend=backend,
-                                 logits_mode="last")
+                                 logits_mode="last", tp_axis=tp_axis)
             sp = jax.vmap(lambda r: jax.random.split(r, 2))(dk)
             dk, sub = sp[:, 0], sp[:, 1]
             q = sample_dist_batched(logits[:, :V], temp, top_k, top_p,
@@ -195,7 +197,7 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
                               c[:, None] + lanes[None, :], -1)
         logits, t_kv = forward(tparams, t_llm, t_kv, fed, positions,
                                active=active, backend=backend,
-                               logits_mode="all")
+                               logits_mode="all", tp_axis=tp_axis)
         rep = lambda a: jnp.repeat(a, k + 1, axis=0)  # noqa: E731
         p_dists = sample_dist_batched(
             logits.reshape(S * (k + 1), -1)[:, :V],

@@ -240,7 +240,7 @@ def _wor_emit(tokens, chain_m, n_acc, final_tok, active, root):
 @functools.partial(
     jax.jit,
     static_argnames=("t_llm", "d_llm", "n_steps", "tree_key", "backend",
-                     "sample"),
+                     "sample", "tp_axis"),
     donate_argnums=(2, 3),
 )
 def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
@@ -252,7 +252,8 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
                    temp: jax.Array | None = None,
                    top_k: jax.Array | None = None,
                    top_p: jax.Array | None = None,
-                   sample: bool = False):
+                   sample: bool = False,
+                   tp_axis: str | None = None):
     """n_steps batched tree-speculation steps in one dispatch.
 
     root: [S] int32 last committed token per slot. tree_key: a
@@ -329,7 +330,8 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
             logits, d_kv = forward(dparams, d_llm, d_kv, toks_l, rope,
                                    cache_positions=cpos, vis_override=vis,
                                    active=active, backend=backend,
-                                   logits_mode="all" if d < D else "none")
+                                   logits_mode="all" if d < D else "none",
+                                   tp_axis=tp_axis)
             if d < D and wor:
                 # children = WOR samples from the draft's post-transform
                 # dist q: Gumbel top-k == sequential without-replacement
@@ -365,7 +367,7 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
         logits, t_kv = forward(tparams, t_llm, t_kv, tokens, rope_v,
                                cache_positions=cpos_v, intra_mask=anc,
                                active=active, backend=backend,
-                               logits_mode="all")  # [S, N, V]
+                               logits_mode="all", tp_axis=tp_axis)  # [S, N, V]
         if wor:
             # -- recursive rejection over each node's rank-ordered WOR
             # candidates; the walk carries the evolving residual p_t ---

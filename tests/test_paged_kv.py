@@ -288,3 +288,87 @@ def test_paged_forward_flash_routing():
     np.testing.assert_allclose(np.asarray(lk), np.asarray(lx),
                                rtol=3e-2, atol=3e-1)
     assert int(np.argmax(lk)) == int(np.argmax(lx))
+
+
+def test_flash_decode_paged_deferred_matches_xla():
+    """State-mode kernel + XLA in-flight merge == the XLA deferred
+    reference (gathered dense view + gqa_attention_quant_deferred):
+    validates forward()'s paged deferred-KV decode path, which defers
+    every pool scatter to one post-scan commit."""
+    from powerserve_tpu.ops.attention import gqa_attention_quant_deferred
+    from powerserve_tpu.ops.flash_decode import flash_decode_paged_deferred
+
+    rng = np.random.default_rng(11)
+    S, Tq, H, Hkv, D = 2, 1, 4, 2, 128
+    page, MP, P = 16, 8, 2 * 8 + 3
+    T = MP * page
+    kp = jnp.asarray(rng.integers(-127, 128, (P, Hkv, page, D)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-127, 128, (P, Hkv, page, D)), jnp.int8)
+    ksp = jnp.asarray(rng.uniform(0.005, 0.02, (P, Hkv, page)), jnp.float32)
+    vsp = jnp.asarray(rng.uniform(0.005, 0.02, (P, Hkv, page)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((S, Tq, H, D)), jnp.float32)
+    knq = jnp.asarray(rng.integers(-127, 128, (S, Hkv, Tq, D)), jnp.int8)
+    vnq = jnp.asarray(rng.integers(-127, 128, (S, Hkv, Tq, D)), jnp.int8)
+    kns = jnp.asarray(rng.uniform(0.005, 0.02, (S, Hkv, Tq)), jnp.float32)
+    vns = jnp.asarray(rng.uniform(0.005, 0.02, (S, Hkv, Tq)), jnp.float32)
+    intra = jnp.ones((S, Tq, Tq), bool)
+    table = np.full((S, MP), P, np.int32)
+    perm = rng.permutation(P - 3)
+    table[0] = perm[:MP]
+    table[1, :5] = perm[MP:MP + 5]
+    mask = np.zeros((S, T), bool)
+    mask[0, :100] = True
+    mask[1, : 5 * page - 7] = True
+    mask = jnp.asarray(mask)
+    pt = jnp.asarray(table)
+    vis_c = jnp.broadcast_to(mask[:, None, :], (S, Tq, T))
+
+    got = flash_decode_paged_deferred(
+        q, kp, ksp, vp, vsp, pt, vis_c, knq, kns, vnq, vns, intra,
+        0.088, page_size=page, interpret=True)
+
+    pc = PagedKVCache(k=kp[None], v=vp[None], k_scale=ksp[None],
+                      v_scale=vsp[None], page_table=pt, mask=mask,
+                      pos=jnp.zeros(S, jnp.int32), page_size=page)
+    ref = gqa_attention_quant_deferred(
+        q, pc.gather_slab(kp), pc.gather_slab(ksp), pc.gather_slab(vp),
+        pc.gather_slab(vsp), mask, knq, kns, vnq, vns, intra, 0.088)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_flash_decode_paged_deferred_empty_cache():
+    """A slot with NO committed pages (fresh admission) must reduce to
+    attention over the in-flight block alone — the merge's m=-inf guard."""
+    from powerserve_tpu.ops.attention import gqa_attention_quant_deferred
+    from powerserve_tpu.ops.flash_decode import flash_decode_paged_deferred
+
+    rng = np.random.default_rng(12)
+    S, Tq, H, Hkv, D = 1, 1, 4, 2, 128
+    page, MP, P = 16, 4, 6
+    T = MP * page
+    kp = jnp.zeros((P, Hkv, page, D), jnp.int8)
+    vp = jnp.zeros((P, Hkv, page, D), jnp.int8)
+    ksp = jnp.zeros((P, Hkv, page), jnp.float32)
+    vsp = jnp.zeros((P, Hkv, page), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((S, Tq, H, D)), jnp.float32)
+    knq = jnp.asarray(rng.integers(-127, 128, (S, Hkv, Tq, D)), jnp.int8)
+    vnq = jnp.asarray(rng.integers(-127, 128, (S, Hkv, Tq, D)), jnp.int8)
+    kns = jnp.asarray(rng.uniform(0.005, 0.02, (S, Hkv, Tq)), jnp.float32)
+    vns = jnp.asarray(rng.uniform(0.005, 0.02, (S, Hkv, Tq)), jnp.float32)
+    intra = jnp.ones((S, Tq, Tq), bool)
+    pt = jnp.full((S, MP), P, jnp.int32)  # nothing allocated
+    mask = jnp.zeros((S, T), bool)
+    vis_c = jnp.broadcast_to(mask[:, None, :], (S, Tq, T))
+
+    got = flash_decode_paged_deferred(
+        q, kp, ksp, vp, vsp, pt, vis_c, knq, kns, vnq, vns, intra,
+        0.088, page_size=page, interpret=True)
+    ref = gqa_attention_quant_deferred(
+        q, jnp.zeros((S, Hkv, T, D), jnp.int8),
+        jnp.zeros((S, Hkv, T), jnp.float32),
+        jnp.zeros((S, Hkv, T, D), jnp.int8),
+        jnp.zeros((S, Hkv, T), jnp.float32), mask,
+        knq, kns, vnq, vns, intra, 0.088)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-3)

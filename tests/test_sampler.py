@@ -165,3 +165,52 @@ def test_penalize_nl_false_restores_newline():
                          penalize_nl=True)
     out2 = np.asarray(apply_repeat_penalty(logits, state, cfg2, nl_id=1))
     np.testing.assert_allclose(out2[0], [3.0, 3.0, 2.0], rtol=1e-6)
+
+
+def test_batched_freq_present_penalties_subtractive():
+    """sample_dist_batched per-slot frequency/presence penalties match
+    the reference's SUBTRACTIVE semantics (sampler.cpp:76-150):
+    lf -= count * freq + present * presence, applied per slot."""
+    from powerserve_tpu.sampling.sampler import sample_dist_batched
+
+    state = PenaltyState.create(2, 4)
+    # slot 0 window: [1, 1, 2]; slot 1: empty
+    state = state.push(jnp.asarray([1, -1]),
+                       active=jnp.asarray([True, False]))
+    state = state.push(jnp.asarray([1, -1]),
+                       active=jnp.asarray([True, False]))
+    state = state.push(jnp.asarray([2, -1]),
+                       active=jnp.asarray([True, False]))
+    logits = jnp.asarray([[5.0, 5.0, 5.0, 5.0],
+                          [5.0, 5.0, 5.0, 5.0]])
+    probs = np.asarray(sample_dist_batched(
+        logits, jnp.asarray([1.0, 1.0]), jnp.asarray([0, 0]),
+        jnp.asarray([1.0, 1.0]),
+        state=state,
+        penalty_freq=jnp.asarray([0.5, 0.5]),
+        penalty_present=jnp.asarray([0.25, 0.25]), max_top_k=4))
+    # slot 0: token1 -> 5 - 2*0.5 - 0.25 = 3.75; token2 -> 5 - 0.75 = 4.25
+    expect = np.exp(np.asarray([5.0, 3.75, 4.25, 5.0]))
+    expect /= expect.sum()
+    np.testing.assert_allclose(probs[0], expect, rtol=1e-5)
+    # slot 1 untouched (its own window is empty): uniform
+    np.testing.assert_allclose(probs[1], 0.25, rtol=1e-5)
+
+
+def test_batched_repeat_and_freq_compose():
+    """repeat (multiplicative) and freq/present (subtractive) stack in
+    the reference's order: divide-by-repeat first, subtract after."""
+    from powerserve_tpu.sampling.sampler import sample_dist_batched
+
+    state = PenaltyState.create(1, 4)
+    state = state.push(jnp.asarray([0]))
+    logits = jnp.asarray([[4.0, 4.0]])
+    probs = np.asarray(sample_dist_batched(
+        logits, jnp.asarray([1.0]), jnp.asarray([0]), jnp.asarray([1.0]),
+        state=state, penalty_repeat=jnp.asarray([2.0]),
+        penalty_freq=jnp.asarray([1.0]),
+        penalty_present=jnp.asarray([1.0]), max_top_k=2))
+    # token0: 4/2 - 1 - 1 = 0; token1: 4
+    expect = np.exp(np.asarray([0.0, 4.0]))
+    expect /= expect.sum()
+    np.testing.assert_allclose(probs[0], expect, rtol=1e-5)

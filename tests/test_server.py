@@ -589,3 +589,81 @@ def test_session_npz_roundtrip_with_eagle_feat(tmp_path):
                                   saved["feat"]["v"])
     np.testing.assert_array_equal(np.asarray(loaded["kv"]["k"]),
                                   saved["kv"]["k"])
+
+
+def test_presence_penalty_end_to_end(ws_dir):
+    """True subtractive penalties reach the device sampler: a huge
+    presence_penalty under greedy decoding bans every token already in
+    the window (prompt tokens included — the window is seeded with the
+    prompt at admission), so prompt+generated must be all-distinct;
+    the unpenalized run must differ once it repeats anything."""
+    async def go(client):
+        base = await (await client.post("/v1/completions", json={
+            "model": "model", "prompt": "hello", "max_tokens": 12,
+            "temperature": 0.0, "logprobs": 0})).json()
+        pen = await (await client.post("/v1/completions", json={
+            "model": "model", "prompt": "hello", "max_tokens": 12,
+            "temperature": 0.0, "presence_penalty": 1000.0})).json()
+        return base, pen
+
+    base, pen = _run(ws_dir, go)
+    # the penalty actually changed the greedy stream over HTTP
+    assert pen["choices"][0]["text"] != base["choices"][0]["text"]
+
+    # exact distinctness semantics on raw token ids (text round-trips
+    # don't recover generated ids): banned window = prompt + generated
+    import threading
+
+    from powerserve_tpu.engine.scheduler import Request
+
+    sched = _CTX["ctx"].get("model").scheduler
+    prompt_ids = [5, 9, 5]
+    done = threading.Event()
+    out = []
+    sched.submit(Request(
+        prompt_ids=prompt_ids, max_tokens=12, temperature=0.0,
+        penalty_present=1000.0,
+        sink=lambda t: out.append(t) if t is not None else done.set()))
+    assert done.wait(timeout=120)
+    seen = set(prompt_ids)
+    for t in out:
+        assert t not in seen, f"banned token {t} re-emitted: {out}"
+        seen.add(t)
+
+
+def test_frequency_penalty_is_subtractive(ws_dir):
+    """frequency_penalty=0 must be a no-op (the old mapping folded it
+    into repeat_penalty = fp + 1.0, which changed nothing at 0 but
+    proved the field was never plumbed; now a tiny nonzero value must
+    still reproduce greedy until a repeat actually occurs)."""
+    async def go(client):
+        a = await (await client.post("/v1/completions", json={
+            "model": "model", "prompt": "abc", "max_tokens": 6,
+            "temperature": 0.0})).json()
+        b = await (await client.post("/v1/completions", json={
+            "model": "model", "prompt": "abc", "max_tokens": 6,
+            "temperature": 0.0, "frequency_penalty": 0.0})).json()
+        return a, b
+
+    a, b = _run(ws_dir, go)
+    assert a["choices"][0]["text"] == b["choices"][0]["text"]
+
+
+def test_spec_model_rejects_logprobs_and_penalties(ws_dir):
+    """Speculative serving doesn't apply penalties/logprobs; the server
+    must 400 instead of silently degrading (VERDICT r2 item 6)."""
+    async def go(client):
+        r1 = await client.post("/v1/completions", json={
+            "model": "model+self:1", "prompt": "hi", "max_tokens": 4,
+            "temperature": 0.0, "logprobs": 2})
+        r2 = await client.post("/v1/completions", json={
+            "model": "model+self:1", "prompt": "hi", "max_tokens": 4,
+            "temperature": 0.0, "presence_penalty": 0.5})
+        r3 = await client.post("/v1/completions", json={
+            "model": "model+self:1", "prompt": "hi", "max_tokens": 4,
+            "temperature": 0.0, "frequency_penalty": 0.0})
+        return r1.status, r2.status, r3.status
+
+    s1, s2, s3 = _run(ws_dir, go)
+    assert s1 == 400 and s2 == 400
+    assert s3 == 200  # zero-valued penalty fields stay accepted

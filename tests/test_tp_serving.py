@@ -1,0 +1,177 @@
+"""shard_map tensor-parallel SERVING tests: BatchScheduler(tp_mesh=...)
+must reproduce single-device scheduler output for plain decode,
+speculation, multimodal prefill, and the paged pool — the fused-kernel
+multichip path (parallel/tp.py) wired into continuous batching (the
+GSPMD `mesh` path falls back to backend="xla"; this one keeps Pallas).
+Reference capability: single-device serving only (SURVEY §2.3) — the
+scale-out x serving compositions here are net-new.
+"""
+
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from powerserve_tpu.core.config import HyperParams
+from powerserve_tpu.engine.scheduler import BatchScheduler, Request
+from powerserve_tpu.parallel.mesh import make_mesh
+from powerserve_tpu.tools.bench_params import make_device_params
+from powerserve_tpu.tools.synthetic import PRESETS
+
+PRESETS.setdefault("tpserve", dict(dim=256, ffn=512, layers=2, heads=8,
+                                   kv_heads=8, vocab=512, arch="llama",
+                                   bias=False))
+
+
+@pytest.fixture(scope="module")
+def model():
+    return make_device_params("tpserve", quant="q4_k")
+
+
+def _run(sched, prompts, max_tokens=8, timeout=240, **req_kw):
+    sched.start()
+    outs, dones = [], []
+    for p in prompts:
+        done = threading.Event()
+        out = []
+
+        def sink(t, out=out, done=done):
+            if t is None:
+                done.set()
+            else:
+                out.append(t)
+
+        sched.submit(Request(prompt_ids=list(p), max_tokens=max_tokens,
+                             temperature=0.0, sink=sink, **req_kw))
+        outs.append(out)
+        dones.append(done)
+    for d in dones:
+        assert d.wait(timeout=timeout), "request did not finish"
+    return outs
+
+
+PROMPTS = [[3, 5, 7, 9, 11], [101, 7, 42]]
+
+
+@pytest.fixture(scope="module")
+def ref_tokens(model):
+    cfg, params = model
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64)
+    s = BatchScheduler(params, cfg, hp, backend="xla")
+    try:
+        return _run(s, PROMPTS)
+    finally:
+        s.stop()
+
+
+def _tp_sched(model, mesh, **kw):
+    from powerserve_tpu.parallel.tp import shard_params_tp
+
+    cfg, params = model
+    p2 = shard_params_tp(params, mesh, cfg.llm)
+    hp = kw.pop("hp", None) or HyperParams(max_slots=2, batch_size=8,
+                                           max_seq_len=64)
+    return BatchScheduler(p2, cfg, hp, backend="xla", tp_mesh=mesh, **kw), p2
+
+
+def test_tp_scheduler_matches_single(model, ref_tokens):
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    s, _ = _tp_sched(model, mesh)
+    try:
+        got = _run(s, PROMPTS)
+    finally:
+        s.stop()
+    assert got == ref_tokens
+
+
+def test_tp_scheduler_interpret_kernel(model, ref_tokens):
+    """The Pallas kernel itself (interpret mode on CPU) inside the
+    serving shard_map — proves multichip serving keeps the fused
+    kernel instead of the GSPMD xla fallback."""
+    mesh = make_mesh({"dp": 2, "tp": 4})  # K/shard=64 keeps a pack group
+    from powerserve_tpu.parallel.tp import shard_params_tp
+
+    cfg, params = model
+    p2 = shard_params_tp(params, mesh, cfg.llm)
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64)
+    s = BatchScheduler(p2, cfg, hp, backend="pallas_interpret",
+                       tp_mesh=mesh)
+    try:
+        got = _run(s, [PROMPTS[0]], max_tokens=4)
+    finally:
+        s.stop()
+    assert got[0] == ref_tokens[0][:4]
+
+
+def test_tp_scheduler_spec_chain_matches(model, ref_tokens):
+    """Greedy chain speculation under tp_mesh == vanilla greedy (the
+    lossless-speculation invariant, now through the shard_map path)."""
+    from powerserve_tpu.speculative.chain import self_draft_config
+
+    cfg, params = model
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    d_llm = self_draft_config(cfg.llm, 1)
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64)
+    from powerserve_tpu.parallel.tp import shard_params_tp
+
+    p2 = shard_params_tp(params, mesh, cfg.llm)
+    s = BatchScheduler(p2, cfg, hp, backend="xla", tp_mesh=mesh,
+                       draft_params=p2, draft_llm=d_llm, spec_k=2)
+    try:
+        got = _run(s, PROMPTS)
+    finally:
+        s.stop()
+    assert got == ref_tokens
+
+
+def test_tp_scheduler_spec_tree_matches(model, ref_tokens):
+    from powerserve_tpu.speculative.chain import self_draft_config
+
+    cfg, params = model
+    mesh = make_mesh({"tp": 4, "dp": 2})
+    d_llm = self_draft_config(cfg.llm, 1)
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64)
+    hp.spec_tree = "2,2"
+    from powerserve_tpu.parallel.tp import shard_params_tp
+
+    p2 = shard_params_tp(params, mesh, cfg.llm)
+    s = BatchScheduler(p2, cfg, hp, backend="xla", tp_mesh=mesh,
+                       draft_params=p2, draft_llm=d_llm)
+    try:
+        got = _run(s, PROMPTS)
+    finally:
+        s.stop()
+    assert got == ref_tokens
+
+
+def test_tp_scheduler_mm_embeds(model, ref_tokens):
+    """VLM-style embed requests under tp_mesh: feeding the REAL
+    embedding rows as Request.embeds must match the plain token path."""
+    cfg, params = model
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    s, p2 = _tp_sched(model, mesh, mm_dim=cfg.llm.dim)
+    try:
+        embeds = np.asarray(
+            params.embed.lookup(jnp.asarray([PROMPTS[0]], jnp.int32))[0],
+            np.float32)
+        got = _run(s, [PROMPTS[0]], embeds=embeds)
+    finally:
+        s.stop()
+    assert got[0] == ref_tokens[0]
+
+
+def test_tp_scheduler_paged(model, ref_tokens):
+    import jax
+
+    # paged pool x tp_mesh requires dp == 1: 4-device tp-only mesh
+    mesh = make_mesh({"tp": 4}, devices=jax.devices()[:4])
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64)
+    hp.paged_pages = 16
+    hp.page_size = 8
+    s, _ = _tp_sched(model, mesh, hp=hp)
+    try:
+        got = _run(s, PROMPTS)
+    finally:
+        s.stop()
+    assert got == ref_tokens
