@@ -93,6 +93,9 @@ def main() -> int:
     if cmd == "deploy":
         from .tools.deploy import main as m
         return m(argv)
+    if cmd == "gate":
+        from .tools.gate import main as m
+        return m(argv)
     print(f"unknown command '{cmd}'\n{__doc__}")
     return 1
 

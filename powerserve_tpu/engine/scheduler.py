@@ -225,9 +225,11 @@ class BatchScheduler:
         self.e_llm = eagle_llm
         self.is_eagle = eagle_params is not None
         self.mm_dim = int(mm_dim)
-        if self.mm_dim:
-            assert draft_params is None and eagle_params is None, \
-                "multimodal scheduler does not compose with speculation"
+        if self.mm_dim and draft_params is not None:
+            # VLM x speculation: the draft prefills from the SAME
+            # injected embeddings, so its hidden dim must match
+            assert draft_llm is not None and draft_llm.dim == llm.dim, \
+                "mm x spec needs draft dim == target dim"
         self.d_kv = None
         if self.is_eagle:
             assert eagle_llm is not None and draft_params is None
@@ -249,13 +251,22 @@ class BatchScheduler:
         if pp_mesh is not None:
             # pipeline-parallel serving (parallel/pp.py): params must
             # already be sharded by shard_params_pp; the kv created
-            # above shards its layer axis here. Plain + multimodal
-            # decode/prefill — speculation composes with pp later.
-            assert draft_params is None and eagle_params is None \
-                and mesh is None, \
-                "pp serving composes with plain/mm decode (+ paged) only"
+            # above shards its layer axis here. Plain, multimodal, and
+            # CHAIN-speculation decode/prefill (the chain scan runs
+            # pp_forward via injectable fwd callables; tree templates
+            # need vis_override, which the staged pipeline lacks).
+            # Self-drafting is out too: a layer-truncated draft config
+            # breaks the per-stage layer layout.
+            assert eagle_params is None and mesh is None, \
+                "pp serving: EAGLE / GSPMD mesh do not compose"
             from ..parallel.pp import shard_kv_pp
 
+            if draft_params is not None:
+                assert draft_llm.n_layers % pp_mesh.shape["pp"] == 0 \
+                    and draft_params is not params, \
+                    "spec x pp needs a separate pp-sharded draft model " \
+                    "(self-draft layer truncation breaks stage layout)"
+                self.d_kv = shard_kv_pp(self.d_kv, pp_mesh)
             self.kv = shard_kv_pp(self.kv, pp_mesh)
         self.tp_mesh = tp_mesh
         if tp_mesh is not None:
@@ -471,7 +482,28 @@ class BatchScheduler:
         # constants (catastrophic compile + HBM duplication, and for
         # self-drafting it would duplicate the whole target model)
 
-        if self.tp_mesh is not None:
+        # spec x pp: ONE pp_forward partial reused for target and draft
+        # (static jit keys — a fresh partial per tick would retrace)
+        self._spec_fwd = None
+        if self.pp_mesh is not None:
+            from ..parallel.pp import pp_forward as _ppf
+
+            self._spec_fwd = functools.partial(_ppf, mesh=self.pp_mesh)
+
+        if self.pp_mesh is not None:
+            ppf = self._spec_fwd
+
+            @functools.partial(jax.jit, donate_argnums=(2, 3))
+            def spec_prefill_chunk(params, dparams, kv, d_kv, tokens,
+                                   positions, active):
+                _, kv = ppf(params, llm, kv, tokens, positions,
+                            active=active, backend=backend,
+                            logits_mode="none")
+                _, d_kv = ppf(dparams, d_llm, d_kv, tokens, positions,
+                              active=active, backend=backend,
+                              logits_mode="none")
+                return kv, d_kv
+        elif self.tp_mesh is not None:
             from ..parallel.tp import tp_forward as _tpf
 
             tp_mesh = self.tp_mesh
@@ -510,7 +542,80 @@ class BatchScheduler:
         widths = ([int(w) for w in self.hp.spec_tree.split(",")]
                   if getattr(self.hp, "spec_tree", "") else [1] * self.spec_k)
         self.spec_template = TreeTemplate.from_widths(widths)
+        if self.pp_mesh is not None:
+            tpl = self.spec_template
+            assert tpl.n_nodes == tpl.max_depth + 1, \
+                "spec x pp supports CHAIN templates only (tree " \
+                "verification needs vis_override, absent from the " \
+                "staged pipeline)"
         self._spec_prefill_chunk = spec_prefill_chunk
+        if self.mm_dim:
+            self._mk_spec_mm_prefill()
+
+    def _mk_spec_mm_prefill(self) -> None:
+        """VLM x speculation prefill: both models consume the SAME
+        per-slot embedding overlay (vision features at image-token
+        positions), so drafted continuations condition on the image
+        exactly like the target — acceptance stays lossless."""
+        llm = self.cfg.llm
+        d_llm = self.d_llm
+        backend = self.backend
+
+        if self.pp_mesh is not None:
+            ppf = self._spec_fwd
+
+            @functools.partial(jax.jit, donate_argnums=(2, 3))
+            def spec_mm_prefill_chunk(params, dparams, kv, d_kv, tokens,
+                                      positions, active, embeds,
+                                      use_embeds):
+                _, kv = ppf(params, llm, kv, tokens, positions,
+                            active=active, backend=backend,
+                            logits_mode="none", embeds=embeds,
+                            use_embeds=use_embeds)
+                _, d_kv = ppf(dparams, d_llm, d_kv, tokens, positions,
+                              active=active, backend=backend,
+                              logits_mode="none", embeds=embeds,
+                              use_embeds=use_embeds)
+                return kv, d_kv
+        elif self.tp_mesh is not None:
+            from ..parallel.tp import tp_forward as _tpf
+
+            tp_mesh = self.tp_mesh
+
+            @functools.partial(jax.jit, donate_argnums=(2, 3))
+            def spec_mm_prefill_chunk(params, dparams, kv, d_kv, tokens,
+                                      positions, active, embeds,
+                                      use_embeds):
+                _, kv = _tpf(params, llm, kv, tokens, positions,
+                             mesh=tp_mesh, active=active,
+                             backend=backend, logits_mode="none",
+                             embeds=embeds, use_embeds=use_embeds)
+                _, d_kv = _tpf(dparams, d_llm, d_kv, tokens, positions,
+                               mesh=tp_mesh, active=active,
+                               backend=backend, logits_mode="none",
+                               embeds=embeds, use_embeds=use_embeds)
+                return kv, d_kv
+        else:
+            @functools.partial(jax.jit, donate_argnums=(2, 3))
+            def spec_mm_prefill_chunk(params, dparams, kv, d_kv, tokens,
+                                      positions, active, embeds,
+                                      use_embeds):
+                def overlay(p):
+                    x = p.embed.lookup(tokens).astype(jnp.bfloat16)
+                    return jnp.where(use_embeds[:, None, None],
+                                     embeds.astype(jnp.bfloat16), x)
+
+                _, kv = forward(params, llm, kv, tokens, positions,
+                                active=active, backend=backend,
+                                logits_mode="none",
+                                embeds=overlay(params))
+                _, d_kv = forward(dparams, d_llm, d_kv, tokens, positions,
+                                  active=active, backend=backend,
+                                  logits_mode="none",
+                                  embeds=overlay(dparams))
+                return kv, d_kv
+
+        self._spec_mm_prefill_chunk = spec_mm_prefill_chunk
 
     def _mk_eagle_jits(self) -> None:
         llm = self.cfg.llm
@@ -518,19 +623,33 @@ class BatchScheduler:
         backend = self.backend
         from ..speculative.eagle import eagle_forward
 
-        @functools.partial(jax.jit, donate_argnums=(2, 3, 7))
+        @functools.partial(jax.jit, donate_argnums=(2, 3, 7),
+                           static_argnames=("mm",))
         def eagle_prefill_chunk(params, eparams, kv, e_kv, tokens,
-                                positions, active, last_feat, n_real):
+                                positions, active, last_feat, n_real,
+                                embeds=None, use_embeds=None,
+                                mm: bool = False):
             """Target prefill chunk + head prefill: the head's query at
             lane 0 pairs with the slot's carried feature (the target
             feature at the previous position); lane i pairs with this
             chunk's feature at lane i-1. Returns the new carried
             feature = the feature at each slot's last REAL lane
             (n_real[s]-1; padded -1 lanes produce garbage features that
-            must not leak into the carry)."""
+            must not leak into the carry).
+
+            mm=True: per-slot embedding overlay on the TARGET input
+            (VLM x EAGLE — the head keeps drafting from target features
+            + token ids; image positions share the placeholder id, but
+            the features carry the vision content and verification
+            stays lossless)."""
+            x = None
+            if mm:
+                x = params.embed.lookup(tokens).astype(jnp.bfloat16)
+                x = jnp.where(use_embeds[:, None, None],
+                              embeds.astype(jnp.bfloat16), x)
             _, kv, feats = forward(params, llm, kv, tokens, positions,
                                    active=active, backend=backend,
-                                   logits_mode="none",
+                                   logits_mode="none", embeds=x,
                                    return_final_hidden=True)
             feats = feats.astype(jnp.float32)  # [S, C, dim]
             head_feats = jnp.concatenate(
@@ -797,12 +916,25 @@ class BatchScheduler:
                     stores.append((i, prompt[:slot.prefill_off]))
             ran = True
         if ran:
-            if self.mm_dim and use_embeds.any():
+            if self.mm_dim and use_embeds.any() and self.is_eagle:
+                self.kv, self.d_kv, self.feat = self._eagle_prefill_chunk(
+                    self.params, self.eparams, self.kv, self.d_kv,
+                    jnp.asarray(tokens), jnp.asarray(positions),
+                    jnp.asarray(active), self.feat, jnp.asarray(n_real),
+                    jnp.asarray(embeds), jnp.asarray(use_embeds), mm=True)
+            elif self.mm_dim and use_embeds.any() \
+                    and self.d_kv is not None:
+                self.kv, self.d_kv = self._spec_mm_prefill_chunk(
+                    self.params, self.dparams, self.kv, self.d_kv,
+                    jnp.asarray(tokens), jnp.asarray(positions),
+                    jnp.asarray(active), jnp.asarray(embeds),
+                    jnp.asarray(use_embeds))
+            elif self.mm_dim and use_embeds.any():
                 _, self.kv = self._mm_prefill_chunk(
                     self.params, self.kv, jnp.asarray(tokens),
                     jnp.asarray(positions), jnp.asarray(active),
                     jnp.asarray(embeds), jnp.asarray(use_embeds))
-            elif self.mm_dim:
+            elif self.mm_dim and self.d_kv is None and not self.is_eagle:
                 # text-only tick on a VLM scheduler: skip shipping the
                 # [S, C, dim] zero embeds tensor over the tunnel
                 _, self.kv = self._prefill_chunk(
@@ -880,7 +1012,17 @@ class BatchScheduler:
         common = dict(active=jnp.asarray(active), rngs=self.rngs,
                       temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
                       top_p=jnp.asarray(top_p))
-        if self.tp_mesh is not None:
+        if self.pp_mesh is not None:
+            # spec x pipeline: the chain scan's forwards run through
+            # pp_forward (injectable fwd; chain templates only — the
+            # __init__/_mk_spec_jits asserts enforce it)
+            (emitted_d, counts, self.kv, self.d_kv, next_tok,
+             self.rngs) = chain_spec_sample_scan(
+                self.params, self.dparams, self.kv, self.d_kv,
+                jnp.asarray(tokens), self.cfg.llm, self.d_llm,
+                self.spec_horizon, tpl.max_depth, self.backend,
+                fwd_t=self._spec_fwd, fwd_d=self._spec_fwd, **common)
+        elif self.tp_mesh is not None:
             # spec x shard_map tp: the whole scan runs in one shard_map
             # so each shard's Pallas kernel sees local weights
             from ..parallel.tp import tp_chain_spec_scan, tp_tree_spec_scan

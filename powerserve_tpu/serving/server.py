@@ -186,24 +186,27 @@ class ServerContext:
         finally:
             rd.close()
 
-    def _load_vlm(self, name: str, d: Path) -> ModelContext:
-        """VLM from a GGUF workspace (vision.gguf, preferred) or an
-        InternVL HF checkpoint dir (reference loads its VLM from NPU
+    def _load_ivl(self, d: Path):
+        """VLM bundle from a GGUF workspace (vision.gguf, preferred) or
+        an InternVL HF checkpoint dir (reference loads its VLM from NPU
         context binaries; here from GGUF or the HF checkpoint)."""
         if (d / "vision.gguf").exists():
             from ..models.internvl import internvl_from_workspace
 
-            ivl = internvl_from_workspace(d)
-        else:
-            import torch
-            from transformers import InternVLForConditionalGeneration
+            return internvl_from_workspace(d)
+        import torch
+        from transformers import InternVLForConditionalGeneration
 
-            from ..models.internvl import internvl_from_hf
+        from ..models.internvl import internvl_from_hf
 
-            m = InternVLForConditionalGeneration.from_pretrained(
-                d, torch_dtype=torch.float32)
-            ivl = internvl_from_hf(m)
-            del m
+        m = InternVLForConditionalGeneration.from_pretrained(
+            d, torch_dtype=torch.float32)
+        ivl = internvl_from_hf(m)
+        del m
+        return ivl
+
+    def _load_vlm(self, name: str, d: Path) -> ModelContext:
+        ivl = self._load_ivl(d)
         tok = Tokenizer.from_model_dir(d)
         params, mesh_kw = ivl.llm_params, dict(mesh=self.mesh)
         if self.sm:
@@ -279,12 +282,32 @@ class ServerContext:
             # the host tree engine and EAGLE drafting run outside the
             # shard_map path (plain forward / scheduler assert); spec x
             # sequence-parallel is also unsupported there
+            main_dir = self.resolve_dir(main_name)
+            is_vlm_main = self._is_vlm_dir(main_dir)
             want_sm = (self.sm and engine_kind != "tree" and not is_eagle
+                       and not is_vlm_main
                        and (self.mesh is None
                             or self.mesh.shape.get("sp", 1) == 1))
-            t_cfg, t_params, t_sm = self._load(
-                self.resolve_dir(main_name), sm=want_sm)
-            tok = Tokenizer.from_model_dir(self.resolve_dir(main_name))
+            ivl = None
+            if is_vlm_main:
+                # VLM x speculation (net-new vs the reference's
+                # single-stream VLM): spec requests carry injected
+                # image embeddings through BOTH models' prefills
+                # (scheduler _spec_mm_prefill_chunk)
+                if engine_kind == "tree" or is_eagle or self.pp:
+                    raise web.HTTPBadRequest(
+                        text="VLM speculation supports the batched "
+                             "chain/tree scheduler only (no host tree "
+                             "engine, EAGLE, or --pp)")
+                ivl = self._load_ivl(main_dir)
+                t_cfg, t_params, t_sm = ivl.cfg, ivl.llm_params, False
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_params
+
+                    t_params = shard_params(t_params, self.mesh)
+            else:
+                t_cfg, t_params, t_sm = self._load(main_dir, sm=want_sm)
+            tok = Tokenizer.from_model_dir(main_dir)
             if engine_kind == "tree":
                 # host-driven token tree, single-stream behind a lock
                 d_cfg, d_params, _ = self._load(draft_dir, sm=False)
@@ -305,10 +328,19 @@ class ServerContext:
                 from ..speculative.chain import self_draft_config
 
                 if is_self:
+                    if self.pp:
+                        raise web.HTTPBadRequest(
+                            text="self-draft speculation does not "
+                                 "compose with --pp (layer truncation "
+                                 "breaks the stage layout); use a "
+                                 "separate draft model")
                     d_params = t_params
                     d_llm = self_draft_config(t_cfg.llm,
                                               int(draft_name[5:]))
                 elif is_eagle:
+                    if self.pp:
+                        raise web.HTTPBadRequest(
+                            text="EAGLE does not compose with --pp")
                     # EAGLE feature-level draft head: every tick drafts
                     # a spec_k chain per slot with the head and one
                     # batched target verify covers all slots (EAGLE x
@@ -343,14 +375,23 @@ class ServerContext:
                         raise web.HTTPBadRequest(
                             text=f"draft vocab ({d_llm.vocab_size}) != "
                                  f"target vocab ({t_cfg.llm.vocab_size})")
-                mesh_kw = (dict(tp_mesh=self.mesh) if t_sm
-                           else dict(mesh=self.mesh))
+                if t_sm:
+                    mesh_kw = dict(tp_mesh=self.mesh)
+                elif self.pp:
+                    # chain-spec x pipeline (the scheduler rejects tree
+                    # templates under pp); both models are pp-sharded
+                    mesh_kw = dict(pp_mesh=self.mesh)
+                else:
+                    mesh_kw = dict(mesh=self.mesh)
                 sched = BatchScheduler(t_params, t_cfg, self.hp,
                                        self.backend,
                                        draft_params=d_params,
-                                       draft_llm=d_llm, **mesh_kw)
+                                       draft_llm=d_llm,
+                                       mm_dim=(t_cfg.llm.dim
+                                               if ivl is not None else 0),
+                                       **mesh_kw)
                 sched.start()
-                ctx = ModelContext(name, sched, tok)
+                ctx = ModelContext(name, sched, tok, vlm=ivl)
         else:
             cfg, params, used_sm = self._load(self.resolve_dir(name))
             if self.pp:

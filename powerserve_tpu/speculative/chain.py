@@ -122,7 +122,7 @@ def chain_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
 @functools.partial(
     jax.jit,
     static_argnames=("t_llm", "d_llm", "n_steps", "k", "backend",
-                     "tp_axis"),
+                     "tp_axis", "fwd_t", "fwd_d"),
     donate_argnums=(2, 3),
 )
 def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
@@ -134,7 +134,8 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
                            temp: jax.Array | None = None,
                            top_k: jax.Array | None = None,
                            top_p: jax.Array | None = None,
-                           tp_axis: str | None = None):
+                           tp_axis: str | None = None,
+                           fwd_t=None, fwd_d=None):
     """Batched STOCHASTIC chain speculation: standard speculative
     sampling (Leviathan et al. 2023) instead of exact-match acceptance.
 
@@ -157,6 +158,15 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
     """
     from ..sampling.sampler import categorical_from_dist, sample_dist_batched
 
+    # fwd_t/fwd_d: injectable forward callables (static) — the pipeline
+    # -parallel scheduler passes pp_forward partials so the whole spec
+    # scan runs through the staged pipeline (spec x pp composition);
+    # default is the plain forward with the tp shard_map axis threaded
+    if fwd_t is None:
+        fwd_t = functools.partial(forward, tp_axis=tp_axis)
+    if fwd_d is None:
+        fwd_d = functools.partial(forward, tp_axis=tp_axis)
+
     S = root.shape[0]
     V = t_llm.vocab_size
     if active is None:
@@ -177,9 +187,9 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
         def draft_body(dc, _):
             tok, kv, dk = dc
             pos = jnp.where(active, kv.pos.astype(jnp.int32), -1)[:, None]
-            logits, kv = forward(dparams, d_llm, kv, tok[:, None], pos,
-                                 active=active, backend=backend,
-                                 logits_mode="last", tp_axis=tp_axis)
+            logits, kv = fwd_d(dparams, d_llm, kv, tok[:, None], pos,
+                               active=active, backend=backend,
+                               logits_mode="last")
             sp = jax.vmap(lambda r: jax.random.split(r, 2))(dk)
             dk, sub = sp[:, 0], sp[:, 1]
             q = sample_dist_batched(logits[:, :V], temp, top_k, top_p,
@@ -195,9 +205,9 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
         # -- 2. one batched target verify ------------------------------
         positions = jnp.where(active[:, None],
                               c[:, None] + lanes[None, :], -1)
-        logits, t_kv = forward(tparams, t_llm, t_kv, fed, positions,
-                               active=active, backend=backend,
-                               logits_mode="all", tp_axis=tp_axis)
+        logits, t_kv = fwd_t(tparams, t_llm, t_kv, fed, positions,
+                             active=active, backend=backend,
+                             logits_mode="all")
         rep = lambda a: jnp.repeat(a, k + 1, axis=0)  # noqa: E731
         p_dists = sample_dist_batched(
             logits.reshape(S * (k + 1), -1)[:, :V],
