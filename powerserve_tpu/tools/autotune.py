@@ -48,8 +48,12 @@ def _marginal_us(lin, m: int, k: int, bn: int, groups: int,
 
     x0 = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
 
+    # NOTE lin rides as a jit ARGUMENT: closing over the weight arrays
+    # bakes them into the lowered program as multi-MB constants — slow
+    # remote compiles, and the 8B lm_head (263 MB of nibbles) overflows
+    # the tunnel's compile-payload limit entirely (HTTP 413)
     @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(x0, n):
+    def loop(lin, x0, n):
         def body(x, _):
             y = qmatmul(x, lin, backend="pallas")
             # serial dependence: fold y back into x (shape-preserving)
@@ -69,14 +73,14 @@ def _marginal_us(lin, m: int, k: int, bn: int, groups: int,
     key = f"{qmm.mclass(m)}:{k}:{lin.out_features}"
     qmm._TUNE[key] = {"bn": bn, "groups": groups}
     try:
-        np.asarray(loop(x0, n1))
-        np.asarray(loop(x0, n2))
+        np.asarray(loop(lin, x0, n1))
+        np.asarray(loop(lin, x0, n2))
         ms = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            np.asarray(loop(x0, n1))
+            np.asarray(loop(lin, x0, n1))
             t1 = time.perf_counter()
-            np.asarray(loop(x0, n2))
+            np.asarray(loop(lin, x0, n2))
             t2 = time.perf_counter()
             ms.append(((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e6)
         return statistics.median(ms)

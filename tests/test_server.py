@@ -667,3 +667,33 @@ def test_spec_model_rejects_logprobs_and_penalties(ws_dir):
     s1, s2, s3 = _run(ws_dir, go)
     assert s1 == 400 and s2 == 400
     assert s3 == 200  # zero-valued penalty fields stay accepted
+
+
+def test_local_server_in_process(ws_dir):
+    """In-process embedding API (serving/local.py — the reference
+    LocalServer role, local_server.cpp:6-176): blocking + streaming
+    completion and chat must match the HTTP server's greedy output."""
+    from powerserve_tpu.serving.local import LocalServer
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "model": "model", "prompt": "The quick brown fox",
+            "max_tokens": 8, "temperature": 0.0})
+        return (await r.json())["choices"][0]["text"]
+
+    http_text = _run(ws_dir, go)
+
+    with LocalServer(ws_dir, model="model", backend="xla",
+                     hp=HyperParams(max_slots=2, batch_size=8)) as srv:
+        blocking = srv.completion("The quick brown fox", max_tokens=8,
+                                  temperature=0.0)
+        streamed = "".join(srv.completion("The quick brown fox",
+                                          stream=True, max_tokens=8,
+                                          temperature=0.0))
+        chat_out = srv.chat([{"role": "user", "content": "hello"}],
+                            max_tokens=4, temperature=0.0)
+        m = srv.metrics()
+    assert blocking == http_text
+    assert streamed == http_text
+    assert isinstance(chat_out, str) and len(chat_out) > 0
+    assert m["requests_total"] >= 3
