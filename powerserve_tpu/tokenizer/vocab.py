@@ -4,6 +4,12 @@ vendored llama.cpp vocab (reference src/tokenizer/tokenizer.cpp:22-60,
 libs/llama_tokenizer/llama-vocab.cpp).
 
 Supported vocab models (tokenizer.ggml.model):
+  - "bert": WordPiece (WPM) — greedy longest-match with BERT
+    normalization and [CLS]/[SEP] wrapping (reference llama-vocab.cpp
+    llm_tokenizer_wpm)
+  - "t5": Unigram (UGM) — Viterbi max-score segmentation with fused
+    UNK runs (reference llm_tokenizer_ugm; the optional
+    precompiled_charsmap normalizer is not applied)
   - "llama": SentencePiece-style BPE driven by per-token scores, with
     byte fallback (<0xNN> tokens) and the U+2581 space convention.
   - "gpt2": byte-level BPE driven by a merge list, with the GPT-2
@@ -101,7 +107,7 @@ class GGUFVocab:
     scores: list[float] | None
     token_types: list[int] | None
     merges: list[str] | None
-    model: str  # "llama" (spm) | "gpt2" (bpe)
+    model: str  # "llama" (spm) | "gpt2" (bpe) | "bert" (wpm) | "t5" (ugm)
     pre: str = ""  # pre-tokenizer family (tokenizer.ggml.pre)
     bos_id: int = -1
     eos_id: int = -1
@@ -109,6 +115,8 @@ class GGUFVocab:
     eom_id: int = -1
     unk_id: int = -1
     pad_id: int = -1
+    cls_id: int = -1  # WPM/BERT classifier start token
+    sep_id: int = -1  # WPM/BERT separator end token
     add_bos: bool = True
     add_eos: bool = False
     add_space_prefix: bool = True
@@ -137,6 +145,8 @@ class GGUFVocab:
             eom_id=int(md.get("tokenizer.ggml.eom_token_id", -1)),
             unk_id=int(md.get("tokenizer.ggml.unknown_token_id", -1)),
             pad_id=int(md.get("tokenizer.ggml.padding_token_id", -1)),
+            cls_id=int(md.get("tokenizer.ggml.cls_token_id", -1)),
+            sep_id=int(md.get("tokenizer.ggml.seperator_token_id", -1)),
             add_bos=bool(md.get("tokenizer.ggml.add_bos_token", True)),
             add_eos=bool(md.get("tokenizer.ggml.add_eos_token", False)),
             add_space_prefix=bool(md.get("tokenizer.ggml.add_space_prefix", True)),
@@ -314,6 +324,123 @@ class GGUFVocab:
             ids.extend(self._bpe_encode_word(mapped))
         return ids
 
+    # -- WPM (BERT WordPiece; reference llama-vocab llm_tokenizer_wpm) ------
+
+    @staticmethod
+    def _wpm_preprocess(text: str) -> list[str]:
+        """BERT normalization: NFD + strip combining marks, lowercase,
+        split on whitespace, split out punctuation and CJK chars as
+        their own words (llama-vocab.cpp llm_tokenizer_wpm::preprocess)."""
+        import unicodedata
+
+        norm = unicodedata.normalize("NFD", text)
+        out: list[str] = []
+        cur: list[str] = []
+
+        def flush():
+            if cur:
+                out.append("".join(cur))
+                cur.clear()
+
+        for ch in norm:
+            cat = unicodedata.category(ch)
+            if cat.startswith("M"):  # combining mark: stripped
+                continue
+            ch = ch.lower()
+            cp = ord(ch)
+            cjk = (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+                   or 0xF900 <= cp <= 0xFAFF or 0x20000 <= cp <= 0x2FFFF)
+            if ch.isspace():
+                flush()
+            elif cat.startswith("P") or cat.startswith("S") or cjk:
+                flush()
+                out.append(ch)
+            else:
+                cur.append(ch)
+        flush()
+        return out
+
+    def _wpm_encode_fragment(self, text: str) -> list[int]:
+        """Greedy longest-match-first per word; a word with any
+        unmatched position becomes one UNK (WordPiece semantics)."""
+        ids: list[int] = []
+        for word in self._wpm_preprocess(text):
+            w = _SPM_SPACE + word  # GGUF BERT vocabs mark word starts
+            n = len(w)
+            word_ids: list[int] = []
+            i = 0
+            ok = True
+            while i < n:
+                best = None
+                for j in range(n, i, -1):
+                    tid = self.token_to_id.get(w[i:j])
+                    if tid is not None:
+                        best = (j, tid)
+                        break
+                if best is None:
+                    ok = False
+                    break
+                i, tid = best
+                word_ids.append(tid)
+            if ok and word_ids:
+                ids.extend(word_ids)
+            elif self.unk_id >= 0:
+                ids.append(self.unk_id)
+        return ids
+
+    # -- UGM (T5 Unigram; reference llama-vocab llm_tokenizer_ugm) ----------
+
+    def _ugm_encode_fragment(self, text: str) -> list[int]:
+        """Viterbi segmentation maximizing summed unigram scores.
+        Unknown characters take unk_id at (min_score - 10) per char,
+        and consecutive unknowns fuse into one UNK (llama-vocab.cpp
+        unknown_token_score_penalty / merging). The optional
+        precompiled_charsmap normalization is NOT applied (plain
+        whitespace escaping only) — exotic normalizer entries may
+        tokenize differently than sentencepiece."""
+        if not text:
+            return []
+        text = text.replace(" ", _SPM_SPACE)
+        if not self.scores:
+            return self._spm_encode_fragment(text)
+        min_score = min(self.scores)
+        unk_score = min_score - 10.0
+        n = len(text)
+        NEG = -1e30
+        best = [NEG] * (n + 1)
+        back: list[tuple[int, int] | None] = [None] * (n + 1)
+        best[0] = 0.0
+        max_len = max((len(t) for t in self.tokens), default=1)
+        for i in range(n):
+            if best[i] <= NEG / 2:
+                continue
+            for j in range(i + 1, min(n, i + max_len) + 1):
+                tid = self.token_to_id.get(text[i:j])
+                if tid is not None:
+                    sc = best[i] + float(self.scores[tid])
+                    if sc > best[j]:
+                        best[j] = sc
+                        back[j] = (i, tid)
+            # unknown fallback: one char as UNK
+            j = i + 1
+            sc = best[i] + unk_score
+            if sc > best[j]:
+                best[j] = sc
+                back[j] = (i, -1)
+        ids_rev: list[int] = []
+        pos = n
+        while pos > 0:
+            i, tid = back[pos]
+            if tid < 0:
+                tid = self.unk_id
+                # fuse runs of unknown chars into ONE unk
+                if ids_rev and ids_rev[-1] == tid:
+                    pos = i
+                    continue
+            ids_rev.append(tid)
+            pos = i
+        return ids_rev[::-1]
+
     def encode(self, text: str, add_bos: bool | None = None,
                parse_special: bool = True) -> list[int]:
         ids: list[int] = []
@@ -325,12 +452,28 @@ class GGUFVocab:
                 continue
             if self.model == "gpt2":
                 ids.extend(self._bpe_encode_fragment(frag))
+            elif self.model == "bert":
+                ids.extend(self._wpm_encode_fragment(frag))
+            elif self.model == "t5":
+                f = frag
+                if first_normal and self.add_space_prefix and f \
+                        and not f.startswith(" "):
+                    f = " " + f
+                ids.extend(self._ugm_encode_fragment(f))
             else:
                 f = frag
                 if first_normal and self.add_space_prefix and f and not f.startswith(" "):
                     f = " " + f
                 ids.extend(self._spm_encode_fragment(f))
             first_normal = False
+        if self.model == "bert":
+            # BERT sequences: [CLS] ... [SEP] (reference wraps WPM
+            # output the same way)
+            if self.cls_id >= 0:
+                ids = [self.cls_id] + ids
+            if self.sep_id >= 0:
+                ids = ids + [self.sep_id]
+            return ids
         if add_bos is None:
             add_bos = self.add_bos
         if add_bos and self.bos_id >= 0:

@@ -317,3 +317,58 @@ def test_split_specials_iterative_deep():
     out = v._split_specials(text)
     assert len(out) == 10000
     assert out[0] == ("x", None) and out[1] == ("<s>", 0)
+
+
+def test_wpm_vocab_bert():
+    """WPM (BERT WordPiece) vocab model: greedy longest-match with
+    lowercase/accent-strip normalization, per-word UNK, [CLS]/[SEP]
+    wrapping (reference llama-vocab.cpp llm_tokenizer_wpm)."""
+    from powerserve_tpu.tokenizer.vocab import GGUFVocab
+
+    tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]",
+              "▁hello", "▁wor", "ld", "▁!", "▁h",
+              "ell", "o"]
+    md = {
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.model": "bert",
+        "tokenizer.ggml.unknown_token_id": 1,
+        "tokenizer.ggml.cls_token_id": 2,
+        "tokenizer.ggml.seperator_token_id": 3,
+        "tokenizer.ggml.add_bos_token": False,
+    }
+    v = GGUFVocab.from_metadata(md)
+    assert v.encode("Hello world!") == [2, 4, 5, 6, 7, 3]
+    # NFD accent stripping + lowercase
+    assert v.encode("Héllo") == [2, 4, 3]
+    # a word with no match at some position becomes ONE [UNK]
+    assert v.encode("hello zzz") == [2, 4, 1, 3]
+    # greedy longest-first: "hell" + "o" never chosen over "hello"
+    assert v.encode("hello") == [2, 4, 3]
+
+
+def test_ugm_vocab_t5():
+    """UGM (T5 Unigram) vocab model: Viterbi max-score segmentation,
+    unknown chars fused into one UNK (llm_tokenizer_ugm semantics)."""
+    from powerserve_tpu.tokenizer.vocab import GGUFVocab
+
+    tokens = ["<unk>", "▁ab", "ab", "a", "b", "▁a", "▁",
+              "c", "▁abc"]
+    scores = [0.0, -1.0, -2.0, -3.0, -3.5, -2.0, -4.0, -3.0, -0.5]
+    md = {
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.scores": scores,
+        "tokenizer.ggml.model": "t5",
+        "tokenizer.ggml.unknown_token_id": 0,
+        "tokenizer.ggml.add_bos_token": False,
+        "tokenizer.ggml.add_space_prefix": True,
+    }
+    v = GGUFVocab.from_metadata(md)
+    # " ab" -> "▁ab" (-1) beats "▁a"+"b" (-5.5) and "▁"+"ab" (-6)
+    assert v.encode("ab") == [1]
+    # longer token wins on score: "▁abc" (-0.5) vs "▁ab"+"c" (-4)
+    assert v.encode("abc") == [8]
+    # viterbi composes: "ab ab" -> [▁ab, ▁ab]
+    assert v.encode("ab ab") == [1, 1]
+    # unknown run fuses into a single <unk>: "▁" + unk(zzz)
+    out = v.encode("zzz")
+    assert out.count(0) == 1 and out[-1] == 0
