@@ -175,3 +175,27 @@ def test_tp_scheduler_paged(model, ref_tokens):
     finally:
         s.stop()
     assert got == ref_tokens
+
+
+def test_tp_scheduler_paged_interpret_kernel(model, ref_tokens):
+    """Paged pool + tp_mesh with the PALLAS state-mode kernel
+    (interpret): the deferred paged decode path (flash state kernel +
+    in-flight merge + post-scan pool commit) inside the serving
+    shard_map must still match single-device greedy."""
+    import jax
+
+    mesh = make_mesh({"tp": 4}, devices=jax.devices()[:4])
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64)
+    hp.paged_pages = 16
+    hp.page_size = 8
+    from powerserve_tpu.parallel.tp import shard_params_tp
+
+    cfg, params = model
+    p2 = shard_params_tp(params, mesh, cfg.llm)
+    s = BatchScheduler(p2, cfg, hp, backend="pallas_interpret",
+                       tp_mesh=mesh)
+    try:
+        got = _run(s, [PROMPTS[0]], max_tokens=4)
+    finally:
+        s.stop()
+    assert got[0] == ref_tokens[0][:4]
