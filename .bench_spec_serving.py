@@ -28,7 +28,7 @@ def run(sched) -> tuple[float, dict]:
     sched.submit(Request(prompt_ids=[1, 2, 3], max_tokens=4,
                          temperature=0.0,
                          sink=lambda t: done.set() if t is None else None))
-    assert done.wait(600)
+    assert done.wait(2400)
     dones = []
     t0 = time.perf_counter()
     for i in range(S):
@@ -38,7 +38,7 @@ def run(sched) -> tuple[float, dict]:
             prompt_ids=PROMPT[: 64 + i], max_tokens=GEN, temperature=0.0,
             sink=lambda t, d=d: d.set() if t is None else None))
     for d in dones:
-        assert d.wait(1200)
+        assert d.wait(2400)
     dt = time.perf_counter() - t0
     m = sched.metrics()
     sched.stop()
