@@ -18,7 +18,7 @@ import numpy as np
 from powerserve_tpu.ops.qmatmul import qmatmul, load_tune_table
 from powerserve_tpu.tools.bench_params import _rand_qlinear
 
-L, DIM, FFN = 32, 4096, 14336
+L, DIM, FFN = 8, 4096, 14336  # L=8: full-size L=32 RESOURCE_EXHAUSTEDs the shared chip
 QKV_N = (32 + 16) * 128  # 6144
 
 
