@@ -49,6 +49,25 @@ _MOE_DISPATCH = _os.environ.get("POWERSERVE_MOE_DISPATCH", "auto")
 _MOE_BLOCK_M = int(_os.environ.get("POWERSERVE_MOE_BLOCK_M", "128"))
 _MOE_GROUP_MIN = int(_os.environ.get("POWERSERVE_MOE_GROUP_MIN", "64"))
 
+# Layer-scan chunking: split the length-L layer scan into an outer scan
+# of L/C inner scans of C layers (exact — pure reassociation of the
+# same iteration order). Probed for the L=32 decode cliff (see below) —
+# did NOT help (14.04 vs 13.68 ms), kept as a measurement knob only.
+_LAYER_SCAN_CHUNK = int(_os.environ.get("POWERSERVE_LAYER_SCAN_CHUNK",
+                                        "0"))
+
+# How the layer scan reads the (loop-invariant, deferred-mode) KV
+# cache: "xs" — cache rides as lax.scan xs, sliced by the scan
+# machinery; "closure" — cache is captured and jnp.take-sliced inside
+# the body. THE L=32 DECODE CLIFF (.bench_lcurve.py, 8B dims):
+# step time is linear at 324 us/layer through L=31 (T=1024) but jumps
+# +2.1-2.9 ms at L=32 — at BOTH ffn=14336 and ffn=8192 (weight bytes
+# ruled out), with inline AND deferred kv_update (commit ruled out),
+# unchanged by nested-scan chunking (trip count ruled out), and GONE at
+# T=512 — i.e. it triggers on the CACHE buffer size as scan xs
+# (k and v each hit exactly 2^25 bytes at [32,1,8,1024,128] int8).
+_SCAN_CACHE = _os.environ.get("POWERSERVE_SCAN_CACHE", "xs")
+
 
 @functools.partial(
     jax.tree_util.register_dataclass,
@@ -142,7 +161,8 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             tp_axis: str | None = None,
             sp_axis: str | None = None,
             ep_axis: str | None = None,
-            kv_update: str | None = None):
+            kv_update: str | None = None,
+            inflight: tuple | None = None):
     """One forward pass over a batch of slots.
 
     tokens/positions: [S, Tq] int32 (positions drive RoPE). active: [S]
@@ -178,7 +198,22 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
                  measured winner per shape). None -> the
                  POWERSERVE_KV_UPDATE env default ("auto"). Falls back
                  to inline for vis_override / float-cache / unrolled
-                 layers.
+                 layers. "window" — like deferred, but the new K/V are
+                 NOT committed at all: they return to the caller as a
+                 4th output (k, v, ks, vs stacked [L, S, Hkv, Tq, ..]),
+                 and `inflight` carries the caller's window of
+                 previous uncommitted steps. This keeps the big cache
+                 buffers LOOP-INVARIANT inside a multi-step decode scan:
+                 committing into a >= 2^25-byte carried cache buffer
+                 inside lax.scan costs +2-3 ms/step on v5e (the
+                 measured L=32 cliff, .bench_lcurve/.bench_scanparts —
+                 XLA loses in-place aliasing); the window costs ~0.
+    inflight: (wk [L,S,Hkv,W,D] int8, wv, wks [L,S,Hkv,W] f32, wvs,
+                 filled int32 scalar) — quantized K/V of the caller's
+                 previous W uncommitted decode steps, of which `filled`
+                 are real. Attention sees them as an extra visibility-
+                 masked block between the committed cache and this
+                 step's tokens. Requires kv_update="window".
     tp_axis: when called inside a shard_map over a mesh axis of that
                  name (parallel/tp.py), params hold LOCAL tensor-
                  parallel shards and cfg holds LOCAL head counts; the
@@ -273,7 +308,17 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         kv_update = _KV_UPDATE_DEFAULT
     if kv_update == "auto":  # decode-sized queries defer, prefill inlines
         kv_update = "deferred" if Tq <= 16 else "inline"
-    deferred = (kv_update == "deferred" and vis_override is None
+    window = kv_update == "window"
+    if window:
+        assert (inflight is not None and vis_override is None
+                and intra_mask is None and quantized and sp_axis is None
+                and not paged and not return_hidden
+                and not return_final_hidden
+                and not isinstance(params.layers, (tuple, list))), \
+            "kv_update='window' needs inflight + plain-decode dense " \
+            "quantized stacked-scan config"
+    deferred = ((kv_update == "deferred" or window)
+                and vis_override is None
                 and quantized and sp_axis is None
                 and not isinstance(params.layers, (tuple, list)))
     if deferred:
@@ -288,7 +333,13 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         valid_new = (cache_positions >= 0) & (cache_positions < kv.max_seq)
         intra_vis_new = intra_vis_new[None, :, :] & valid_new[:, None, :]
 
-    def layer_body(x, lw, k_l, v_l, ks_l, vs_l, layer=None):
+    if window:
+        w_k, w_v, w_ks, w_vs, w_filled = inflight
+        W_win = w_k.shape[3]
+        win_vis = jnp.broadcast_to(
+            (jnp.arange(W_win) < w_filled)[None, None, :], (S, Tq, W_win))
+
+    def layer_body(x, lw, k_l, v_l, ks_l, vs_l, layer=None, win=None):
         # layer!=None: lw holds stacked [L, ...] weights (scan mode) —
         # small tensors are sliced here, QLinears are indexed inside the
         # kernel via scalar prefetch (no HBM slice copies)
@@ -413,9 +464,23 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             vqh = vq.transpose(0, 2, 1, 3)
             ksh = ks.transpose(0, 2, 1)  # [S, Hkv, Tq]
             vsh = vsc.transpose(0, 2, 1)
-            attn = gqa_attention_quant_deferred(
-                q, k_l, ks_l, v_l, vs_l, kv.mask, kqh, ksh, vqh, vsh,
-                intra_vis_new, scale)
+            if win is not None:
+                # window mode: the caller's previous uncommitted steps
+                # prepend this step's block (one wider in-flight
+                # partition; unfilled lanes masked off by win_vis)
+                wk_l, wv_l, wks_l, wvs_l = win
+                attn = gqa_attention_quant_deferred(
+                    q, k_l, ks_l, v_l, vs_l, kv.mask,
+                    jnp.concatenate([wk_l, kqh], axis=2),
+                    jnp.concatenate([wks_l, ksh], axis=2),
+                    jnp.concatenate([wv_l, vqh], axis=2),
+                    jnp.concatenate([wvs_l, vsh], axis=2),
+                    jnp.concatenate([win_vis, intra_vis_new], axis=-1),
+                    scale)
+            else:
+                attn = gqa_attention_quant_deferred(
+                    q, k_l, ks_l, v_l, vs_l, kv.mask, kqh, ksh, vqh, vsh,
+                    intra_vis_new, scale)
             k_l, v_l, ks_l, vs_l = kqh, vqh, ksh, vsh
         elif quantized:
             kq, ks = KVCache.quantize_kv(knew)
@@ -587,17 +652,55 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         stacked = params.layers
 
         def layer_step(carry, inputs):
-            idx, k_l, v_l, ks_l, vs_l = inputs
-            out, cache = layer_body(carry, stacked, k_l, v_l, ks_l, vs_l,
-                                    layer=idx)
+            idx, k_l, v_l, ks_l, vs_l = inputs[:5]
+            out, cache = layer_body(
+                carry, stacked, k_l, v_l, ks_l, vs_l, layer=idx,
+                win=inputs[5:] if window else None)
             ys = cache + ((out,) if return_hidden else ())
             return out, ys
 
         n_layers = kv.k.shape[0]
-        x, ys = jax.lax.scan(
-            layer_step, x,
-            (jnp.arange(n_layers), kv.k, kv.v, kv.k_scale, kv.v_scale),
-        )
+        if deferred and _SCAN_CACHE == "closure":
+            # deferred mode never mutates the cache inside the scan, so
+            # it can stay a closure constant with in-body slicing
+            # instead of riding as scan xs (L=32 cliff probe)
+            def layer_step_cl(carry, idx):
+                out, cache = layer_body(
+                    carry, stacked,
+                    jnp.take(kv.k, idx, axis=0),
+                    jnp.take(kv.v, idx, axis=0),
+                    jnp.take(kv.k_scale, idx, axis=0),
+                    jnp.take(kv.v_scale, idx, axis=0), layer=idx,
+                    win=tuple(jnp.take(w, idx, axis=0)
+                              for w in (w_k, w_v, w_ks, w_vs))
+                    if window else None)
+                return out, cache + ((out,) if return_hidden else ())
+
+            x, ys = jax.lax.scan(layer_step_cl, x, jnp.arange(n_layers))
+            xs = None
+        else:
+            xs = (jnp.arange(n_layers), kv.k, kv.v, kv.k_scale,
+                  kv.v_scale)
+            if window:
+                xs = xs + (w_k, w_v, w_ks, w_vs)
+        C = _LAYER_SCAN_CHUNK
+        if xs is None:
+            pass
+        elif C > 0 and n_layers > C and n_layers % C == 0:
+            # nested scan (see _LAYER_SCAN_CHUNK note): outer L/C x
+            # inner C, same iteration order; leading-axis reshapes of
+            # the xs/ys are free (contiguous)
+            xs = jax.tree_util.tree_map(
+                lambda t: t.reshape((n_layers // C, C) + t.shape[1:]), xs)
+
+            def outer_step(carry, inner_xs):
+                return jax.lax.scan(layer_step, carry, inner_xs)
+
+            x, ys = jax.lax.scan(outer_step, x, xs)
+            ys = jax.tree_util.tree_map(
+                lambda t: t.reshape((n_layers,) + t.shape[2:]), ys)
+        else:
+            x, ys = jax.lax.scan(layer_step, x, xs)
         k_new, v_new, ks_new, vs_new = ys[:4]
         if return_hidden:
             hidden = ys[4]
@@ -616,6 +719,10 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
                              v=commit_pool(kv.v, v_new),
                              k_scale=commit_pool(kv.k_scale, ks_new),
                              v_scale=commit_pool(kv.v_scale, vs_new))
+        elif window:
+            # no commit at all: the caller owns the window and commits
+            # once, OUTSIDE its decode loop (L=32 cliff, see kv_update)
+            new_blocks = (k_new, v_new, ks_new, vs_new)
         elif deferred:
             # one batched scatter commits every layer's in-flight K/V:
             # stacked new [L, S, Hkv, Tq, ...] into cache [L, S, Hkv, T, ...]
@@ -638,8 +745,12 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             kv = _dc.replace(kv, k=k_new, v=v_new,
                              k_scale=ks_new if quantized else kv.k_scale,
                              v_scale=vs_new if quantized else kv.v_scale)
-    kv = kv.advance(cache_positions, active=active, visible=visible,
-                    pos_axis=sp_axis)
+    kv = kv.advance(
+        cache_positions, active=active,
+        # window mode: positions advance but stay cache-invisible until
+        # the caller's post-loop commit flips them on
+        visible=jnp.zeros((S, Tq), bool) if window else visible,
+        pos_axis=sp_axis)
 
     xf = rms_norm(x, params.out_norm, llm.norm_eps).astype(jnp.bfloat16)
     vocab_sharded = (tp_axis is not None
@@ -659,6 +770,8 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         if vocab_sharded:
             logits = jax.lax.all_gather(logits, tp_axis, axis=-1,
                                         tiled=True)
+    if window:
+        return logits, kv, new_blocks
     if return_hidden:
         return logits, kv, hidden
     if return_final_hidden:

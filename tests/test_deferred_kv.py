@@ -95,6 +95,48 @@ def test_deferred_decode_scan_equivalence():
     np.testing.assert_array_equal(toks["deferred"], toks["inline"])
 
 
+@pytest.mark.parametrize("S", [1, 3])
+def test_window_decode_scan_equivalence(S):
+    """kv_update='window' loop (cache loop-invariant, one post-scan
+    commit) produces identical tokens AND identical final cache state
+    to the legacy carry loop."""
+    from powerserve_tpu.engine.loops import decode_scan, prefill_step
+
+    llm, params, kv0 = _mk(S=S)
+    rng = np.random.default_rng(7)
+    ptok = jnp.asarray(rng.integers(0, llm.vocab_size, (S, 8)), jnp.int32)
+    ppos = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (S, 8))
+    out = {}
+    for loop in ("carry", "window"):
+        kv = jax.tree.map(jnp.copy, kv0)
+        logits, kv = prefill_step(params, ptok, ppos, kv, llm, "xla", None)
+        cur = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        t, kv = decode_scan(params, cur, kv, llm, 12, "xla", loop=loop)
+        out[loop] = (np.asarray(t), kv)
+    tc, kvc = out["carry"]
+    tw, kvw = out["window"]
+    np.testing.assert_array_equal(tw, tc)
+    np.testing.assert_array_equal(np.asarray(kvw.mask), np.asarray(kvc.mask))
+    np.testing.assert_array_equal(np.asarray(kvw.pos), np.asarray(kvc.pos))
+    # int8 cache values may differ by 1 ulp on a tiny fraction of
+    # elements: the two loops merge softmax partitions in a different
+    # order, and a float K/V value sitting on a quantization tie can
+    # round either way downstream of that
+    for a, b in ((kvw.k, kvc.k), (kvw.v, kvc.v)):
+        d = np.abs(np.asarray(a).astype(np.int32)
+                   - np.asarray(b).astype(np.int32))
+        assert d.max() <= 1 and (d != 0).mean() < 1e-3
+    np.testing.assert_allclose(np.asarray(kvw.k_scale),
+                               np.asarray(kvc.k_scale), rtol=1e-3)
+    # the committed cache must be USABLE: continue decoding from it with
+    # the other loop and stay token-identical
+    t2w, _ = decode_scan(params, jnp.asarray(tw[:, -1]), kvw, llm, 4,
+                         "xla", loop="carry")
+    t2c, _ = decode_scan(params, jnp.asarray(tc[:, -1]), kvc, llm, 4,
+                         "xla", loop="window")
+    np.testing.assert_array_equal(np.asarray(t2w), np.asarray(t2c))
+
+
 def test_deferred_attention_chunked_matches_dense():
     """The long-context merge (cache streamed + in-flight block) agrees
     with the dense concat path."""
