@@ -55,6 +55,69 @@ def _decode_scan_carry(params: LlamaParams, tokens: jax.Array, kv: KVCache,
     return toks.T, kv
 
 
+def make_kv_window(kv: KVCache, llm: LLMConfig, S: int,
+                   n_steps: int) -> tuple:
+    """Zeroed in-flight K/V window for `n_steps` decode steps:
+    (wk [L,S,Hkv,W,D] int8, wv, wks [L,S,Hkv,W] f32, wvs)."""
+    L = kv.k.shape[0]
+    Hkv, D = llm.n_kv_heads, llm.head_size
+    wk = jnp.zeros((L, S, Hkv, n_steps, D), kv.k.dtype)
+    wks = jnp.zeros((L, S, Hkv, n_steps), kv.k_scale.dtype)
+    return wk, jnp.zeros_like(wk), wks, jnp.zeros_like(wks)
+
+
+def push_kv_window(wins: tuple, blk: tuple, i: jax.Array) -> tuple:
+    """Write one step's new K/V blocks ([L,S,Hkv,1,(D)], forward's
+    kv_update='window' 3rd output) into window lane i."""
+    wk, wv, wks, wvs = wins
+    kb, vb, ksb, vsb = blk
+    at = (0, 0, 0, i, 0)
+    return (jax.lax.dynamic_update_slice(wk, kb.astype(wk.dtype), at),
+            jax.lax.dynamic_update_slice(wv, vb.astype(wv.dtype), at),
+            jax.lax.dynamic_update_slice(wks, ksb.astype(wks.dtype),
+                                         at[:4]),
+            jax.lax.dynamic_update_slice(wvs, vsb.astype(wvs.dtype),
+                                         at[:4]))
+
+
+def commit_kv_window(kv: KVCache, wins: tuple, pos0: jax.Array,
+                     pos_f: jax.Array, mask_f: jax.Array,
+                     active: jax.Array | None = None) -> KVCache:
+    """ONE post-loop scatter committing all window steps x all layers
+    (in-place when kv is donated). pos0: [S] int32 cache positions at
+    loop entry; window lane i of slot s commits to pos0[s]+i. pos_f/
+    mask_f: the loop's final carried pos/mask. Slots outside `active`
+    (and OOB lanes) are dropped."""
+    wk, wv, wks, wvs = wins
+    W = wk.shape[3]
+    wpos = pos0[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    ok = (wpos >= 0) & (wpos < kv.max_seq)
+    if active is not None:
+        ok = ok & active[:, None]
+    safe = jnp.where(ok, wpos, kv.max_seq)
+
+    def commit(cache, new, pos_s):
+        return cache.at[:, :, pos_s].set(new.astype(cache.dtype),
+                                         mode="drop")
+
+    scat = jax.vmap(commit, in_axes=(1, 1, 0), out_axes=1)
+    mask = jax.vmap(lambda m, p: m.at[p].set(True, mode="drop"))(
+        mask_f, safe)
+    return dataclasses.replace(
+        kv, k=scat(kv.k, wk, safe), v=scat(kv.v, wv, safe),
+        k_scale=scat(kv.k_scale, wks, safe),
+        v_scale=scat(kv.v_scale, wvs, safe), mask=mask, pos=pos_f)
+
+
+def window_eligible(kv: KVCache, params: LlamaParams) -> bool:
+    """kv_update='window' preconditions shared by the loops that route
+    to it: dense quantized cache, stacked-scan layers."""
+    from ..kv.paged import PagedKVCache
+
+    return (kv.quantized and not isinstance(kv, PagedKVCache)
+            and not isinstance(params.layers, (tuple, list)))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("llm", "n_steps", "backend"),
                    donate_argnums=(2,))
@@ -67,54 +130,25 @@ def _decode_scan_window(params: LlamaParams, tokens: jax.Array,
     attention reads as an extra visibility-masked softmax partition
     (forward kv_update="window"), and ONE post-loop scatter commits all
     steps x all layers. See _DECODE_LOOP_DEFAULT for the measured why."""
-    L = kv.k.shape[0]
     S = tokens.shape[0]
-    Hkv, D = llm.n_kv_heads, llm.head_size
-    W = n_steps
-    wk = jnp.zeros((L, S, Hkv, W, D), kv.k.dtype)
-    wv = jnp.zeros_like(wk)
-    wks = jnp.zeros((L, S, Hkv, W), kv.k_scale.dtype)
-    wvs = jnp.zeros_like(wks)
+    wins = make_kv_window(kv, llm, S, n_steps)
     pos0 = kv.pos.astype(jnp.int32)
 
     def body(carry, i):
-        tok, pos, mask, wk, wv, wks, wvs = carry
+        tok, pos, mask, wins = carry
         kvi = dataclasses.replace(kv, mask=mask, pos=pos)
         logits, kvo, blk = forward(params, llm, kvi, tok[:, None],
                                    pos.astype(jnp.int32)[:, None],
                                    backend=backend, logits_mode="last",
                                    kv_update="window",
-                                   inflight=(wk, wv, wks, wvs, i))
-        kb, vb, ksb, vsb = blk  # [L, S, Hkv, 1, (D)]
-        at = (0, 0, 0, i, 0)
-        wk = jax.lax.dynamic_update_slice(wk, kb.astype(wk.dtype), at)
-        wv = jax.lax.dynamic_update_slice(wv, vb.astype(wv.dtype), at)
-        wks = jax.lax.dynamic_update_slice(wks, ksb.astype(wks.dtype),
-                                           at[:4])
-        wvs = jax.lax.dynamic_update_slice(wvs, vsb.astype(wvs.dtype),
-                                           at[:4])
+                                   inflight=wins + (i,))
+        wins = push_kv_window(wins, blk, i)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (nxt, kvo.pos, kvo.mask, wk, wv, wks, wvs), nxt
+        return (nxt, kvo.pos, kvo.mask, wins), nxt
 
-    (_, pos_f, mask_f, wk, wv, wks, wvs), toks = jax.lax.scan(
-        body, (tokens, kv.pos, kv.mask, wk, wv, wks, wvs),
-        jnp.arange(n_steps))
-
-    # single commit, outside the loop (in-place on the donated buffers)
-    wpos = pos0[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-    safe = jnp.where((wpos >= 0) & (wpos < kv.max_seq), wpos, kv.max_seq)
-
-    def commit(cache, new, pos_s):
-        return cache.at[:, :, pos_s].set(new.astype(cache.dtype),
-                                         mode="drop")
-
-    scat = jax.vmap(commit, in_axes=(1, 1, 0), out_axes=1)
-    mask = jax.vmap(lambda m, p: m.at[p].set(True, mode="drop"))(
-        mask_f, safe)
-    kv = dataclasses.replace(
-        kv, k=scat(kv.k, wk, safe), v=scat(kv.v, wv, safe),
-        k_scale=scat(kv.k_scale, wks, safe),
-        v_scale=scat(kv.v_scale, wvs, safe), mask=mask, pos=pos_f)
+    (_, pos_f, mask_f, wins), toks = jax.lax.scan(
+        body, (tokens, kv.pos, kv.mask, wins), jnp.arange(n_steps))
+    kv = commit_kv_window(kv, wins, pos0, pos_f, mask_f)
     return toks.T, kv
 
 
@@ -130,12 +164,9 @@ def decode_scan(params: LlamaParams, tokens: jax.Array, kv: KVCache,
     eligible (dense int8 cache, stacked layers, default kv_update),
     else the legacy carry loop; `loop`/POWERSERVE_DECODE_LOOP override.
     """
-    from ..kv.paged import PagedKVCache
-
     loop = loop or _DECODE_LOOP_DEFAULT
     if (loop == "window" and kv_update in (None, "auto", "window")
-            and kv.quantized and not isinstance(kv, PagedKVCache)
-            and not isinstance(params.layers, (tuple, list))):
+            and window_eligible(kv, params)):
         return _decode_scan_window(params, tokens, kv, llm, n_steps,
                                    backend)
     return _decode_scan_carry(params, tokens, kv, llm, n_steps, backend,

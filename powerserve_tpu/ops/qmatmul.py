@@ -601,8 +601,15 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
     qrows = bk // 2 if lin.packed else bk
     # bsum path: zero-point/min contribution via a blocksum(x) dot in
     # the kernel (mul-only dequant); needs whole pack-group halves to
-    # be scale-block aligned (group % 64 == 0 guarantees it)
-    bsum = lin.packed and _ENV_UNPACK == "float"
+    # be scale-block aligned (group % 64 == 0 guarantees it). It also
+    # dynamic-slices the scale slab at per-half-group row offsets
+    # (s0 = kt*kb + g*2*kbh, s0 + kbh with kbh = group/64): Mosaic
+    # requires those starts provably 8-aligned, so group % 512 must
+    # hold (kbh % 8 == 0) — qwen-sized K (896 -> group 896, kbh 14)
+    # fails the vector-load alignment check otherwise and falls back
+    # to the plain packed kernel, which reads whole scale blocks.
+    bsum = (lin.packed and _ENV_UNPACK == "float"
+            and (group // 64) % 8 == 0)
 
     nb_total = k // QK  # all scale blocks (bsum: s/b blocks span full K)
     if prefetch:
