@@ -106,9 +106,28 @@ class InferenceEngine:
             nl_id = self.nl_id if self.nl_id >= 0 else None
             horizon = max(int(getattr(self.hp, "decode_horizon", 1)), 1)
             self.horizon = horizon
+            # window decode loop (engine/loops.py): keeps the cache
+            # buffers loop-invariant (one post-scan commit) — avoids the
+            # +2-3 ms/step carried-scatter cliff at 8B cache sizes
+            from .loops import (_DECODE_LOOP_DEFAULT, commit_kv_window,
+                                make_kv_window, push_kv_window,
+                                window_eligible)
+
+            use_window = (_DECODE_LOOP_DEFAULT == "window"
+                          and self.mesh is None
+                          and window_eligible(self.kv, self.params))
+            import dataclasses as _dc
 
             @functools.partial(jax.jit, donate_argnums=(1, 3))
             def decode(params, kv, tokens, penalty, rng, active):
+                def sample(logits, penalty, rng):
+                    rng, sub = jax.random.split(rng)
+                    nxt = sample_logits(sub, logits, scfg, penalty,
+                                        vocab_size=vocab,
+                                        eos_id=eos_id, nl_id=nl_id
+                                        ).astype(jnp.int32)
+                    return nxt, penalty.push(nxt, active), rng
+
                 def body(carry, _):
                     tok, kv, penalty, rng = carry
                     positions = jnp.where(
@@ -118,16 +137,38 @@ class InferenceEngine:
                                          positions, active=active,
                                          backend=backend,
                                          logits_mode="last")
-                    rng, sub = jax.random.split(rng)
-                    nxt = sample_logits(sub, logits, scfg, penalty,
-                                        vocab_size=vocab,
-                                        eos_id=eos_id, nl_id=nl_id
-                                        ).astype(jnp.int32)
-                    penalty = penalty.push(nxt, active)
+                    nxt, penalty, rng = sample(logits, penalty, rng)
                     return (nxt, kv, penalty, rng), nxt
 
-                (_, kv, penalty, rng), toks = jax.lax.scan(
-                    body, (tokens, kv, penalty, rng), None, length=horizon)
+                def body_window(carry, i):
+                    tok, pos, mask, wins, penalty, rng = carry
+                    positions = jnp.where(
+                        active[:, None], pos[:, None].astype(jnp.int32), -1)
+                    kvi = _dc.replace(kv, mask=mask, pos=pos)
+                    logits, kvo, blk = forward(
+                        params, llm, kvi, tok[:, None], positions,
+                        active=active, backend=backend,
+                        logits_mode="last", kv_update="window",
+                        inflight=wins + (i,))
+                    wins = push_kv_window(wins, blk, i)
+                    nxt, penalty, rng = sample(logits, penalty, rng)
+                    return (nxt, kvo.pos, kvo.mask, wins, penalty,
+                            rng), nxt
+
+                if use_window:
+                    wins0 = make_kv_window(kv, llm, tokens.shape[0],
+                                           horizon)
+                    pos0 = kv.pos.astype(jnp.int32)
+                    (_, pos_f, mask_f, wins, penalty, rng), toks = \
+                        jax.lax.scan(body_window,
+                                     (tokens, kv.pos, kv.mask, wins0,
+                                      penalty, rng), jnp.arange(horizon))
+                    kv = commit_kv_window(kv, wins, pos0, pos_f, mask_f,
+                                          active=active)
+                else:
+                    (_, kv, penalty, rng), toks = jax.lax.scan(
+                        body, (tokens, kv, penalty, rng), None,
+                        length=horizon)
                 return toks.T, kv, penalty, rng  # [S, horizon]
 
             self._decode_fn = decode

@@ -269,3 +269,43 @@ def test_edge_prompts():
     assert len(run_req([1, 2, 3], 1)) == 1    # single generated token
     assert len(run_req(list(range(1, 64)), 2)) >= 1  # prompt ~ max_seq
     assert len(run_req(list(range(1, 200)), 4)) >= 1  # over max_seq
+
+
+def test_window_decode_matches_carry(monkeypatch):
+    """Scheduler ticks with the window decode loop (cache loop-invariant,
+    one post-scan commit) emit byte-identical greedy streams to the
+    legacy carried-cache loop, including multi-slot + a second request
+    continuing from committed state."""
+    import queue as _q
+
+    from powerserve_tpu.tools.bench_params import make_device_params
+
+    def run(loop):
+        import powerserve_tpu.engine.loops as L
+
+        monkeypatch.setattr(L, "_DECODE_LOOP_DEFAULT", loop)
+        cfg, params = make_device_params("tiny", "q8_0")
+        hp = HyperParams(max_slots=2, batch_size=8)
+        hp.max_seq_len = 96
+        sched = BatchScheduler(params, cfg, hp, backend="xla")
+        assert sched.decode_window == (loop == "window")
+        reqs = []
+        for prompt, n in ([1, 6, 11, 16], 9), ([9, 8, 7], 7), ([2, 4], 5):
+            out, done = [], _q.Queue()
+
+            def sink(t, out=out, done=done):
+                done.put(True) if t is None else out.append(t)
+
+            sched.submit(Request(prompt_ids=list(prompt), max_tokens=n,
+                                 temperature=0.0, sink=sink))
+            reqs.append((out, done))
+        for _ in range(600):
+            if all(not d.empty() for _, d in reqs):
+                break
+            sched.step()
+        assert all(not d.empty() for _, d in reqs)
+        return [tuple(out) for out, _ in reqs]
+
+    got_w = run("window")
+    got_c = run("carry")
+    assert got_w == got_c
