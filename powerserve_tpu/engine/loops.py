@@ -80,21 +80,17 @@ def push_kv_window(wins: tuple, blk: tuple, i: jax.Array) -> tuple:
                                          at[:4]))
 
 
-def commit_kv_window(kv: KVCache, wins: tuple, pos0: jax.Array,
-                     pos_f: jax.Array, mask_f: jax.Array,
-                     active: jax.Array | None = None) -> KVCache:
-    """ONE post-loop scatter committing all window steps x all layers
-    (in-place when kv is donated). pos0: [S] int32 cache positions at
-    loop entry; window lane i of slot s commits to pos0[s]+i. pos_f/
-    mask_f: the loop's final carried pos/mask. Slots outside `active`
-    (and OOB lanes) are dropped."""
+def commit_kv_lanes(kv: KVCache, wins: tuple, lane_pos: jax.Array,
+                    lane_ok: jax.Array, pos_f: jax.Array,
+                    mask_f: jax.Array) -> KVCache:
+    """ONE scatter committing window lanes at EXPLICIT per-slot cache
+    positions (in-place when kv is donated). lane_pos/lane_ok: [S, W]
+    int32 positions / validity (dropped lanes and OOB positions are
+    skipped). Valid lanes must hold unique positions per slot — scatter
+    order with duplicate indices is undefined."""
     wk, wv, wks, wvs = wins
-    W = wk.shape[3]
-    wpos = pos0[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-    ok = (wpos >= 0) & (wpos < kv.max_seq)
-    if active is not None:
-        ok = ok & active[:, None]
-    safe = jnp.where(ok, wpos, kv.max_seq)
+    ok = lane_ok & (lane_pos >= 0) & (lane_pos < kv.max_seq)
+    safe = jnp.where(ok, lane_pos, kv.max_seq)
 
     def commit(cache, new, pos_s):
         return cache.at[:, :, pos_s].set(new.astype(cache.dtype),
@@ -107,6 +103,19 @@ def commit_kv_window(kv: KVCache, wins: tuple, pos0: jax.Array,
         kv, k=scat(kv.k, wk, safe), v=scat(kv.v, wv, safe),
         k_scale=scat(kv.k_scale, wks, safe),
         v_scale=scat(kv.v_scale, wvs, safe), mask=mask, pos=pos_f)
+
+
+def commit_kv_window(kv: KVCache, wins: tuple, pos0: jax.Array,
+                     pos_f: jax.Array, mask_f: jax.Array,
+                     active: jax.Array | None = None) -> KVCache:
+    """Commit a sequential decode window: lane i of slot s goes to
+    pos0[s]+i. pos_f/mask_f: the loop's final carried pos/mask. Slots
+    outside `active` (and OOB lanes) are dropped."""
+    W = wins[0].shape[3]
+    wpos = pos0[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    ok = jnp.ones_like(wpos, bool) if active is None \
+        else jnp.broadcast_to(active[:, None], wpos.shape)
+    return commit_kv_lanes(kv, wins, wpos, ok, pos_f, mask_f)
 
 
 def window_eligible(kv: KVCache, params: LlamaParams) -> bool:

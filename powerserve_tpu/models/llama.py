@@ -313,7 +313,6 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         assert (inflight is not None and vis_override is None
                 and intra_mask is None and quantized and sp_axis is None
                 and not paged and not return_hidden
-                and not return_final_hidden
                 and not isinstance(params.layers, (tuple, list))), \
             "kv_update='window' needs inflight + plain-decode dense " \
             "quantized stacked-scan config"
@@ -336,8 +335,17 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     if window:
         w_k, w_v, w_ks, w_vs, w_filled = inflight
         W_win = w_k.shape[3]
-        win_vis = jnp.broadcast_to(
-            (jnp.arange(W_win) < w_filled)[None, None, :], (S, Tq, W_win))
+        # w_filled: scalar int -> first `filled` lanes visible (decode
+        # loop); bool [S, W] -> per-slot lane validity (spec scans,
+        # where rollback invalidates lanes)
+        if getattr(w_filled, "dtype", None) == jnp.bool_ \
+                or getattr(w_filled, "ndim", 0) == 2:
+            win_vis = jnp.broadcast_to(w_filled[:, None, :].astype(bool),
+                                       (S, Tq, W_win))
+        else:
+            win_vis = jnp.broadcast_to(
+                (jnp.arange(W_win) < w_filled)[None, None, :],
+                (S, Tq, W_win))
 
     def layer_body(x, lw, k_l, v_l, ks_l, vs_l, layer=None, win=None):
         # layer!=None: lw holds stacked [L, ...] weights (scan mode) —
@@ -771,6 +779,9 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             logits = jax.lax.all_gather(logits, tp_axis, axis=-1,
                                         tiled=True)
     if window:
+        # with return_final_hidden (EAGLE verify): 4-tuple
+        if return_final_hidden:
+            return logits, kv, new_blocks, x
         return logits, kv, new_blocks
     if return_hidden:
         return logits, kv, hidden

@@ -74,9 +74,23 @@ def chain_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
     Returns (tokens [n_steps, k+1], counts [n_steps], t_kv, d_kv, root):
     step i emitted tokens[i, :counts[i]].
     """
+    from ..engine import loops as _loops
 
-    def spec_step(carry, _):
-        t_kv, d_kv, root = carry
+    # window verify — see chain_spec_sample_scan (same scheme, greedy)
+    use_window = (_loops._DECODE_LOOP_DEFAULT == "window"
+                  and _loops.window_eligible(t_kv, tparams)
+                  and n_steps * (k + 1) <= 1024)
+    S = t_kv.pos.shape[0]
+    W = n_steps * (k + 1)
+    lanes = jnp.arange(k + 1)
+
+    def spec_step(carry, i):
+        if use_window:
+            (t_pos, wins, valid, lane_pos), d_kv, root = carry
+            c = t_pos.astype(jnp.int32)
+        else:
+            t_kv_c, d_kv, root = carry
+            c = t_kv_c.pos.astype(jnp.int32)
 
         # -- 1. draft the chain: feed root, d0 .. d_{k-1} ------------------
         def draft_body(dc, _):
@@ -93,11 +107,24 @@ def chain_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
         # fed = [root, d0 .. d_{k-1}]; drafts are fed[1:]
 
         # -- 2. one target verify over the chain ---------------------------
-        c = t_kv.pos.astype(jnp.int32)  # [1]
-        positions = c[:, None] + jnp.arange(k + 1)[None, :]
-        logits, t_kv = forward(tparams, t_llm, t_kv, fed[None, :],
-                               positions, backend=backend,
-                               logits_mode="all")
+        positions = c[:, None] + lanes[None, :]
+        if use_window:
+            import dataclasses as _dc
+
+            base = i * (k + 1)
+            kvi = _dc.replace(t_kv, pos=t_pos)
+            logits, _, blk = forward(tparams, t_llm, kvi, fed[None, :],
+                                     positions, backend=backend,
+                                     logits_mode="all",
+                                     kv_update="window",
+                                     inflight=wins + (valid,))
+            wins = _loops.push_kv_window(wins, blk, base)
+            lane_pos = jax.lax.dynamic_update_slice(
+                lane_pos, positions, (0, base))
+        else:
+            logits, t_kv_c = forward(tparams, t_llm, t_kv_c, fed[None, :],
+                                     positions, backend=backend,
+                                     logits_mode="all")
         sampled = jnp.argmax(logits[0, :, :t_llm.vocab_size],
                              axis=-1).astype(jnp.int32)  # [k+1]
 
@@ -109,13 +136,27 @@ def chain_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
 
         # -- 4. roll both caches back to the accepted prefix ---------------
         drop = jnp.int32(k) - n_acc
-        t_kv = t_kv.rollback(jnp.broadcast_to(drop, t_kv.pos.shape))
         d_kv = d_kv.rollback(jnp.broadcast_to(drop, d_kv.pos.shape))
+        if use_window:
+            val_step = jnp.broadcast_to(lanes[None, :] <= n_acc, (S, k + 1))
+            valid = jax.lax.dynamic_update_slice(valid, val_step, (0, base))
+            t_pos = (c + n_acc + 1).astype(t_kv.pos.dtype)
+            return ((t_pos, wins, valid, lane_pos), d_kv,
+                    new_root), (sampled, n_acc + 1)
+        t_kv_c = t_kv_c.rollback(jnp.broadcast_to(drop, t_kv_c.pos.shape))
+        return (t_kv_c, d_kv, new_root), (sampled, n_acc + 1)
 
-        return (t_kv, d_kv, new_root), (sampled, n_acc + 1)
-
-    (t_kv, d_kv, root), (tokens, counts) = jax.lax.scan(
-        spec_step, (t_kv, d_kv, root), None, length=n_steps)
+    if use_window:
+        wins0 = _loops.make_kv_window(t_kv, t_llm, S, W)
+        st0 = (t_kv.pos, wins0, jnp.zeros((S, W), bool),
+               jnp.full((S, W), -1, jnp.int32))
+        ((t_pos, wins, valid, lane_pos), d_kv, root), (tokens, counts) = \
+            jax.lax.scan(spec_step, (st0, d_kv, root), jnp.arange(n_steps))
+        t_kv = _loops.commit_kv_lanes(t_kv, wins, lane_pos, valid,
+                                      t_pos, t_kv.mask)
+    else:
+        (t_kv, d_kv, root), (tokens, counts) = jax.lax.scan(
+            spec_step, (t_kv, d_kv, root), None, length=n_steps)
     return tokens, counts, t_kv, d_kv, root
 
 
@@ -158,6 +199,20 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
     """
     from ..sampling.sampler import categorical_from_dist, sample_dist_batched
 
+    # window verify (engine/loops.py): the target cache buffers stay
+    # LOOP-INVARIANT — each verify's k+1 new K/V land in a carried
+    # [n_steps*(k+1)]-lane window read by attention as a validity-
+    # masked softmax partition; acceptance/rollback flip lane validity
+    # (valid lanes always hold unique positions, so ONE post-scan
+    # scatter commits). Avoids the carried-scatter cliff (+2-3 ms/step
+    # at 8B cache sizes) the plain decode loop also dodges.
+    from ..engine import loops as _loops
+
+    use_window = (fwd_t is None and tp_axis is None
+                  and _loops._DECODE_LOOP_DEFAULT == "window"
+                  and _loops.window_eligible(t_kv, tparams)
+                  and n_steps * (k + 1) <= 1024)
+
     # fwd_t/fwd_d: injectable forward callables (static) — the pipeline
     # -parallel scheduler passes pp_forward partials so the whole spec
     # scan runs through the staged pipeline (spec x pp composition);
@@ -174,10 +229,15 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
     if rngs is None:
         rngs = jnp.zeros((S, 2), jnp.uint32)
     lanes = jnp.arange(k + 1)
+    W = n_steps * (k + 1)
 
-    def spec_step(carry, _):
-        t_kv, d_kv, root, rngs = carry
-        c = t_kv.pos.astype(jnp.int32)
+    def spec_step(carry, i):
+        if use_window:
+            (t_pos, wins, valid, lane_pos), d_kv, root, rngs = carry
+            c = t_pos.astype(jnp.int32)
+        else:
+            t_kv_c, d_kv, root, rngs = carry
+            c = t_kv_c.pos.astype(jnp.int32)
         split = jax.vmap(lambda r: jax.random.split(r, 4))(rngs)
         new_rngs, draft_key, u_key, res_key = (split[:, 0], split[:, 1],
                                                split[:, 2], split[:, 3])
@@ -205,9 +265,22 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
         # -- 2. one batched target verify ------------------------------
         positions = jnp.where(active[:, None],
                               c[:, None] + lanes[None, :], -1)
-        logits, t_kv = fwd_t(tparams, t_llm, t_kv, fed, positions,
-                             active=active, backend=backend,
-                             logits_mode="all")
+        if use_window:
+            import dataclasses as _dc
+
+            base = i * (k + 1)
+            kvi = _dc.replace(t_kv, pos=t_pos)
+            logits, kvo, blk = forward(
+                tparams, t_llm, kvi, fed, positions, active=active,
+                backend=backend, logits_mode="all",
+                kv_update="window", inflight=wins + (valid,))
+            wins = _loops.push_kv_window(wins, blk, base)
+            lane_pos = jax.lax.dynamic_update_slice(
+                lane_pos, c[:, None] + lanes[None, :], (0, base))
+        else:
+            logits, t_kv_c = fwd_t(tparams, t_llm, t_kv_c, fed, positions,
+                                   active=active, backend=backend,
+                                   logits_mode="all")
         rep = lambda a: jnp.repeat(a, k + 1, axis=0)  # noqa: E731
         p_dists = sample_dist_batched(
             logits.reshape(S * (k + 1), -1)[:, :V],
@@ -249,12 +322,31 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
 
         # -- 5. both caches keep the accepted prefix + the root entry --
         drop = jnp.where(active, k - n_acc, 0)
-        t_kv = t_kv.rollback(drop)
         d_kv = d_kv.rollback(drop)
-        return (t_kv, d_kv, new_root, new_rngs), (emit, counts)
+        if use_window:
+            # rollback = invalidate this step's rejected lanes; the
+            # accepted prefix's positions stay owned by their lanes
+            val_step = (lanes[None, :] <= n_acc[:, None]) & active[:, None]
+            valid = jax.lax.dynamic_update_slice(valid, val_step, (0, base))
+            t_pos = jnp.where(active, c + n_acc + 1,
+                              c).astype(t_kv.pos.dtype)
+            return ((t_pos, wins, valid, lane_pos), d_kv, new_root,
+                    new_rngs), (emit, counts)
+        t_kv_c = t_kv_c.rollback(drop)
+        return (t_kv_c, d_kv, new_root, new_rngs), (emit, counts)
 
-    (t_kv, d_kv, root, rngs), (emitted, counts) = jax.lax.scan(
-        spec_step, (t_kv, d_kv, root, rngs), None, length=n_steps)
+    if use_window:
+        wins0 = _loops.make_kv_window(t_kv, t_llm, S, W)
+        st0 = (t_kv.pos, wins0, jnp.zeros((S, W), bool),
+               jnp.full((S, W), -1, jnp.int32))
+        ((t_pos, wins, valid, lane_pos), d_kv, root, rngs), \
+            (emitted, counts) = jax.lax.scan(
+                spec_step, (st0, d_kv, root, rngs), jnp.arange(n_steps))
+        t_kv = _loops.commit_kv_lanes(t_kv, wins, lane_pos, valid,
+                                      t_pos, t_kv.mask)
+    else:
+        (t_kv, d_kv, root, rngs), (emitted, counts) = jax.lax.scan(
+            spec_step, (t_kv, d_kv, root, rngs), None, length=n_steps)
     return emitted, counts, t_kv, d_kv, root, rngs
 
 

@@ -320,3 +320,92 @@ def test_rejection_sampling_lossless_and_higher_acceptance():
     # exact-match baseline on the same flat-ish dist accepts far less:
     # E[tokens/step] = sum over prefixes of prod p(sample_j) + 1
     assert mean_tokens > 1.0 + k * float((p0 ** 2).sum()) + 0.5
+
+
+def test_chain_window_matches_carry():
+    """The window-verify chain scan (target cache loop-invariant, lane
+    validity tracks rollback, one post-scan commit) is token- and
+    cache-state-equivalent to the legacy carried-cache scan, including
+    a follow-up scan continuing from the committed cache."""
+    import jax
+    import jax.numpy as jnp
+
+    import powerserve_tpu.engine.loops as L
+    from powerserve_tpu.kv.cache import KVCache
+    from powerserve_tpu.models.llama import forward
+    from powerserve_tpu.speculative.chain import (
+        chain_spec_sample_scan,
+        chain_spec_scan,
+        self_draft_config,
+    )
+    from powerserve_tpu.tools.bench_params import make_device_params
+
+    cfg, params = make_device_params("tiny", "q8_0")
+    llm = cfg.llm
+    d_llm = self_draft_config(llm, 1)
+    S, k, n_steps = 2, 3, 4
+
+    def fresh(n_layers):
+        return KVCache.create(n_layers, S, 96, llm.n_kv_heads,
+                              llm.head_size, "int8")
+
+    def prefill():
+        t_kv, d_kv = fresh(llm.n_layers), fresh(d_llm.n_layers)
+        tok = jnp.tile(jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32), (S, 1))
+        pos = jnp.broadcast_to(jnp.arange(5, dtype=jnp.int32), (S, 5))
+        _, t_kv = forward(params, llm, t_kv, tok, pos, backend="xla",
+                          logits_mode="none")
+        _, d_kv = forward(params, d_llm, d_kv, tok, pos, backend="xla",
+                          logits_mode="none")
+        return t_kv, d_kv
+
+    root = jnp.full((S,), 9, jnp.int32)
+    temp = jnp.asarray([0.0, 0.9], jnp.float32)
+    top_k = jnp.full((S,), 8, jnp.int32)
+    top_p = jnp.ones((S,), jnp.float32)
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(S))
+    out = {}
+    for loop in ("window", "carry"):
+        orig = L._DECODE_LOOP_DEFAULT
+        L._DECODE_LOOP_DEFAULT = loop
+        chain_spec_sample_scan.clear_cache()  # loop choice bakes at trace
+        try:
+            t_kv, d_kv = prefill()
+            em, cnt, t_kv, d_kv, r2, rg2 = chain_spec_sample_scan(
+                params, params, t_kv, d_kv, root, llm, d_llm, n_steps, k,
+                "xla", rngs=rngs, temp=temp, top_k=top_k, top_p=top_p)
+            # continue: a second scan from the committed cache
+            em2, cnt2, t_kv, *_ = chain_spec_sample_scan(
+                params, params, t_kv, d_kv, r2, llm, d_llm, 2, k, "xla",
+                rngs=rg2, temp=temp, top_k=top_k, top_p=top_p)
+            out[loop] = (np.asarray(em), np.asarray(cnt), np.asarray(em2),
+                         np.asarray(cnt2), np.asarray(t_kv.pos),
+                         np.asarray(t_kv.mask))
+        finally:
+            L._DECODE_LOOP_DEFAULT = orig
+            chain_spec_sample_scan.clear_cache()
+    for a, b in zip(out["window"], out["carry"]):
+        np.testing.assert_array_equal(a, b)
+
+    # greedy single-slot scan too
+    out = {}
+    for loop in ("window", "carry"):
+        orig = L._DECODE_LOOP_DEFAULT
+        L._DECODE_LOOP_DEFAULT = loop
+        chain_spec_scan.clear_cache()
+        try:
+            cfgs, ps = make_device_params("tiny", "q8_0")
+            t_kv = KVCache.create(llm.n_layers, 1, 96, llm.n_kv_heads,
+                                  llm.head_size, "int8")
+            d_kv = KVCache.create(d_llm.n_layers, 1, 96, llm.n_kv_heads,
+                                  llm.head_size, "int8")
+            toks, cnts, t_kv, *_ = chain_spec_scan(
+                ps, ps, t_kv, d_kv, jnp.asarray(5, jnp.int32), llm, d_llm,
+                n_steps, k, "xla")
+            out[loop] = (np.asarray(toks), np.asarray(cnts),
+                         np.asarray(t_kv.pos), np.asarray(t_kv.mask))
+        finally:
+            L._DECODE_LOOP_DEFAULT = orig
+            chain_spec_scan.clear_cache()
+    for a, b in zip(out["window"], out["carry"]):
+        np.testing.assert_array_equal(a, b)
