@@ -429,17 +429,40 @@ class BatchScheduler:
         # the big cache buffers loop-invariant — committing into a
         # >=2^25-byte scan-CARRIED buffer every step makes XLA drop
         # in-place aliasing (+2-3 ms/step, the measured L=32 cliff;
-        # 70.6 -> 88.3 tok/s engine-level when fixed). Plain dense path
-        # only: shard_map/pp/GSPMD/paged ticks keep the carry loop.
+        # 70.6 -> 88.3 tok/s engine-level when fixed). Runs on the plain
+        # dense path AND the shard_map tp path (the window shards like
+        # the cache — heads over tp, slots over dp — and each shard pays
+        # the same carried-scatter cliff the window removes); pp/GSPMD/
+        # paged ticks keep the carry loop.
         from .loops import (_DECODE_LOOP_DEFAULT, commit_kv_window,
                             make_kv_window, push_kv_window,
                             window_eligible)
 
+        tp_window_ok = (self.tp_mesh is None
+                        or self.tp_mesh.shape.get("sp", 1) == 1)
         use_window = (_DECODE_LOOP_DEFAULT == "window"
-                      and self.pp_mesh is None and self.tp_mesh is None
+                      and self.pp_mesh is None and tp_window_ok
                       and self.mesh is None and self.pool is None
                       and window_eligible(self.kv, self.params))
         self.decode_window = use_window
+        if self.tp_mesh is not None:
+            from ..parallel.tp import tp_forward as _tpfw
+
+            tp_mesh = self.tp_mesh
+
+            def step_fwd_window(params, kvi, tok, positions, active,
+                                wins, i):
+                return _tpfw(params, llm, kvi, tok, positions,
+                             mesh=tp_mesh, active=active,
+                             backend=backend, logits_mode="last",
+                             kv_update="window", inflight=wins + (i,))
+        else:
+            def step_fwd_window(params, kvi, tok, positions, active,
+                                wins, i):
+                return forward(params, llm, kvi, tok, positions,
+                               active=active, backend=backend,
+                               logits_mode="last", kv_update="window",
+                               inflight=wins + (i,))
         import dataclasses as _dc
 
         @functools.partial(jax.jit, donate_argnums=(1, 3))
@@ -485,10 +508,8 @@ class BatchScheduler:
                 positions = jnp.where(active[:, None],
                                       pos[:, None].astype(jnp.int32), -1)
                 kvi = _dc.replace(kv, mask=mask, pos=pos)
-                logits, kvo, blk = forward(
-                    params, llm, kvi, tok[:, None], positions,
-                    active=active, backend=backend, logits_mode="last",
-                    kv_update="window", inflight=wins + (i,))
+                logits, kvo, blk = step_fwd_window(
+                    params, kvi, tok[:, None], positions, active, wins, i)
                 wins = push_kv_window(wins, blk, i)
                 nxt, penalty, rngs, aux = sample(logits, penalty, rngs)
                 return (nxt, kvo.pos, kvo.mask, wins, penalty,

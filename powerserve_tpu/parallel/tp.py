@@ -322,12 +322,24 @@ def shard_kv_tp(kv: KVCache, mesh: Mesh) -> KVCache:
     return _put_by_specs(kv, kv_specs(kv), mesh)
 
 
+def window_specs() -> tuple:
+    """PartitionSpecs for the in-flight decode window
+    (engine/loops.py::make_kv_window layout [L, S, Hkv, W(, D)]): kv
+    heads shard over "tp", slots over "dp" — matching kv_specs so the
+    window is just more cache from each shard's point of view."""
+    w = P(None, "dp", "tp", None, None)
+    s = P(None, "dp", "tp", None)
+    return (w, w, s, s)
+
+
 def tp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
                tokens: jax.Array, positions: jax.Array, *,
                mesh: Mesh, active: jax.Array | None = None,
                backend: str = "auto", logits_mode: str = "last",
                embeds: jax.Array | None = None,
-               use_embeds: jax.Array | None = None):
+               use_embeds: jax.Array | None = None,
+               kv_update: str | None = None,
+               inflight: tuple | None = None):
     """Sharded forward: logits [S, vocab] (S over dp), updated kv.
 
     params/kv must already be laid out by shard_params_tp/shard_kv_tp
@@ -338,10 +350,20 @@ def tp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
     overlay (VLM prefill — slots flagged in use_embeds take their input
     rows from `embeds` instead of the token embedding table; the
     scheduler's multimodal tick, engine/scheduler.py).
-    """
+
+    kv_update="window" + inflight (window tuple + filled indicator, see
+    models/llama.py forward): the tp tick of the WINDOW decode loop —
+    the big cache shards stay loop-invariant, each shard's new K/V
+    block comes back as a third output for the caller's window push,
+    and the caller commits once post-loop (the L=32 carried-scatter
+    cliff applies per shard exactly like on one chip). The window
+    shards like the cache (heads over tp, slots over dp)."""
     tp = mesh.shape["tp"]
     sp = mesh.shape.get("sp", 1)
     ep = mesh.shape.get("ep", 1)
+    window = kv_update == "window"
+    assert not window or (inflight is not None and sp == 1), \
+        "tp window ticks need inflight and sp == 1"
     llm_local = local_llm_config(llm, tp)
     pspecs = param_specs(params, tp)
     kspecs = kv_specs(kv)
@@ -351,8 +373,16 @@ def tp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
     use_spec = None if use_embeds is None else P("dp")
     sp_axis = "sp" if sp > 1 else None
     ep_axis = "ep" if ep > 1 else None
+    if window:
+        filled = inflight[4]
+        # filled: scalar lane count (decode loop) replicates; [S, W]
+        # bool lane validity (spec scans) shards slots over dp
+        fill_spec = P("dp", None) if getattr(filled, "ndim", 0) == 2 \
+            else P()
+        win_specs = window_specs() + (fill_spec,)
 
-    def body(params, kv, tokens, positions, active, embeds, use_embeds):
+    def body(params, kv, tokens, positions, active, embeds, use_embeds,
+             inflight):
         params = _localize_params(params)
         x = None
         if embeds is not None:
@@ -374,15 +404,20 @@ def tp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
         return forward(params, llm_local, kv, tokens, positions,
                        active=active, backend=backend,
                        logits_mode=logits_mode, tp_axis="tp",
-                       sp_axis=sp_axis, ep_axis=ep_axis, embeds=x)
+                       sp_axis=sp_axis, ep_axis=ep_axis, embeds=x,
+                       kv_update=kv_update, inflight=inflight)
 
+    out_specs = (P("dp", None), kspecs)
+    if window:
+        out_specs = out_specs + (window_specs(),)
     f = jax.shard_map(
         body, mesh=mesh,
         in_specs=(pspecs, kspecs, tok_spec, tok_spec, act_spec,
-                  emb_spec, use_spec),
-        out_specs=(P("dp", None), kspecs),
+                  emb_spec, use_spec, win_specs if window else None),
+        out_specs=out_specs,
         check_vma=False)
-    return f(params, kv, tokens, positions, active, embeds, use_embeds)
+    return f(params, kv, tokens, positions, active, embeds, use_embeds,
+             inflight)
 
 
 @functools.partial(jax.jit,

@@ -145,6 +145,27 @@ def test_tp_scheduler_spec_tree_matches(model, ref_tokens):
     assert got == ref_tokens
 
 
+def test_tp_window_decode_matches_carry(model, monkeypatch):
+    """The WINDOW decode loop inside the tp shard_map tick (in-flight
+    K/V in a small dp/tp-sharded carried window, cache shards loop-
+    invariant, one post-scan commit) is byte-equal to the legacy
+    carried-cache tp loop — including a prompt long enough that the
+    second dispatch continues from window-committed state."""
+    import powerserve_tpu.engine.loops as L
+
+    def run(loop):
+        monkeypatch.setattr(L, "_DECODE_LOOP_DEFAULT", loop)
+        mesh = make_mesh({"dp": 2, "tp": 4})
+        s, _ = _tp_sched(model, mesh)
+        assert s.decode_window == (loop == "window")
+        try:
+            return _run(s, PROMPTS, max_tokens=10)
+        finally:
+            s.stop()
+
+    assert run("window") == run("carry")
+
+
 def test_tp_scheduler_mm_embeds(model, ref_tokens):
     """VLM-style embed requests under tp_mesh: feeding the REAL
     embedding rows as Request.embeds must match the plain token path."""
