@@ -249,6 +249,20 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
     """
     from ..sampling.sampler import categorical_from_dist, sample_dist_batched
 
+    # window verify (chain.py scheme): the TARGET cache buffers stay
+    # LOOP-INVARIANT across spec steps — each verify's k+1 new K/V land
+    # in a carried [n_steps*(k+1)]-lane window read by attention as a
+    # validity-masked softmax partition; acceptance flips lane validity
+    # and ONE post-scan scatter commits (valid lanes hold unique
+    # positions). The head cache keeps the carried in-loop commit: it is
+    # orders of magnitude below the 2^25-byte carried-scatter cliff
+    # (one layer vs L of the target).
+    from ..engine import loops as _loops
+
+    use_window = (_loops._DECODE_LOOP_DEFAULT == "window"
+                  and _loops.window_eligible(t_kv, tparams)
+                  and n_steps * (k + 1) <= 1024)
+
     S = root.shape[0]
     V = t_llm.vocab_size
     if active is None:
@@ -260,10 +274,16 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         top_k = jnp.zeros(S, jnp.int32)
         top_p = jnp.ones(S, jnp.float32)
     lanes = jnp.arange(k + 1)
+    W = n_steps * (k + 1)
 
-    def spec_step(carry, _):
-        t_kv, e_kv, root, root_feat, rngs = carry
-        c = t_kv.pos.astype(jnp.int32)  # [S] committed length p
+    def spec_step(carry, i):
+        if use_window:
+            (t_pos, wins, valid, lane_pos), e_kv, root, root_feat, \
+                rngs = carry
+            c = t_pos.astype(jnp.int32)
+        else:
+            t_kv_c, e_kv, root, root_feat, rngs = carry
+            c = t_kv_c.pos.astype(jnp.int32)  # [S] committed length p
         split = jax.vmap(lambda r: jax.random.split(r, 4))(rngs)
         new_rngs, draft_key, u_key, res_key = (split[:, 0], split[:, 1],
                                                split[:, 2], split[:, 3])
@@ -296,9 +316,24 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         # -- 2. one batched target verify over all chains --------------
         positions = jnp.where(active[:, None],
                               c[:, None] + lanes[None, :], -1)
-        logits, t_kv, feats = forward(
-            tparams, t_llm, t_kv, fed, positions, active=active,
-            backend=backend, logits_mode="all", return_final_hidden=True)
+        if use_window:
+            import dataclasses as _dc
+
+            base = i * (k + 1)
+            kvi = _dc.replace(t_kv, pos=t_pos)
+            logits, _, blk, feats = forward(
+                tparams, t_llm, kvi, fed, positions, active=active,
+                backend=backend, logits_mode="all",
+                return_final_hidden=True,
+                kv_update="window", inflight=wins + (valid,))
+            wins = _loops.push_kv_window(wins, blk, base)
+            lane_pos = jax.lax.dynamic_update_slice(
+                lane_pos, c[:, None] + lanes[None, :], (0, base))
+        else:
+            logits, t_kv_c, feats = forward(
+                tparams, t_llm, t_kv_c, fed, positions, active=active,
+                backend=backend, logits_mode="all",
+                return_final_hidden=True)
         feats = feats.astype(jnp.float32)  # [S, k+1, dim] true features
 
         # -- 3. acceptance per slot ------------------------------------
@@ -349,7 +384,14 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             root_feat)  # feature at p+n_acc
 
         # -- 4. commit: rollback, re-prefill the head on true features -
-        t_kv = t_kv.rollback(jnp.where(active, k - n_acc, 0))
+        if use_window:
+            # rollback = invalidate this step's rejected lanes
+            val_step = (lanes[None, :] <= n_acc[:, None]) & active[:, None]
+            valid = jax.lax.dynamic_update_slice(valid, val_step, (0, base))
+            t_pos = jnp.where(active, c + n_acc + 1,
+                              c).astype(t_pos.dtype)
+        else:
+            t_kv_c = t_kv_c.rollback(jnp.where(active, k - n_acc, 0))
         # the head wrote k entries (positions p .. p+k-1); drop them all
         e_kv = e_kv.rollback(jnp.where(active, k, 0))
         # accepted window: token at p+i pairs with TRUE feature at p+i-1
@@ -365,11 +407,26 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
 
         emit = jnp.where(live & active[:, None], sampled, -1)
         counts = jnp.where(active, n_acc + 1, 0)
-        return ((t_kv, e_kv, new_root, new_root_feat, new_rngs),
+        if use_window:
+            return ((t_pos, wins, valid, lane_pos), e_kv, new_root,
+                    new_root_feat, new_rngs), (emit, counts)
+        return ((t_kv_c, e_kv, new_root, new_root_feat, new_rngs),
                 (emit, counts))
 
-    (t_kv, e_kv, root, root_feat, rngs), (emitted, counts) = jax.lax.scan(
-        spec_step, (t_kv, e_kv, root, root_feat, rngs), None, length=n_steps)
+    if use_window:
+        wins0 = _loops.make_kv_window(t_kv, t_llm, S, W)
+        st0 = (t_kv.pos, wins0, jnp.zeros((S, W), bool),
+               jnp.full((S, W), -1, jnp.int32))
+        ((t_pos, wins, valid, lane_pos), e_kv, root, root_feat, rngs), \
+            (emitted, counts) = jax.lax.scan(
+                spec_step, (st0, e_kv, root, root_feat, rngs),
+                jnp.arange(n_steps))
+        t_kv = _loops.commit_kv_lanes(t_kv, wins, lane_pos, valid,
+                                      t_pos, t_kv.mask)
+    else:
+        (t_kv, e_kv, root, root_feat, rngs), (emitted, counts) = \
+            jax.lax.scan(spec_step, (t_kv, e_kv, root, root_feat, rngs),
+                         None, length=n_steps)
     return emitted, counts, t_kv, e_kv, root, root_feat, rngs
 
 
