@@ -87,18 +87,37 @@ def commit_kv_lanes(kv: KVCache, wins: tuple, lane_pos: jax.Array,
     positions (in-place when kv is donated). lane_pos/lane_ok: [S, W]
     int32 positions / validity (dropped lanes and OOB positions are
     skipped). Valid lanes must hold unique positions per slot — scatter
-    order with duplicate indices is undefined."""
+    order with duplicate indices is undefined. Paged pools commit
+    through the page table (locate's n_pages redirect drops invalid
+    lanes)."""
+    from ..kv.paged import PagedKVCache
+
     wk, wv, wks, wvs = wins
     ok = lane_ok & (lane_pos >= 0) & (lane_pos < kv.max_seq)
     safe = jnp.where(ok, lane_pos, kv.max_seq)
+    mask = jax.vmap(lambda m, p: m.at[p].set(True, mode="drop"))(
+        mask_f, safe)
+
+    if isinstance(kv, PagedKVCache):
+        pages, offs = kv.locate(jnp.where(ok, lane_pos, -1))  # [S, W]
+
+        def commit_p(slab, new):
+            # slab [L, P, H, page(, D)], new [L, S, H, W(, D)]
+            vals = jnp.swapaxes(new, 2, 3)  # [L, S, W, H(, D)]
+            return jax.vmap(PagedKVCache.scatter_slab,
+                            in_axes=(0, 0, None, None))(
+                slab, vals, pages, offs)
+
+        return dataclasses.replace(
+            kv, k=commit_p(kv.k, wk), v=commit_p(kv.v, wv),
+            k_scale=commit_p(kv.k_scale, wks),
+            v_scale=commit_p(kv.v_scale, wvs), mask=mask, pos=pos_f)
 
     def commit(cache, new, pos_s):
         return cache.at[:, :, pos_s].set(new.astype(cache.dtype),
                                          mode="drop")
 
     scat = jax.vmap(commit, in_axes=(1, 1, 0), out_axes=1)
-    mask = jax.vmap(lambda m, p: m.at[p].set(True, mode="drop"))(
-        mask_f, safe)
     return dataclasses.replace(
         kv, k=scat(kv.k, wk, safe), v=scat(kv.v, wv, safe),
         k_scale=scat(kv.k_scale, wks, safe),

@@ -430,10 +430,12 @@ class BatchScheduler:
         # >=2^25-byte scan-CARRIED buffer every step makes XLA drop
         # in-place aliasing (+2-3 ms/step, the measured L=32 cliff;
         # 70.6 -> 88.3 tok/s engine-level when fixed). Runs on the plain
-        # dense path AND the shard_map tp path (the window shards like
+        # dense path, the shard_map tp path (the window shards like
         # the cache — heads over tp, slots over dp — and each shard pays
-        # the same carried-scatter cliff the window removes); pp/GSPMD/
-        # paged ticks keep the carry loop.
+        # the same carried-scatter cliff the window removes), AND the
+        # GSPMD mesh path (the window/commit are ordinary XLA ops that
+        # auto-partition like the cache they mirror); pp/paged ticks
+        # keep the carry loop.
         from .loops import (_DECODE_LOOP_DEFAULT, commit_kv_window,
                             make_kv_window, push_kv_window,
                             window_eligible)
@@ -442,7 +444,7 @@ class BatchScheduler:
                         or self.tp_mesh.shape.get("sp", 1) == 1)
         use_window = (_DECODE_LOOP_DEFAULT == "window"
                       and self.pp_mesh is None and tp_window_ok
-                      and self.mesh is None and self.pool is None
+                      and self.pool is None
                       and window_eligible(self.kv, self.params))
         self.decode_window = use_window
         if self.tp_mesh is not None:

@@ -312,9 +312,9 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     if window:
         assert (inflight is not None and vis_override is None
                 and intra_mask is None and quantized and sp_axis is None
-                and not paged and not return_hidden
+                and not return_hidden
                 and not isinstance(params.layers, (tuple, list))), \
-            "kv_update='window' needs inflight + plain-decode dense " \
+            "kv_update='window' needs inflight + plain-decode " \
             "quantized stacked-scan config"
     deferred = ((kv_update == "deferred" or window)
                 and vis_override is None
@@ -404,6 +404,21 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             vqh = vq.transpose(0, 2, 1, 3)
             ksh = ks.transpose(0, 2, 1)  # [S, Hkv, Tq]
             vsh = vsc.transpose(0, 2, 1)
+            if win is not None:
+                # window mode over the pool: the caller's uncommitted
+                # window lanes widen the in-flight partition exactly
+                # like the dense window path below — the state-mode
+                # flash kernel only sees committed pages either way
+                wk_l, wv_l, wks_l, wvs_l = win
+                kqh_w = jnp.concatenate([wk_l, kqh], axis=2)
+                vqh_w = jnp.concatenate([wv_l, vqh], axis=2)
+                ksh_w = jnp.concatenate([wks_l, ksh], axis=2)
+                vsh_w = jnp.concatenate([wvs_l, vsh], axis=2)
+                intra_w = jnp.concatenate([win_vis, intra_vis_new],
+                                          axis=-1)
+            else:
+                kqh_w, vqh_w, ksh_w, vsh_w = kqh, vqh, ksh, vsh
+                intra_w = intra_vis_new
             route_flash = backend in ("auto", "pallas",
                                       "pallas_interpret")
             if route_flash and (backend == "pallas_interpret"
@@ -414,14 +429,14 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
                                          (S, Tq, kv.mask.shape[1]))
                 attn = flash_decode_paged_deferred(
                     q, k_l, ks_l, v_l, vs_l, kv.page_table, vis_c,
-                    kqh, ksh, vqh, vsh, intra_vis_new, scale,
+                    kqh_w, ksh_w, vqh_w, vsh_w, intra_w, scale,
                     kv.page_size,
                     interpret=backend == "pallas_interpret")
             else:
                 attn = gqa_attention_quant_deferred(
                     q, kv.gather_slab(k_l), kv.gather_slab(ks_l),
                     kv.gather_slab(v_l), kv.gather_slab(vs_l), kv.mask,
-                    kqh, ksh, vqh, vsh, intra_vis_new, scale)
+                    kqh_w, ksh_w, vqh_w, vsh_w, intra_w, scale)
             k_l, v_l, ks_l, vs_l = kqh, vqh, ksh, vsh
         elif paged:
             # paged pool: scatter through the page table, then gather a
@@ -712,7 +727,13 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         k_new, v_new, ks_new, vs_new = ys[:4]
         if return_hidden:
             hidden = ys[4]
-        if deferred and paged:
+        if window:
+            # no commit at all: the caller owns the window and commits
+            # once, OUTSIDE its decode loop (L=32 cliff, see kv_update);
+            # for a paged pool the caller's commit scatters lanes
+            # through the page table (engine/loops.commit_kv_lanes)
+            new_blocks = (k_new, v_new, ks_new, vs_new)
+        elif deferred and paged:
             # one batched scatter commits every layer's in-flight K/V
             # into the pool via the page table ([L, S, Hkv, Tq, ...]
             # at (pg_idx, pg_off); page id == n_pages drops)
@@ -727,10 +748,6 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
                              v=commit_pool(kv.v, v_new),
                              k_scale=commit_pool(kv.k_scale, ks_new),
                              v_scale=commit_pool(kv.v_scale, vs_new))
-        elif window:
-            # no commit at all: the caller owns the window and commits
-            # once, OUTSIDE its decode loop (L=32 cliff, see kv_update)
-            new_blocks = (k_new, v_new, ks_new, vs_new)
         elif deferred:
             # one batched scatter commits every layer's in-flight K/V:
             # stacked new [L, S, Hkv, Tq, ...] into cache [L, S, Hkv, T, ...]
