@@ -20,10 +20,11 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30
 
-# flash-prefill routing knob: "1" = route eligible prefill shapes to the
-# Pallas kernel on TPU; "interpret" = interpret mode (CPU tests); unset/
-# "0" = XLA paths (kernel is UNMEASURED on real TPU — see
-# flash_prefill.py — so auto-routing stays off until the bench confirms)
+# flash-prefill routing knob: "1" = force the Pallas kernel at every
+# eligible prefill shape; "interpret" = interpret mode (CPU tests);
+# unset/"0" = measured default — auto-route ONLY the one bucket the
+# kernel wins (S >= 8, 32 <= Tq <= 128; see gqa_attention_quant below
+# and the flash_prefill.py bench notes), XLA everywhere else
 _FLASH_PREFILL = _os.environ.get("POWERSERVE_FLASH_PREFILL", "0")
 
 
