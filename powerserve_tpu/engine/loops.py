@@ -139,10 +139,11 @@ def commit_kv_window(kv: KVCache, wins: tuple, pos0: jax.Array,
 
 def window_eligible(kv: KVCache, params: LlamaParams) -> bool:
     """kv_update='window' preconditions shared by the loops that route
-    to it: dense quantized cache, stacked-scan layers."""
-    from ..kv.paged import PagedKVCache
-
-    return (kv.quantized and not isinstance(kv, PagedKVCache)
+    to it: quantized cache (dense OR paged pool — forward's paged
+    deferred branch widens the state-mode flash kernel's in-flight
+    partition with the window lanes, and commit_kv_lanes scatters
+    through the page table), stacked-scan layers."""
+    return (kv.quantized
             and not isinstance(params.layers, (tuple, list)))
 
 

@@ -434,8 +434,12 @@ class BatchScheduler:
         # the cache — heads over tp, slots over dp — and each shard pays
         # the same carried-scatter cliff the window removes), AND the
         # GSPMD mesh path (the window/commit are ordinary XLA ops that
-        # auto-partition like the cache they mirror); pp/paged ticks
-        # keep the carry loop.
+        # auto-partition like the cache they mirror), AND the paged pool
+        # (forward's paged deferred branch widens the state-mode flash
+        # kernel's in-flight partition with the window lanes; the commit
+        # scatters once through the page table — _ensure_decode_pages
+        # already reserves `horizon` positions before each tick); pp
+        # ticks keep the carry loop.
         from .loops import (_DECODE_LOOP_DEFAULT, commit_kv_window,
                             make_kv_window, push_kv_window,
                             window_eligible)
@@ -444,7 +448,6 @@ class BatchScheduler:
                         or self.tp_mesh.shape.get("sp", 1) == 1)
         use_window = (_DECODE_LOOP_DEFAULT == "window"
                       and self.pp_mesh is None and tp_window_ok
-                      and self.pool is None
                       and window_eligible(self.kv, self.params))
         self.decode_window = use_window
         if self.tp_mesh is not None:

@@ -372,3 +372,52 @@ def test_flash_decode_paged_deferred_empty_cache():
         knq, kns, vnq, vns, intra, 0.088)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("S", [1, 2])
+def test_paged_window_decode_scan_matches_carry(S):
+    """decode_scan's window loop on a PAGED pool (pool slabs stay
+    loop-invariant; ONE post-scan commit scatters every lane through
+    the page table) emits the same greedy tokens and leaves the same
+    logical cache state as the legacy carry loop."""
+    from powerserve_tpu.engine.loops import decode_scan, prefill_step
+
+    cfg, params = make_device_params("tiny", "q8_0", stacked=True)
+    llm = cfg.llm
+    T, page = 64, 16
+    rng = np.random.default_rng(11)
+    ptok = jnp.asarray(rng.integers(0, llm.vocab_size, (S, 8)), jnp.int32)
+    ppos = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (S, 8))
+    out = {}
+    for loop in ("carry", "window"):
+        paged = PagedKVCache.create(llm.n_layers, S, T, llm.n_kv_heads,
+                                    llm.head_size,
+                                    n_pages=S * (T // page) + 1,
+                                    page_size=page)
+        pool = PagePool(paged.n_pages, S, paged.max_pages, page)
+        for s in range(S):
+            assert pool.ensure(s, T)
+        paged = pool.flush(paged)
+        logits, paged = prefill_step(params, ptok, ppos, paged, llm,
+                                     "xla", None)
+        cur = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        t, paged = decode_scan(params, cur, paged, llm, 12, "xla",
+                               loop=loop)
+        out[loop] = (np.asarray(t), paged)
+    tc, kvc = out["carry"]
+    tw, kvw = out["window"]
+    np.testing.assert_array_equal(tw, tc)
+    np.testing.assert_array_equal(np.asarray(kvw.mask), np.asarray(kvc.mask))
+    np.testing.assert_array_equal(np.asarray(kvw.pos), np.asarray(kvc.pos))
+    # pool slabs: same values modulo the 1-ulp quantization ties the
+    # dense window test documents (different softmax partition order)
+    for a, b in ((kvw.k, kvc.k), (kvw.v, kvc.v)):
+        d = np.abs(np.asarray(a).astype(np.int32)
+                   - np.asarray(b).astype(np.int32))
+        assert d.max() <= 1 and (d != 0).mean() < 1e-3
+    # the committed pool must be USABLE: continue with the other loop
+    t2w, _ = decode_scan(params, jnp.asarray(tw[:, -1]), kvw, llm, 4,
+                         "xla", loop="carry")
+    t2c, _ = decode_scan(params, jnp.asarray(tc[:, -1]), kvc, llm, 4,
+                         "xla", loop="window")
+    np.testing.assert_array_equal(np.asarray(t2w), np.asarray(t2c))

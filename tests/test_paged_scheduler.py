@@ -332,3 +332,27 @@ def test_paged_mm_embeds_preemption(tiny):
     got, n_pre = run(paged_hp)
     assert got == want
     assert n_pre >= 1
+
+
+def test_paged_window_decode_matches_carry(tiny, monkeypatch):
+    """Paged-pool scheduler ticks under the window decode loop (pool
+    slabs loop-invariant; one post-scan page-table commit) emit greedy
+    streams identical to the carry loop, including a pool tight enough
+    to force recompute preemption mid-stream."""
+    import powerserve_tpu.engine.loops as L
+
+    def run(loop, n_pages):
+        monkeypatch.setattr(L, "_DECODE_LOOP_DEFAULT", loop)
+        s = _paged(tiny, n_pages=n_pages)
+        try:
+            assert s.decode_window == (loop == "window")
+            return _run_requests(s, PROMPTS, 12), s.n_preemptions
+        finally:
+            s.stop()
+
+    w_ample, _ = run("window", 16)
+    c_ample, _ = run("carry", 16)
+    assert w_ample == c_ample
+    w_tight, pre_w = run("window", 6)
+    assert w_tight == w_ample
+    assert pre_w >= 1
