@@ -76,43 +76,66 @@ def chain_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
     """
     from ..engine import loops as _loops
 
-    # window verify — see chain_spec_sample_scan (same scheme, greedy)
+    # window verify — see chain_spec_sample_scan (same scheme, greedy);
+    # d_window = draft-side cache window (shares the verify's lane
+    # positions/validity — chain drafting writes the same positions)
     use_window = (_loops._DECODE_LOOP_DEFAULT == "window"
                   and _loops.window_eligible(t_kv, tparams)
                   and n_steps * (k + 1) <= 1024)
+    d_window = use_window and _loops.window_eligible(d_kv, dparams)
     S = t_kv.pos.shape[0]
     W = n_steps * (k + 1)
     lanes = jnp.arange(k + 1)
 
     def spec_step(carry, i):
         if use_window:
-            (t_pos, wins, valid, lane_pos), d_kv, root = carry
+            (t_pos, wins, valid, lane_pos), d_st, root = carry
             c = t_pos.astype(jnp.int32)
+            base = i * (k + 1)
         else:
-            t_kv_c, d_kv, root = carry
+            t_kv_c, d_st, root = carry
             c = t_kv_c.pos.astype(jnp.int32)
 
         # -- 1. draft the chain: feed root, d0 .. d_{k-1} ------------------
-        def draft_body(dc, _):
-            tok, kv = dc
-            pos = kv.pos.astype(jnp.int32)[:, None]
-            logits, kv = forward(dparams, d_llm, kv, tok[:, None], pos,
-                                 backend=backend, logits_mode="last")
-            nxt = jnp.argmax(logits[:, :d_llm.vocab_size],
-                             axis=-1).astype(jnp.int32)
-            return (nxt, kv), tok[0]
+        if d_window:
+            d_pos0, d_wins = d_st
 
-        (_, d_kv), fed = jax.lax.scan(
-            draft_body, (root[None], d_kv), None, length=k + 1)
+            def draft_body(dc, j):
+                tok, dpos, dwins, dval = dc
+                d_kvi = dataclasses.replace(d_kv, pos=dpos)
+                logits, kvo, blk = forward(
+                    dparams, d_llm, d_kvi, tok[:, None],
+                    dpos.astype(jnp.int32)[:, None], backend=backend,
+                    logits_mode="last", kv_update="window",
+                    inflight=dwins + (dval,))
+                dwins = _loops.push_kv_window(dwins, blk, base + j)
+                dval = jax.lax.dynamic_update_slice(
+                    dval, jnp.ones((S, 1), bool), (0, base + j))
+                nxt = jnp.argmax(logits[:, :d_llm.vocab_size],
+                                 axis=-1).astype(jnp.int32)
+                return (nxt, kvo.pos, dwins, dval), tok[0]
+
+            (_, d_pos, d_wins, _), fed = jax.lax.scan(
+                draft_body, (root[None], d_pos0, d_wins, valid),
+                jnp.arange(k + 1))
+        else:
+            def draft_body(dc, _):
+                tok, kv = dc
+                pos = kv.pos.astype(jnp.int32)[:, None]
+                logits, kv = forward(dparams, d_llm, kv, tok[:, None], pos,
+                                     backend=backend, logits_mode="last")
+                nxt = jnp.argmax(logits[:, :d_llm.vocab_size],
+                                 axis=-1).astype(jnp.int32)
+                return (nxt, kv), tok[0]
+
+            (_, d_kv_c), fed = jax.lax.scan(
+                draft_body, (root[None], d_st), None, length=k + 1)
         # fed = [root, d0 .. d_{k-1}]; drafts are fed[1:]
 
         # -- 2. one target verify over the chain ---------------------------
         positions = c[:, None] + lanes[None, :]
         if use_window:
-            import dataclasses as _dc
-
-            base = i * (k + 1)
-            kvi = _dc.replace(t_kv, pos=t_pos)
+            kvi = dataclasses.replace(t_kv, pos=t_pos)
             logits, _, blk = forward(tparams, t_llm, kvi, fed[None, :],
                                      positions, backend=backend,
                                      logits_mode="all",
@@ -136,24 +159,39 @@ def chain_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
 
         # -- 4. roll both caches back to the accepted prefix ---------------
         drop = jnp.int32(k) - n_acc
-        d_kv = d_kv.rollback(jnp.broadcast_to(drop, d_kv.pos.shape))
+        if d_window:
+            # rollback = the acceptance pass below invalidates this
+            # step's rejected lanes (shared valid); only pos moves back
+            d_st = ((c + n_acc + 1).astype(d_kv.pos.dtype), d_wins)
+        else:
+            d_st = d_kv_c.rollback(jnp.broadcast_to(drop, d_kv_c.pos.shape))
         if use_window:
             val_step = jnp.broadcast_to(lanes[None, :] <= n_acc, (S, k + 1))
             valid = jax.lax.dynamic_update_slice(valid, val_step, (0, base))
             t_pos = (c + n_acc + 1).astype(t_kv.pos.dtype)
-            return ((t_pos, wins, valid, lane_pos), d_kv,
+            return ((t_pos, wins, valid, lane_pos), d_st,
                     new_root), (sampled, n_acc + 1)
         t_kv_c = t_kv_c.rollback(jnp.broadcast_to(drop, t_kv_c.pos.shape))
-        return (t_kv_c, d_kv, new_root), (sampled, n_acc + 1)
+        return (t_kv_c, d_st, new_root), (sampled, n_acc + 1)
 
     if use_window:
         wins0 = _loops.make_kv_window(t_kv, t_llm, S, W)
         st0 = (t_kv.pos, wins0, jnp.zeros((S, W), bool),
                jnp.full((S, W), -1, jnp.int32))
-        ((t_pos, wins, valid, lane_pos), d_kv, root), (tokens, counts) = \
-            jax.lax.scan(spec_step, (st0, d_kv, root), jnp.arange(n_steps))
+        d_st0 = ((d_kv.pos, _loops.make_kv_window(d_kv, d_llm, S, W))
+                 if d_window else d_kv)
+        ((t_pos, wins, valid, lane_pos), d_st, root), (tokens, counts) = \
+            jax.lax.scan(spec_step, (st0, d_st0, root), jnp.arange(n_steps))
         t_kv = _loops.commit_kv_lanes(t_kv, wins, lane_pos, valid,
                                       t_pos, t_kv.mask)
+        if d_window:
+            # draft lanes share the verify's positions and acceptance,
+            # so the commit reuses lane_pos/valid verbatim
+            d_pos_f, d_wins_f = d_st
+            d_kv = _loops.commit_kv_lanes(d_kv, d_wins_f, lane_pos, valid,
+                                          d_pos_f, d_kv.mask)
+        else:
+            d_kv = d_st
     else:
         (t_kv, d_kv, root), (tokens, counts) = jax.lax.scan(
             spec_step, (t_kv, d_kv, root), None, length=n_steps)
@@ -208,10 +246,23 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
     # at 8B cache sizes) the plain decode loop also dodges.
     from ..engine import loops as _loops
 
-    use_window = (fwd_t is None and tp_axis is None
+    # works under tp_axis too: the scan then runs inside the tp
+    # shard_map (parallel/tp.py tp_chain_spec_scan), t_llm/d_llm hold
+    # LOCAL head counts, and the window lanes are per-shard (heads
+    # local) exactly like the cache shards they mirror
+    use_window = (fwd_t is None
                   and _loops._DECODE_LOOP_DEFAULT == "window"
                   and _loops.window_eligible(t_kv, tparams)
                   and n_steps * (k + 1) <= 1024)
+    # DRAFT-side window: the draft cache is also scan-carried and pays
+    # the same carried-scatter cliff once its buffers reach 2^25 bytes
+    # (a real 1B draft at batch does; layer-skip self-drafts are small
+    # but take the same path for free). Chain drafting writes the same
+    # positions as the verify (c .. c+k per step) and acceptance keeps
+    # the same lane prefix, so the draft commit REUSES the target's
+    # lane_pos/valid; only in-progress drafting needs incremental lane
+    # validity (draft j must see lanes 0..j-1 of the current chain).
+    d_window = use_window and _loops.window_eligible(d_kv, dparams)
 
     # fwd_t/fwd_d: injectable forward callables (static) — the pipeline
     # -parallel scheduler passes pp_forward partials so the whole spec
@@ -233,10 +284,11 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
 
     def spec_step(carry, i):
         if use_window:
-            (t_pos, wins, valid, lane_pos), d_kv, root, rngs = carry
+            (t_pos, wins, valid, lane_pos), d_st, root, rngs = carry
             c = t_pos.astype(jnp.int32)
+            base = i * (k + 1)
         else:
-            t_kv_c, d_kv, root, rngs = carry
+            t_kv_c, d_st, root, rngs = carry
             c = t_kv_c.pos.astype(jnp.int32)
         split = jax.vmap(lambda r: jax.random.split(r, 4))(rngs)
         new_rngs, draft_key, u_key, res_key = (split[:, 0], split[:, 1],
@@ -244,21 +296,52 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
 
         # -- 1. draft k sampled tokens (k+1 forwards: the last only
         # writes d_{k-1}'s KV so the draft cache stays complete) -------
-        def draft_body(dc, _):
-            tok, kv, dk = dc
-            pos = jnp.where(active, kv.pos.astype(jnp.int32), -1)[:, None]
-            logits, kv = fwd_d(dparams, d_llm, kv, tok[:, None], pos,
-                               active=active, backend=backend,
-                               logits_mode="last")
-            sp = jax.vmap(lambda r: jax.random.split(r, 2))(dk)
-            dk, sub = sp[:, 0], sp[:, 1]
-            q = sample_dist_batched(logits[:, :V], temp, top_k, top_p,
-                                    vocab_size=V)
-            nxt = categorical_from_dist(sub, q).astype(jnp.int32)
-            return (nxt, kv, dk), (tok, q)
+        if d_window:
+            d_pos0, d_wins = d_st
 
-        (_, d_kv, _), (fed_s, q_s) = jax.lax.scan(
-            draft_body, (root, d_kv, draft_key), None, length=k + 1)
+            def draft_body(dc, j):
+                tok, dpos, dwins, dval, dk = dc
+                pos = jnp.where(active, dpos.astype(jnp.int32),
+                                -1)[:, None]
+                d_kvi = dataclasses.replace(d_kv, pos=dpos)
+                logits, kvo, blk = fwd_d(
+                    dparams, d_llm, d_kvi, tok[:, None], pos,
+                    active=active, backend=backend, logits_mode="last",
+                    kv_update="window", inflight=dwins + (dval,))
+                dwins = _loops.push_kv_window(dwins, blk, base + j)
+                # lane base+j becomes visible to drafts j+1.. (and the
+                # acceptance pass overwrites this step's lanes below)
+                dval = jax.lax.dynamic_update_slice(
+                    dval, active[:, None], (0, base + j))
+                sp = jax.vmap(lambda r: jax.random.split(r, 2))(dk)
+                dk, sub = sp[:, 0], sp[:, 1]
+                q = sample_dist_batched(logits[:, :V], temp, top_k,
+                                        top_p, vocab_size=V)
+                nxt = categorical_from_dist(sub, q).astype(jnp.int32)
+                return (nxt, kvo.pos, dwins, dval, dk), (tok, q)
+
+            (_, d_pos, d_wins, _, _), (fed_s, q_s) = jax.lax.scan(
+                draft_body, (root, d_pos0, d_wins, valid, draft_key),
+                jnp.arange(k + 1))
+        else:
+            d_kv_c = d_st
+
+            def draft_body(dc, _):
+                tok, kv, dk = dc
+                pos = jnp.where(active, kv.pos.astype(jnp.int32),
+                                -1)[:, None]
+                logits, kv = fwd_d(dparams, d_llm, kv, tok[:, None], pos,
+                                   active=active, backend=backend,
+                                   logits_mode="last")
+                sp = jax.vmap(lambda r: jax.random.split(r, 2))(dk)
+                dk, sub = sp[:, 0], sp[:, 1]
+                q = sample_dist_batched(logits[:, :V], temp, top_k, top_p,
+                                        vocab_size=V)
+                nxt = categorical_from_dist(sub, q).astype(jnp.int32)
+                return (nxt, kv, dk), (tok, q)
+
+            (_, d_kv_c, _), (fed_s, q_s) = jax.lax.scan(
+                draft_body, (root, d_kv_c, draft_key), None, length=k + 1)
         fed = fed_s.T  # [S, k+1] = [root, d0 .. d_{k-1}] per slot
         q_dists = q_s.transpose(1, 0, 2)[:, :k]  # [S, k, V]; q_j drew d_j
 
@@ -266,11 +349,8 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
         positions = jnp.where(active[:, None],
                               c[:, None] + lanes[None, :], -1)
         if use_window:
-            import dataclasses as _dc
-
-            base = i * (k + 1)
-            kvi = _dc.replace(t_kv, pos=t_pos)
-            logits, kvo, blk = forward(
+            kvi = dataclasses.replace(t_kv, pos=t_pos)
+            logits, kvo, blk = fwd_t(
                 tparams, t_llm, kvi, fed, positions, active=active,
                 backend=backend, logits_mode="all",
                 kv_update="window", inflight=wins + (valid,))
@@ -322,7 +402,13 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
 
         # -- 5. both caches keep the accepted prefix + the root entry --
         drop = jnp.where(active, k - n_acc, 0)
-        d_kv = d_kv.rollback(drop)
+        if d_window:
+            # rollback = the acceptance pass below invalidates this
+            # step's rejected lanes (shared valid); only pos moves back
+            d_st = (jnp.where(active, c + n_acc + 1,
+                              c).astype(d_kv.pos.dtype), d_wins)
+        else:
+            d_st = d_kv_c.rollback(drop)
         if use_window:
             # rollback = invalidate this step's rejected lanes; the
             # accepted prefix's positions stay owned by their lanes
@@ -330,20 +416,30 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
             valid = jax.lax.dynamic_update_slice(valid, val_step, (0, base))
             t_pos = jnp.where(active, c + n_acc + 1,
                               c).astype(t_kv.pos.dtype)
-            return ((t_pos, wins, valid, lane_pos), d_kv, new_root,
+            return ((t_pos, wins, valid, lane_pos), d_st, new_root,
                     new_rngs), (emit, counts)
         t_kv_c = t_kv_c.rollback(drop)
-        return (t_kv_c, d_kv, new_root, new_rngs), (emit, counts)
+        return (t_kv_c, d_st, new_root, new_rngs), (emit, counts)
 
     if use_window:
         wins0 = _loops.make_kv_window(t_kv, t_llm, S, W)
         st0 = (t_kv.pos, wins0, jnp.zeros((S, W), bool),
                jnp.full((S, W), -1, jnp.int32))
-        ((t_pos, wins, valid, lane_pos), d_kv, root, rngs), \
+        d_st0 = ((d_kv.pos, _loops.make_kv_window(d_kv, d_llm, S, W))
+                 if d_window else d_kv)
+        ((t_pos, wins, valid, lane_pos), d_st, root, rngs), \
             (emitted, counts) = jax.lax.scan(
-                spec_step, (st0, d_kv, root, rngs), jnp.arange(n_steps))
+                spec_step, (st0, d_st0, root, rngs), jnp.arange(n_steps))
         t_kv = _loops.commit_kv_lanes(t_kv, wins, lane_pos, valid,
                                       t_pos, t_kv.mask)
+        if d_window:
+            # draft lanes share the verify's positions and acceptance,
+            # so the commit reuses lane_pos/valid verbatim
+            d_pos_f, d_wins = d_st
+            d_kv = _loops.commit_kv_lanes(d_kv, d_wins, lane_pos, valid,
+                                          d_pos_f, d_kv.mask)
+        else:
+            d_kv = d_st
     else:
         (t_kv, d_kv, root, rngs), (emitted, counts) = jax.lax.scan(
             spec_step, (t_kv, d_kv, root, rngs), None, length=n_steps)

@@ -375,12 +375,19 @@ def test_chain_window_matches_carry():
                 params, params, t_kv, d_kv, root, llm, d_llm, n_steps, k,
                 "xla", rngs=rngs, temp=temp, top_k=top_k, top_p=top_p)
             # continue: a second scan from the committed cache
-            em2, cnt2, t_kv, *_ = chain_spec_sample_scan(
+            em2, cnt2, t_kv, d_kv, *_ = chain_spec_sample_scan(
                 params, params, t_kv, d_kv, r2, llm, d_llm, 2, k, "xla",
                 rngs=rg2, temp=temp, top_k=top_k, top_p=top_p)
+            # draft cache committed state must match too (the draft
+            # window shares the verify's lane_pos/valid at commit);
+            # K/V contents compared only where mask=True — carry-mode
+            # rollback leaves stale writes past pos, window never lands
+            dm = np.asarray(d_kv.mask)
             out[loop] = (np.asarray(em), np.asarray(cnt), np.asarray(em2),
                          np.asarray(cnt2), np.asarray(t_kv.pos),
-                         np.asarray(t_kv.mask))
+                         np.asarray(t_kv.mask), np.asarray(d_kv.pos), dm,
+                         np.asarray(d_kv.k) * dm[None, :, None, :, None],
+                         np.asarray(d_kv.v) * dm[None, :, None, :, None])
         finally:
             L._DECODE_LOOP_DEFAULT = orig
             chain_spec_sample_scan.clear_cache()
