@@ -438,19 +438,32 @@ class BatchScheduler:
         # (forward's paged deferred branch widens the state-mode flash
         # kernel's in-flight partition with the window lanes; the commit
         # scatters once through the page table — _ensure_decode_pages
-        # already reserves `horizon` positions before each tick); pp
-        # ticks keep the carry loop.
+        # already reserves `horizon` positions before each tick), AND
+        # pp ticks (parallel/pp.py pp_forward window mode — each
+        # stage's cache slice stays loop-invariant, blocks come back
+        # layer-sharded). sp-in-tp keeps the carry loop (the window
+        # lanes would need the partial-softmax merge).
         from .loops import (_DECODE_LOOP_DEFAULT, commit_kv_window,
                             make_kv_window, push_kv_window,
                             window_eligible)
 
         tp_window_ok = (self.tp_mesh is None
                         or self.tp_mesh.shape.get("sp", 1) == 1)
-        use_window = (_DECODE_LOOP_DEFAULT == "window"
-                      and self.pp_mesh is None and tp_window_ok
+        use_window = (_DECODE_LOOP_DEFAULT == "window" and tp_window_ok
                       and window_eligible(self.kv, self.params))
         self.decode_window = use_window
-        if self.tp_mesh is not None:
+        if self.pp_mesh is not None:
+            from ..parallel.pp import pp_forward as _ppfw
+
+            pp_mesh = self.pp_mesh
+
+            def step_fwd_window(params, kvi, tok, positions, active,
+                                wins, i):
+                return _ppfw(params, llm, kvi, tok, positions,
+                             mesh=pp_mesh, active=active,
+                             backend=backend, logits_mode="last",
+                             kv_update="window", inflight=wins + (i,))
+        elif self.tp_mesh is not None:
             from ..parallel.tp import tp_forward as _tpfw
 
             tp_mesh = self.tp_mesh

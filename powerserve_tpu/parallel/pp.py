@@ -106,12 +106,24 @@ def shard_kv_pp(kv: KVCache, mesh: Mesh) -> KVCache:
 # shard_map forward
 # ---------------------------------------------------------------------------
 
+def pp_window_specs() -> tuple:
+    """PartitionSpecs for the in-flight decode window ([L, S, Hkv,
+    W(, D)] — engine/loops.py::make_kv_window): layers shard over "pp"
+    exactly like pp_kv_specs, so each stage's window lanes mirror its
+    resident cache slice."""
+    w = P("pp", None, None, None, None)
+    s = P("pp", None, None, None)
+    return (w, w, s, s)
+
+
 def pp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
                tokens: jax.Array, positions: jax.Array, *,
                mesh: Mesh, active: jax.Array | None = None,
                backend: str = "auto", logits_mode: str = "last",
                embeds: jax.Array | None = None,
-               use_embeds: jax.Array | None = None):
+               use_embeds: jax.Array | None = None,
+               kv_update: str | None = None,
+               inflight: tuple | None = None):
     """Pipelined forward: logits (replicated), updated kv (layer-
     sharded). Single microbatch — pp phases, one stage live per phase.
 
@@ -119,19 +131,37 @@ def pp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
     prefill path — scheduler mm_prefill_chunk): slots flagged in
     use_embeds [S] take their stage-0 input rows from embeds
     [S, Tq, dim] (replicated over pp) instead of the token table.
+
+    kv_update="window" + inflight: the pp tick of the WINDOW decode
+    loop (engine/loops.py) — each stage's cache slice stays
+    loop-invariant (the carried-scatter cliff applies per stage slice
+    exactly like on one chip), the new K/V block comes back layer-
+    sharded as a third output for the caller's window push, and the
+    caller commits once post-loop. Every stage computes a block each
+    phase, but only the block from the stage's OWN phase (the one fed
+    by the real residual) is kept.
     """
     # embeds/use_embeds share one in_spec and are read together in the
     # body — a lone embeds would crash on use_embeds[:, None, None]
     assert (embeds is None) == (use_embeds is None), \
         "pass embeds and use_embeds together (or neither)"
     pp = mesh.shape["pp"]
+    window = kv_update == "window"
+    assert not window or inflight is not None, \
+        "pp window ticks need inflight"
     pspecs = pp_param_specs(params)
     kspecs = pp_kv_specs(kv)
     act_spec = None if active is None else P()
     emb_spec = None if embeds is None else P()
     S = tokens.shape[0]
+    Tq = tokens.shape[1]
+    if window:
+        # filled indicator (scalar lane count or [S, W] validity)
+        # replicates — pp shards neither slots nor lanes
+        win_specs = pp_window_specs() + (P(),)
 
-    def body(params, kv, tokens, positions, active, embeds, use_embeds):
+    def body(params, kv, tokens, positions, active, embeds, use_embeds,
+             inflight):
         params = _localize_params(params)
         s = jax.lax.axis_index("pp")
         act = jnp.ones(S, bool) if active is None else active
@@ -139,24 +169,40 @@ def pp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
         if embeds is not None:
             x0 = jnp.where(use_embeds[:, None, None],
                            embeds.astype(jnp.bfloat16), x0)
+        L_loc = kv.k.shape[0]
+        Hkv, D = llm.n_kv_heads, llm.head_size
 
         def phase(carry, p):
-            x_res, x_final, kv = carry
+            x_res, x_final, kv, blk = carry
             work = act & (s == p)
             pos_p = jnp.where(work[:, None], positions, -1)
-            _, kv, x_out = forward(
-                params, llm, kv, tokens, pos_p, active=work,
-                embeds=x_res, backend=backend, logits_mode="none",
-                return_final_hidden=True)
+            if window:
+                _, kv, blk_new, x_out = forward(
+                    params, llm, kv, tokens, pos_p, active=work,
+                    embeds=x_res, backend=backend, logits_mode="none",
+                    return_final_hidden=True, kv_update="window",
+                    inflight=inflight)
+                blk = jax.tree.map(
+                    lambda o, n: jnp.where(p == s, n.astype(o.dtype), o),
+                    blk, blk_new)
+            else:
+                _, kv, x_out = forward(
+                    params, llm, kv, tokens, pos_p, active=work,
+                    embeds=x_res, backend=backend, logits_mode="none",
+                    return_final_hidden=True)
             mine = jnp.logical_and(p == pp - 1, s == pp - 1)
             x_final = jnp.where(mine, x_out.astype(jnp.float32), x_final)
             x_next = jax.lax.ppermute(
                 x_out, "pp", [(i, (i + 1) % pp) for i in range(pp)])
-            return (x_next, x_final, kv), None
+            return (x_next, x_final, kv, blk), None
 
+        blk0 = (jnp.zeros((L_loc, S, Hkv, Tq, D), kv.k.dtype),
+                jnp.zeros((L_loc, S, Hkv, Tq, D), kv.v.dtype),
+                jnp.zeros((L_loc, S, Hkv, Tq), kv.k_scale.dtype),
+                jnp.zeros((L_loc, S, Hkv, Tq), kv.v_scale.dtype))
         x_final0 = jnp.zeros(x0.shape, jnp.float32)
-        (_, x_final, kv), _ = jax.lax.scan(
-            phase, (x0, x_final0, kv), jnp.arange(pp))
+        (_, x_final, kv, blk), _ = jax.lax.scan(
+            phase, (x0, x_final0, kv, blk0), jnp.arange(pp))
         # only the last stage holds the real final hidden — replicate,
         # then head math once on every stage (identical values)
         x_final = jax.lax.psum(
@@ -169,18 +215,24 @@ def pp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
             logits = qmatmul(xf[:, -1, :], params.lm_head,
                              backend=backend).astype(jnp.float32)
         else:
-            Tq = xf.shape[1]
             logits = qmatmul(xf.reshape(S * Tq, -1), params.lm_head,
                              backend=backend).reshape(S, Tq, -1
                                                       ).astype(jnp.float32)
+        if window:
+            return logits, kv, blk
         return logits, kv
 
+    out_specs = (P(), kspecs)
+    if window:
+        out_specs = out_specs + (pp_window_specs(),)
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(pspecs, kspecs, P(), P(), act_spec, emb_spec, emb_spec),
-        out_specs=(P(), kspecs),
+        in_specs=(pspecs, kspecs, P(), P(), act_spec, emb_spec, emb_spec,
+                  win_specs if window else None),
+        out_specs=out_specs,
         check_vma=False)
-    return f(params, kv, tokens, positions, active, embeds, use_embeds)
+    return f(params, kv, tokens, positions, active, embeds, use_embeds,
+             inflight)
 
 
 @functools.partial(jax.jit,

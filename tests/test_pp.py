@@ -167,8 +167,25 @@ def test_pp_scheduler_matches_plain():
     p2 = shard_params_pp(params, mesh, cfg.llm)
     hp2 = HyperParams(max_slots=2, batch_size=8, max_seq_len=128)
     pp_sched = BatchScheduler(p2, cfg, hp2, backend="xla", pp_mesh=mesh)
+    assert pp_sched.decode_window  # pp ticks run the window loop now
     got = run_req(pp_sched, [3, 17, 5, 9])
     assert got == want, (got, want)
+
+    # window-vs-carry equivalence on the pp tick itself
+    import powerserve_tpu.engine.loops as L
+
+    orig = L._DECODE_LOOP_DEFAULT
+    L._DECODE_LOOP_DEFAULT = "carry"
+    try:
+        p3 = shard_params_pp(params, mesh, cfg.llm)
+        carry_sched = BatchScheduler(p3, cfg, HyperParams(
+            max_slots=2, batch_size=8, max_seq_len=128),
+            backend="xla", pp_mesh=mesh)
+        assert not carry_sched.decode_window
+        got_c = run_req(carry_sched, [3, 17, 5, 9])
+    finally:
+        L._DECODE_LOOP_DEFAULT = orig
+    assert got_c == want, (got_c, want)
 
 
 def test_pp_paged_scheduler_matches_plain():
