@@ -298,12 +298,28 @@ def run_eagle(args, t_cfg, t_params) -> None:
                                n, "auto")
         np.asarray(toks)
 
-    def spec(n):
-        t_kv, e_kv = fresh(tl), fresh(e_llm)
-        _, counts, *_ = eagle_spec_scan(
-            t_params, ep, t_kv, e_kv, jnp.asarray([7], jnp.int32),
-            jnp.zeros((1, dim), jnp.float32), tl, e_llm, n, args.k, "auto")
-        return int(np.asarray(counts).sum()), n
+    if args.tree:
+        from powerserve_tpu.speculative.device_tree import TreeTemplate
+        from powerserve_tpu.speculative.eagle import eagle_tree_spec_scan
+
+        tpl = TreeTemplate.from_widths(
+            [int(x) for x in args.tree.split(",")])
+
+        def spec(n):
+            t_kv, e_kv = fresh(tl), fresh(e_llm)
+            _, counts, *_ = eagle_tree_spec_scan(
+                t_params, ep, t_kv, e_kv, jnp.asarray([7], jnp.int32),
+                jnp.zeros((1, dim), jnp.float32), tl, e_llm, n,
+                tpl.key(), "auto")
+            return int(np.asarray(counts).sum()), n
+    else:
+        def spec(n):
+            t_kv, e_kv = fresh(tl), fresh(e_llm)
+            _, counts, *_ = eagle_spec_scan(
+                t_params, ep, t_kv, e_kv, jnp.asarray([7], jnp.int32),
+                jnp.zeros((1, dim), jnp.float32), tl, e_llm, n, args.k,
+                "auto")
+            return int(np.asarray(counts).sum()), n
 
     def marginal(fn, n1, n2, reps=3):
         fn(n1); fn(n2)
@@ -326,7 +342,9 @@ def run_eagle(args, t_cfg, t_params) -> None:
     need = 2.0 * t_step / t_dec
 
     print(json.dumps({
-        "metric": "speculative_eagle_tok_s",
+        "metric": ("speculative_eagle_tree_tok_s" if args.tree
+                   else "speculative_eagle_tok_s"),
+        "tree": args.tree or None,
         "target": args.target, "draft": "eagle-head-1L", "k": args.k,
         "t_decode_ms": round(t_dec * 1e3, 2),
         "t_spec_step_ms": round(t_step * 1e3, 2),

@@ -310,8 +310,11 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         kv_update = "deferred" if Tq <= 16 else "inline"
     window = kv_update == "window"
     if window:
+        # intra_mask IS allowed (tree verifies pass the ancestor mask;
+        # the deferred in-flight visibility below composes it) —
+        # vis_override is not (window lanes replace its role)
         assert (inflight is not None and vis_override is None
-                and intra_mask is None and quantized and sp_axis is None
+                and quantized and sp_axis is None
                 and not return_hidden
                 and not isinstance(params.layers, (tuple, list))), \
             "kv_update='window' needs inflight + plain-decode " \

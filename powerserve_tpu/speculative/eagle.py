@@ -492,9 +492,36 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
     T = t_kv.max_seq
     n_drafted = sum(len(tpl.levels[d]) for d in range(Dp))  # head entries
 
-    def spec_step(carry, _):
-        t_kv, e_kv, root, root_feat, rngs = carry
-        c = t_kv.pos.astype(jnp.int32)  # [S] committed length
+    # window verify (chain.py scheme, tree-shaped): the TARGET cache
+    # buffers stay LOOP-INVARIANT — each verify's N tree nodes land in
+    # N carried window lanes; acceptance marks the path nodes' lanes
+    # valid with lane_pos = c + depth(node) (their COMPACTED final
+    # positions — the path has one node per depth, so valid lanes hold
+    # unique positions), which replaces BOTH the rollback and the
+    # commit_tokens gather-compaction. One post-scan scatter commits.
+    from ..engine import loops as _loops
+
+    use_window = (_loops._DECODE_LOOP_DEFAULT == "window"
+                  and _loops.window_eligible(t_kv, tparams)
+                  and n_steps * N <= 1024)
+    W_win = n_steps * N
+
+    def _on_path(chain_m):
+        """[S, Dp+1] accepted node ids (-1 dead) -> [S, N] bool."""
+        idx = jnp.maximum(chain_m, 0)
+        upd = chain_m >= 0
+        return jax.vmap(
+            lambda i_, u: jnp.zeros((N,), bool).at[i_].max(u))(idx, upd)
+
+    def spec_step(carry, i):
+        if use_window:
+            (t_pos, wins, valid, lane_pos), e_kv, root, root_feat, \
+                rngs = carry
+            c = t_pos.astype(jnp.int32)
+            base = i * N
+        else:
+            t_kv_c, e_kv, root, root_feat, rngs = carry
+            c = t_kv_c.pos.astype(jnp.int32)  # [S] committed length
         mask0 = e_kv.mask  # committed visibility BEFORE this tree
 
         if wor:
@@ -553,10 +580,21 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         # -- one target verify over the whole tree ---------------------
         rope_v = jnp.where(active[:, None], c[:, None] + depths[None, :], -1)
         cpos_v = jnp.where(active[:, None], c[:, None] + idx_arr[None, :], -1)
-        logits, t_kv, feats_true = forward(
-            tparams, t_llm, t_kv, tokens, rope_v, cache_positions=cpos_v,
-            intra_mask=anc, active=active, backend=backend,
-            logits_mode="all", return_final_hidden=True)
+        if use_window:
+            kvi = dataclasses.replace(t_kv, pos=t_pos)
+            logits, _, blk, feats_true = forward(
+                tparams, t_llm, kvi, tokens, rope_v,
+                cache_positions=cpos_v, intra_mask=anc, active=active,
+                backend=backend, logits_mode="all",
+                return_final_hidden=True,
+                kv_update="window", inflight=wins + (valid,))
+            wins = _loops.push_kv_window(wins, blk, base)
+        else:
+            logits, t_kv_c, feats_true = forward(
+                tparams, t_llm, t_kv_c, tokens, rope_v,
+                cache_positions=cpos_v, intra_mask=anc, active=active,
+                backend=backend, logits_mode="all",
+                return_final_hidden=True)
         feats_true = feats_true.astype(jnp.float32)  # [S, N, dim]
         if wor:
             repn = lambda a: jnp.repeat(a, N, axis=0)  # noqa: E731
@@ -578,11 +616,23 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                     feats_true, stop_node[:, None, None], axis=1)[:, 0],
                 root_feat)
 
-            t_kv = t_kv.rollback(t_kv.pos.astype(jnp.int32) - c,
-                                 active=active)
-            src = jnp.where(chain_m >= 0, c[:, None] + chain_m, -1)
             n_commit = jnp.where(active, n_acc + 1, 0)
-            t_kv = t_kv.commit_tokens(jnp.arange(S), src, n_commit)
+            if use_window:
+                # accepted path nodes own lanes at their compacted
+                # positions; everything else stays invalid
+                valid = jax.lax.dynamic_update_slice(
+                    valid, _on_path(chain_m) & active[:, None], (0, base))
+                lane_pos = jax.lax.dynamic_update_slice(
+                    lane_pos,
+                    jnp.where(active[:, None],
+                              c[:, None] + depths[None, :], -1), (0, base))
+                t_pos = jnp.where(active, c + n_acc + 1,
+                                  c).astype(t_kv.pos.dtype)
+            else:
+                t_kv_c = t_kv_c.rollback(
+                    t_kv_c.pos.astype(jnp.int32) - c, active=active)
+                src = jnp.where(chain_m >= 0, c[:, None] + chain_m, -1)
+                t_kv_c = t_kv_c.commit_tokens(jnp.arange(S), src, n_commit)
             e_kv = e_kv.rollback(jnp.where(active, n_drafted, 0))
             fed_chain = jnp.take_along_axis(
                 tokens, jnp.maximum(chain_m, 0), axis=1)
@@ -598,7 +648,10 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             _, _, e_kv = eagle_forward(
                 eparams, e_llm, e_kv, fed_chain, commit_feats, commit_pos,
                 active=active, backend=backend, logits_mode="none")
-            return ((t_kv, e_kv, new_root, new_root_feat, wor_rngs),
+            if use_window:
+                return (((t_pos, wins, valid, lane_pos), e_kv, new_root,
+                         new_root_feat, wor_rngs), (emit, n_commit))
+            return ((t_kv_c, e_kv, new_root, new_root_feat, wor_rngs),
                     (emit, n_commit))
         if sample:
             from ..sampling.sampler import sample_logits_batched
@@ -647,10 +700,21 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                 feats_true, cur[:, None, None], axis=1)[:, 0], root_feat)
 
         # -- commit: target compacts the chain; head re-prefills --------
-        t_kv = t_kv.rollback(t_kv.pos.astype(jnp.int32) - c, active=active)
-        src = jnp.where(chain_m >= 0, c[:, None] + chain_m, -1)
         n_commit = jnp.where(active, n_acc + 1, 0)
-        t_kv = t_kv.commit_tokens(jnp.arange(S), src, n_commit)
+        if use_window:
+            valid = jax.lax.dynamic_update_slice(
+                valid, _on_path(chain_m) & active[:, None], (0, base))
+            lane_pos = jax.lax.dynamic_update_slice(
+                lane_pos,
+                jnp.where(active[:, None],
+                          c[:, None] + depths[None, :], -1), (0, base))
+            t_pos = jnp.where(active, c + n_acc + 1,
+                              c).astype(t_kv.pos.dtype)
+        else:
+            t_kv_c = t_kv_c.rollback(t_kv_c.pos.astype(jnp.int32) - c,
+                                     active=active)
+            src = jnp.where(chain_m >= 0, c[:, None] + chain_m, -1)
+            t_kv_c = t_kv_c.commit_tokens(jnp.arange(S), src, n_commit)
         # head drafted n_drafted entries; drop them all, re-prefill the
         # accepted chain paired with TRUE features of its predecessors
         e_kv = e_kv.rollback(jnp.where(active, n_drafted, 0))
@@ -670,11 +734,26 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             active=active, backend=backend, logits_mode="none")
 
         counts = n_commit
-        return ((t_kv, e_kv, new_root, new_root_feat, new_rngs),
+        if use_window:
+            return (((t_pos, wins, valid, lane_pos), e_kv, new_root,
+                     new_root_feat, new_rngs), (emit, counts))
+        return ((t_kv_c, e_kv, new_root, new_root_feat, new_rngs),
                 (emit, counts))
 
-    (t_kv, e_kv, root, root_feat, rngs), (emitted, counts) = jax.lax.scan(
-        spec_step, (t_kv, e_kv, root, root_feat, rngs), None, length=n_steps)
+    if use_window:
+        wins0 = _loops.make_kv_window(t_kv, t_llm, S, W_win)
+        st0 = (t_kv.pos, wins0, jnp.zeros((S, W_win), bool),
+               jnp.full((S, W_win), -1, jnp.int32))
+        ((t_pos, wins, valid, lane_pos), e_kv, root, root_feat, rngs), \
+            (emitted, counts) = jax.lax.scan(
+                spec_step, (st0, e_kv, root, root_feat, rngs),
+                jnp.arange(n_steps))
+        t_kv = _loops.commit_kv_lanes(t_kv, wins, lane_pos, valid,
+                                      t_pos, t_kv.mask)
+    else:
+        (t_kv, e_kv, root, root_feat, rngs), (emitted, counts) = \
+            jax.lax.scan(spec_step, (t_kv, e_kv, root, root_feat, rngs),
+                         jnp.arange(n_steps))
     return emitted, counts, t_kv, e_kv, root, root_feat, rngs
 
 

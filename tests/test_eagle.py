@@ -620,3 +620,63 @@ def test_eagle_window_verify_matches_carry(monkeypatch):
         c = run("carry", sample)
         for a, b in zip(w, c):
             np.testing.assert_array_equal(a, b)
+
+
+def test_eagle_tree_window_verify_matches_carry(monkeypatch):
+    """eagle_tree_spec_scan with the WINDOW target verify (tree nodes
+    land in lanes; acceptance marks path nodes valid at lane_pos =
+    c + depth — replacing rollback + commit_tokens gather-compaction)
+    emits byte-identical streams and committed target-cache state to
+    the legacy carried loop — greedy and sampled-WOR. Cache contents
+    compare only where mask=True: the carry loop's compaction leaves
+    stale node writes above pos that the window never lands."""
+    import jax
+
+    import powerserve_tpu.engine.loops as L
+    from powerserve_tpu.speculative.device_tree import TreeTemplate
+    from powerserve_tpu.speculative.eagle import eagle_tree_spec_scan
+
+    params, cfg, _ = _mk_target(0, layers=2, stacked=True)
+    llm = cfg.llm
+    d_params, _, _ = _mk_target(7, layers=1)
+    rng = np.random.default_rng(3)
+    fc = _qlinear_from_float(
+        rng.standard_normal((DIM, 2 * DIM)).astype(np.float32) * 0.05,
+        GGMLType.Q8_0)
+    ep = EagleParams(
+        fc=fc, fc_bias=None, layers=(d_params.layers[0],),
+        embed=params.embed, lm_head=params.lm_head, out_norm=None,
+        input_norm=False)
+    e_llm = dataclasses.replace(llm, n_layers=1)
+    tpl = TreeTemplate.from_widths([2, 2, 1])
+
+    S, n_steps = 2, 4
+    root = jnp.asarray([7, 42], jnp.int32)
+    root_feat = jnp.asarray(
+        np.random.default_rng(5).standard_normal((S, DIM)), jnp.float32)
+
+    def run(loop, sample):
+        monkeypatch.setattr(L, "_DECODE_LOOP_DEFAULT", loop)
+        t_kv = KVCache.create(llm.n_layers, S, 96, llm.n_kv_heads,
+                              llm.head_size)  # int8: window-eligible
+        e_kv = KVCache.create(1, S, 96, llm.n_kv_heads, llm.head_size,
+                              "bf16")
+        kw = {}
+        if sample:
+            kw = dict(rngs=jax.vmap(jax.random.PRNGKey)(jnp.arange(S)),
+                      temp=jnp.ones(S), top_k=jnp.full(S, 8, jnp.int32),
+                      top_p=jnp.ones(S), sample="wor")
+        em, cn, t_kv, *_ = eagle_tree_spec_scan(
+            params, ep, t_kv, e_kv, root, root_feat, llm, e_llm,
+            n_steps, tpl.key(), "xla", **kw)
+        m = np.asarray(t_kv.mask)
+        return (np.asarray(em), np.asarray(cn), m, np.asarray(t_kv.pos),
+                np.asarray(t_kv.k) * m[None, :, None, :, None],
+                np.asarray(t_kv.k_scale) * m[None, :, None, :],
+                np.asarray(t_kv.v) * m[None, :, None, :, None])
+
+    for sample in (False, True):
+        w = run("window", sample)
+        c = run("carry", sample)
+        for a, b in zip(w, c):
+            np.testing.assert_array_equal(a, b)
