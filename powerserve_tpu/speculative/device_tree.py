@@ -304,8 +304,33 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
             sample_dist_batched,
         )
 
-    def spec_step(carry, _):
-        t_kv, d_kv, root, rngs = carry
+    # window verify on the TARGET cache (chain.py / eagle.py scheme,
+    # tree-shaped): verify nodes land in carried window lanes;
+    # acceptance marks path nodes valid at lane_pos = c + depth(node)
+    # — their compacted position — replacing the rollback +
+    # commit_tokens gather; ONE post-scan scatter commits. The DRAFT
+    # cache keeps the carried compaction: its level forwards need
+    # vis_override (committed prefix + own ancestors), which the window
+    # path does not compose with.
+    from ..engine import loops as _loops
+
+    use_window = (_loops._DECODE_LOOP_DEFAULT == "window"
+                  and _loops.window_eligible(t_kv, tparams)
+                  and n_steps * N <= 1024)
+    W_win = n_steps * N
+
+    def _on_path(chain_m):
+        idx = jnp.maximum(chain_m, 0)
+        upd = chain_m >= 0
+        return jax.vmap(
+            lambda i_, u: jnp.zeros((N,), bool).at[i_].max(u))(idx, upd)
+
+    def spec_step(carry, i):
+        if use_window:
+            (t_pos, wins, valid, lane_pos), d_kv, root, rngs = carry
+            base = i * N
+        else:
+            t_kv_c, d_kv, root, rngs = carry
         c = d_kv.pos.astype(jnp.int32)  # [S] committed length
         mask0 = d_kv.mask  # committed visibility BEFORE this tree
 
@@ -364,10 +389,20 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
         # -- one target verify over the whole tree ---------------------
         rope_v = jnp.where(active[:, None], c[:, None] + depths[None, :], -1)
         cpos_v = jnp.where(active[:, None], c[:, None] + idx_arr[None, :], -1)
-        logits, t_kv = forward(tparams, t_llm, t_kv, tokens, rope_v,
-                               cache_positions=cpos_v, intra_mask=anc,
-                               active=active, backend=backend,
-                               logits_mode="all", tp_axis=tp_axis)  # [S, N, V]
+        if use_window:
+            kvi = dataclasses.replace(t_kv, pos=t_pos)
+            logits, _, blk = forward(
+                tparams, t_llm, kvi, tokens, rope_v,
+                cache_positions=cpos_v, intra_mask=anc, active=active,
+                backend=backend, logits_mode="all", tp_axis=tp_axis,
+                kv_update="window", inflight=wins + (valid,))
+            wins = _loops.push_kv_window(wins, blk, base)
+        else:
+            logits, t_kv_c = forward(
+                tparams, t_llm, t_kv_c, tokens, rope_v,
+                cache_positions=cpos_v, intra_mask=anc, active=active,
+                backend=backend, logits_mode="all",
+                tp_axis=tp_axis)  # [S, N, V]
         if wor:
             # -- recursive rejection over each node's rank-ordered WOR
             # candidates; the walk carries the evolving residual p_t ---
@@ -381,15 +416,26 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
             emit, new_root = _wor_emit(tokens, chain_m, n_acc, final_tok,
                                        active, root)
 
-            t_kv = t_kv.rollback(t_kv.pos.astype(jnp.int32) - c,
-                                 active=active)
             d_kv = d_kv.rollback(d_kv.pos.astype(jnp.int32) - c,
                                  active=active)
             src = jnp.where(chain_m >= 0, c[:, None] + chain_m, -1)
             n_commit = jnp.where(active, n_acc + 1, 0)
-            t_kv = t_kv.commit_tokens(jnp.arange(S), src, n_commit)
             d_kv = d_kv.commit_tokens(jnp.arange(S), src, n_commit)
-            return (t_kv, d_kv, new_root, wor_rngs), (emit, n_commit)
+            if use_window:
+                valid = jax.lax.dynamic_update_slice(
+                    valid, _on_path(chain_m) & active[:, None], (0, base))
+                lane_pos = jax.lax.dynamic_update_slice(
+                    lane_pos,
+                    jnp.where(active[:, None],
+                              c[:, None] + depths[None, :], -1), (0, base))
+                t_pos = jnp.where(active, c + n_acc + 1,
+                                  c).astype(t_kv.pos.dtype)
+                return (((t_pos, wins, valid, lane_pos), d_kv, new_root,
+                         wor_rngs), (emit, n_commit))
+            t_kv_c = t_kv_c.rollback(t_kv_c.pos.astype(jnp.int32) - c,
+                                     active=active)
+            t_kv_c = t_kv_c.commit_tokens(jnp.arange(S), src, n_commit)
+            return (t_kv_c, d_kv, new_root, wor_rngs), (emit, n_commit)
         if sample:
             from ..sampling.sampler import sample_logits_batched
 
@@ -434,17 +480,39 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
                              root)
 
         # -- roll back to the committed prefix, compact accepted chain -
-        t_kv = t_kv.rollback(t_kv.pos.astype(jnp.int32) - c, active=active)
         d_kv = d_kv.rollback(d_kv.pos.astype(jnp.int32) - c, active=active)
         src = jnp.where(chain_m >= 0, c[:, None] + chain_m, -1)
         n_commit = jnp.where(active, n_acc + 1, 0)
-        t_kv = t_kv.commit_tokens(jnp.arange(S), src, n_commit)
         d_kv = d_kv.commit_tokens(jnp.arange(S), src, n_commit)
         counts = n_commit
-        return (t_kv, d_kv, new_root, new_rngs), (emit, counts)
+        if use_window:
+            valid = jax.lax.dynamic_update_slice(
+                valid, _on_path(chain_m) & active[:, None], (0, base))
+            lane_pos = jax.lax.dynamic_update_slice(
+                lane_pos,
+                jnp.where(active[:, None],
+                          c[:, None] + depths[None, :], -1), (0, base))
+            t_pos = jnp.where(active, c + n_acc + 1,
+                              c).astype(t_kv.pos.dtype)
+            return (((t_pos, wins, valid, lane_pos), d_kv, new_root,
+                     new_rngs), (emit, counts))
+        t_kv_c = t_kv_c.rollback(t_kv_c.pos.astype(jnp.int32) - c,
+                                 active=active)
+        t_kv_c = t_kv_c.commit_tokens(jnp.arange(S), src, n_commit)
+        return (t_kv_c, d_kv, new_root, new_rngs), (emit, counts)
 
-    (t_kv, d_kv, root, rngs), (emitted, counts) = jax.lax.scan(
-        spec_step, (t_kv, d_kv, root, rngs), None, length=n_steps)
+    if use_window:
+        wins0 = _loops.make_kv_window(t_kv, t_llm, S, W_win)
+        st0 = (t_kv.pos, wins0, jnp.zeros((S, W_win), bool),
+               jnp.full((S, W_win), -1, jnp.int32))
+        ((t_pos, wins, valid, lane_pos), d_kv, root, rngs), \
+            (emitted, counts) = jax.lax.scan(
+                spec_step, (st0, d_kv, root, rngs), jnp.arange(n_steps))
+        t_kv = _loops.commit_kv_lanes(t_kv, wins, lane_pos, valid,
+                                      t_pos, t_kv.mask)
+    else:
+        (t_kv, d_kv, root, rngs), (emitted, counts) = jax.lax.scan(
+            spec_step, (t_kv, d_kv, root, rngs), jnp.arange(n_steps))
     return emitted, counts, t_kv, d_kv, root, rngs
 
 
