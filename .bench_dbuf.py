@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Double-buffered decode ticks A/B through the REAL BatchScheduler
+(plain dense path, 8B Q4_K, S=4, prompt 64, gen 96): tick N+1
+dispatched before tick N's host fetch. On the tunnel the fetch is
+0.5-1 s, so the expected ceiling is ~2x aggregate tok/s; on a local
+TPU the fetch is ~1 decode step. One JSON line."""
+import json
+import threading
+import time
+
+from powerserve_tpu.core.config import HyperParams
+from powerserve_tpu.engine.scheduler import BatchScheduler, Request
+from powerserve_tpu.tools.bench_params import make_device_params
+
+S = 4
+GEN = 96
+PROMPT = list(range(1, 129))
+
+
+def run(db, cfg, params) -> float:
+    hp = HyperParams(max_slots=S, batch_size=128, max_seq_len=512)
+    hp.double_buffer = db
+    sched = BatchScheduler(params, cfg, hp, backend="auto")
+    assert sched.double_buffer == db
+    sched.start()
+    done = threading.Event()
+    sched.submit(Request(prompt_ids=[1, 2, 3], max_tokens=4,
+                         temperature=0.0,
+                         sink=lambda t: done.set() if t is None else None))
+    assert done.wait(2400)
+    dones = []
+    t0 = time.perf_counter()
+    for i in range(S):
+        d = threading.Event()
+        dones.append(d)
+        sched.submit(Request(
+            prompt_ids=PROMPT[: 64 + i], max_tokens=GEN, temperature=0.0,
+            sink=lambda t, d=d: d.set() if t is None else None))
+    for d in dones:
+        assert d.wait(2400)
+    dt = time.perf_counter() - t0
+    sched.stop()
+    return S * GEN / dt
+
+
+def main() -> None:
+    import os
+    os.environ.pop("POWERSERVE_DOUBLE_BUFFER", None)
+    cfg, params = make_device_params("llama-8b", "q4_k")
+    off = run(False, cfg, params)
+    on = run(True, cfg, params)
+    print(json.dumps({
+        "metric": "serving_double_buffer_ab",
+        "single_tok_s": round(off, 1),
+        "double_tok_s": round(on, 1),
+        "speedup": round(on / off, 2),
+        "slots": S, "gen": GEN,
+    }))
+
+
+if __name__ == "__main__":
+    main()

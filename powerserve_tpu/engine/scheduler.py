@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import functools
 import itertools
+import os
 import queue
 import threading
 import time
@@ -344,6 +345,16 @@ class BatchScheduler:
         self._stop = threading.Event()
         self._wake = threading.Event()
         self._thread: threading.Thread | None = None
+        # double-buffered decode ticks: tick N+1 dispatches BEFORE tick
+        # N's results are fetched, so the host fetch + bookkeeping hide
+        # under device execution (the reference pipelines NPU execution
+        # against host prep the same way, causal_models.cpp:298-330).
+        # Plain decode ticks only — spec/eagle ticks carry host-side
+        # acceptance state, and the paged tick syncs on kv.pos anyway.
+        self._inflight = None
+        self.double_buffer = bool(int(os.environ.get(
+            "POWERSERVE_DOUBLE_BUFFER",
+            str(int(getattr(self.hp, "double_buffer", True))))))
         self._mk_jits()
 
     # -- jitted steps -------------------------------------------------------
@@ -1255,50 +1266,24 @@ class BatchScheduler:
                                 self.kv.pos, room)
         return True
 
-    def _decode_tick(self) -> bool:
-        decoding = [i for i, s in enumerate(self.slots)
-                    if s.req is not None and not s.prefilling]
-        if not decoding:
+    def _drain_inflight(self) -> bool:
+        """Fetch + process the results of the in-flight decode tick
+        (double-buffered ticks: the fetch of tick N overlaps tick N+1's
+        device execution — the reference's NPU execute-while-host-preps
+        pattern, causal_models.cpp:298-330). Slots whose request changed
+        since dispatch (finished + re-admitted) are skipped: their
+        speculative results are garbage by construction and the slot's
+        device state was fully re-initialized at admission."""
+        inf = self._inflight
+        if inf is None:
             return False
-        if self.is_eagle:
-            return self._eagle_decode_tick(decoding)
-        if self.d_kv is not None:
-            return self._spec_decode_tick(decoding)
-        if self.pool is not None:
-            decoding = self._ensure_decode_pages(decoding, self.horizon)
-            if not decoding:
-                return True  # preemptions / forced finishes were work
-        tokens = np.zeros(self.S, np.int32)
-        active = np.zeros(self.S, bool)
-        temp = np.zeros(self.S, np.float32)
-        top_k = np.zeros(self.S, np.int32)
-        top_p = np.ones(self.S, np.float32)
-        pen = np.ones(self.S, np.float32)
-        pfreq = np.zeros(self.S, np.float32)
-        ppres = np.zeros(self.S, np.float32)
-        for i in decoding:
+        self._inflight = None
+        decoding, reqs, handles = inf
+        toks, lps, top_i, top_lp, pos_host = jax.device_get(handles)
+        for i, req in zip(decoding, reqs):
             s = self.slots[i]
-            tokens[i] = s.cur_token
-            active[i] = True
-            temp[i] = s.req.temperature
-            top_k[i] = s.req.top_k
-            top_p[i] = s.req.top_p
-            pen[i] = s.req.penalty_repeat
-            pfreq[i] = s.req.penalty_freq
-            ppres[i] = s.req.penalty_present
-        (toks, lps, top_i, top_lp, self.kv, self.penalty,
-         self.rngs) = self._decode_all(
-            self.params, self.kv, jnp.asarray(tokens),
-            self.penalty, self.rngs, jnp.asarray(active), jnp.asarray(temp),
-            jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(pen),
-            jnp.asarray(pfreq), jnp.asarray(ppres))
-        # ONE batched host fetch: over a remote-TPU link every
-        # np.asarray is its own ~0.1-1s round trip, and this tick needs
-        # five results (CLAUDE.md tunnel quirks)
-        toks, lps, top_i, top_lp, pos_host = jax.device_get(
-            (toks, lps, top_i, top_lp, self.kv.pos))
-        for i in decoding:
-            s = self.slots[i]
+            if req is None or s.req is not req:
+                continue  # slot reused since dispatch; results are void
             done = False
             for h in range(self.horizon):
                 tok = int(toks[i, h])
@@ -1331,6 +1316,85 @@ class BatchScheduler:
                 self._emit(s.req, None)
                 self._free_slot(i)
         return True
+
+    def _decode_tick(self) -> bool:
+        decoding = [i for i, s in enumerate(self.slots)
+                    if s.req is not None and not s.prefilling]
+        if not decoding:
+            return self._drain_inflight()
+        if self.is_eagle:
+            self._drain_inflight()
+            return self._eagle_decode_tick(decoding)
+        if self.d_kv is not None:
+            self._drain_inflight()
+            return self._spec_decode_tick(decoding)
+        if self.pool is not None:
+            # the pool tick reads kv.pos host-side every iteration (a
+            # full device sync) and can preempt slots — keep it
+            # single-buffered
+            self._drain_inflight()
+            decoding = self._ensure_decode_pages(decoding, self.horizon)
+            if not decoding:
+                return True  # preemptions / forced finishes were work
+        tokens = np.zeros(self.S, np.int32)
+        active = np.zeros(self.S, bool)
+        temp = np.zeros(self.S, np.float32)
+        top_k = np.zeros(self.S, np.int32)
+        top_p = np.ones(self.S, np.float32)
+        pen = np.ones(self.S, np.float32)
+        pfreq = np.zeros(self.S, np.float32)
+        ppres = np.zeros(self.S, np.float32)
+        for i in decoding:
+            s = self.slots[i]
+            tokens[i] = s.cur_token
+            active[i] = True
+            temp[i] = s.req.temperature
+            top_k[i] = s.req.top_k
+            top_p[i] = s.req.top_p
+            pen[i] = s.req.penalty_repeat
+            pfreq[i] = s.req.penalty_freq
+            ppres[i] = s.req.penalty_present
+        prev = self._inflight
+        self._inflight = None
+        # capture request identities NOW: draining `prev` below can
+        # finish + free slots that are in this tick's decoding set
+        reqs_now = [self.slots[i].req for i in decoding]
+        tok_in = jnp.asarray(tokens)
+        if prev is not None:
+            # chain on-device: a slot still owned by the request it was
+            # dispatched for takes its next input token straight from
+            # the in-flight tick's device output (no host round trip)
+            carry = np.zeros(self.S, bool)
+            for j, r in zip(prev[0], prev[1]):
+                if self.slots[j].req is r:
+                    carry[j] = True
+            tok_in = jnp.where(jnp.asarray(carry),
+                               prev[2][0][:, -1], tok_in)
+        (toks, lps, top_i, top_lp, self.kv, self.penalty,
+         self.rngs) = self._decode_all(
+            self.params, self.kv, tok_in,
+            self.penalty, self.rngs, jnp.asarray(active), jnp.asarray(temp),
+            jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(pen),
+            jnp.asarray(pfreq), jnp.asarray(ppres))
+        # pos snapshot: +0 copies out of the donated buffer (the NEXT
+        # tick donates self.kv, which would invalidate a bare handle)
+        handles = (toks, lps, top_i, top_lp, self.kv.pos + 0)
+        if prev is not None:
+            # process tick N while tick N+1 runs on device (ONE batched
+            # host fetch per tick — over a remote-TPU link every
+            # np.asarray is its own ~0.1-1s round trip, CLAUDE.md)
+            self._drain_inflight_with(prev)
+        self._inflight = (decoding, reqs_now, handles)
+        if not self.double_buffer or self.pool is not None:
+            # pool ticks stay single-buffered: page ensure/preempt
+            # decisions must see every tick's true end state
+            self._drain_inflight()
+        return True
+
+    def _drain_inflight_with(self, inf) -> None:
+        saved, self._inflight = self._inflight, inf
+        self._drain_inflight()
+        self._inflight = saved
 
     def step(self) -> bool:
         """One scheduler iteration; returns True if work was done.

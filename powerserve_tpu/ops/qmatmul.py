@@ -38,6 +38,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.quant import QK, QuantizedTensor, choose_pack_group, pack_nib4
 
+# nibble-unpack convert chain: 0 = u8 -> i32 -> f32 (two VPU passes,
+# always Mosaic-safe), 1 = direct u8 -> f32 (.bench_unpack.py A/B:
+# Mosaic REJECTS the direct cast — dead end, r4)
+_UNPACK_DIRECT = 0
+# bsum-kernel f32-dot override (.bench_unpack.py A/B): 0 = auto
+# (f32 dots at decode-sized bm <= 16, bf16 dots otherwise — default),
+# 1 = force f32 dots at every M, -1 = force bf16 dots everywhere.
+# bf16 scale arithmetic was probed too: 105 us vs 71.6/75.9 (worse).
+_BSUM_VARIANT = 0
+
 
 def _is_tpu() -> bool:
     try:
@@ -335,7 +345,8 @@ def _unpack_nibbles_tile(q_ref, groups_per_tile: int, group_rows: int,
             lo = (p32 & 0xF).astype(jnp.float32)
             hi = (p32 >> 4).astype(jnp.float32)
         else:  # "float": u8 -> f32 once, split with mul/floor/fma
-            qf = part.astype(jnp.int32).astype(jnp.float32)
+            qf = (part.astype(jnp.float32) if _UNPACK_DIRECT
+                  else part.astype(jnp.int32).astype(jnp.float32))
             hi = jnp.floor(qf * (1.0 / 16.0))
             lo = qf - hi * 16.0
         pieces.append(lo)
@@ -345,7 +356,8 @@ def _unpack_nibbles_tile(q_ref, groups_per_tile: int, group_rows: int,
 
 def _make_kernel(unsigned: bool, packed: bool, has_bias: bool, compute_dtype,
                  n_k_tiles: int, prefetch: bool, groups_per_tile: int,
-                 group_rows: int, unpack_mode: str, bsum: bool = False):
+                 group_rows: int, unpack_mode: str, bsum: bool = False,
+                 f32dot: bool = False):
     def kernel(*refs):
         if prefetch:  # scalar-prefetch layer index comes first
             refs = refs[1:]
@@ -396,21 +408,36 @@ def _make_kernel(unsigned: bool, packed: bool, has_bias: bool, compute_dtype,
             xall = x_ref[...].astype(compute_dtype)
             for g in range(groups_per_tile):
                 part = q_ref[g * half:(g + 1) * half, :]
-                qf = part.astype(jnp.int32).astype(jnp.float32)
+                qf = (part.astype(jnp.float32) if _UNPACK_DIRECT
+                      else part.astype(jnp.int32).astype(jnp.float32))
                 hi = jnp.floor(qf * (1.0 / 16.0))
                 lo = qf - hi * 16.0
                 kbh = half // QK
                 s0 = kt * kb + g * 2 * kbh
                 s_lo = jnp.repeat(
-                    s_ref[pl.ds(s0, kbh), :].astype(ar_dtype), QK, axis=0)
+                    s_ref[pl.ds(s0, kbh), :].astype(ar_dtype),
+                    QK, axis=0)
                 s_hi = jnp.repeat(
                     s_ref[pl.ds(s0 + kbh, kbh), :].astype(ar_dtype),
                     QK, axis=0)
+                if f32dot:
+                    # decode-sized M: keep the scaled planes in f32 and
+                    # dot at f32 MXU rate — the 2 astype(bf16) VPU
+                    # passes cost more than the tiny-M dot (measured
+                    # 75.9-81 -> 71.6 us on 4096x14336 M=1; bf16 scale
+                    # arithmetic was WORSE at 105 us, .bench_unpack.py)
+                    w_lo, w_hi = lo * s_lo, hi * s_hi
+                else:
+                    w_lo = (lo * s_lo).astype(compute_dtype)
+                    w_hi = (hi * s_hi).astype(compute_dtype)
                 x_lo = xall[:, g * group_rows:g * group_rows + half]
                 x_hi = xall[:, g * group_rows + half:(g + 1) * group_rows]
-                p = jnp.dot(x_lo, (lo * s_lo).astype(compute_dtype),
+                if f32dot:
+                    x_lo = x_lo.astype(jnp.float32)
+                    x_hi = x_hi.astype(jnp.float32)
+                p = jnp.dot(x_lo, w_lo,
                             preferred_element_type=jnp.float32) \
-                    + jnp.dot(x_hi, (hi * s_hi).astype(compute_dtype),
+                    + jnp.dot(x_hi, w_hi,
                               preferred_element_type=jnp.float32)
                 a = p if a is None else a + p
             acc[...] += a
@@ -649,9 +676,16 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
     if lin.bias is not None:
         in_specs.append(s_spec)
         inputs.append(lin.bias)
+    # f32 dots for decode-sized M in the bsum kernel (skip the
+    # astype(bf16) of the scaled planes): wins at M=1 where the dot is
+    # tiny; at prefill M the f32 MXU rate penalty dominates — gate on
+    # bm. _BSUM_VARIANT: -1 forces off, 1 forces on (probe override).
+    f32dot = (bsum and bm <= 16 and _BSUM_VARIANT >= 0) \
+        or (bsum and _BSUM_VARIANT == 1)
     kernel = _make_kernel(lin.unsigned, lin.packed, lin.bias is not None,
                           compute_dtype, n_k_tiles, prefetch,
-                          n_groups, group, _ENV_UNPACK, bsum=bsum)
+                          n_groups, group, _ENV_UNPACK, bsum=bsum,
+                          f32dot=f32dot)
     q_bytes = k * n * lin.q.dtype.itemsize // (2 if lin.packed else 1)
     cost = pl.CostEstimate(
         flops=2 * m * n * k,

@@ -259,3 +259,44 @@ def test_paged_sharded_forward_matches_single(model):
     # the intended shardings actually applied
     ks = kv2.k.sharding.spec
     assert ks[2] == "tp" and ks[1] is None
+
+
+def test_tp_collective_audit_hlo():
+    """tools/check_overlap: AOT-compile the tp decode step for a real
+    v5e:2x2 TPU topology and audit the optimized HLO's collectives
+    (VERDICT r3 item 5). Asserts the expected structure: exactly 2
+    psums per layer inside the scan body, KB-scale payloads, and a
+    collective fraction small enough that the >=85% scaling claim
+    holds without async overlap. Skips where the TPU topology
+    compiler is unavailable (CPU-only CI)."""
+    import io
+    import json
+    import sys
+
+    import pytest
+
+    try:
+        from jax.experimental import topologies
+        topologies.get_topology_desc(platform="tpu",
+                                     topology_name="v5e:2x2")
+    except Exception:
+        pytest.skip("TPU topology compiler unavailable")
+
+    from powerserve_tpu.tools import check_overlap
+
+    argv, out = sys.argv, io.StringIO()
+    sys.argv = ["check_overlap", "--preset", "tiny"]
+    try:
+        sys.stdout, saved = out, sys.stdout
+        try:
+            check_overlap.main()
+        finally:
+            sys.stdout = saved
+    finally:
+        sys.argv = argv
+    audit = json.loads(out.getvalue())
+    assert audit["per_layer_collectives"] == 2  # wo-psum + down-psum
+    per_layer = [c for c in audit["collectives"] if c["in_layer_scan"]]
+    assert all(c["kind"].startswith("all-reduce") for c in per_layer)
+    assert all(c["bytes"] <= 65536 for c in per_layer)  # KB-scale
+    assert audit["collective_fraction"] < 0.15

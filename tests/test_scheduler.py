@@ -309,3 +309,37 @@ def test_window_decode_matches_carry(monkeypatch):
     got_w = run("window")
     got_c = run("carry")
     assert got_w == got_c
+
+
+def test_double_buffer_matches_single(tmp_path):
+    """Double-buffered decode ticks (tick N+1 dispatched before tick
+    N's fetch, next tokens chained on device) emit byte-identical
+    streams to single-buffered ticks — including slot churn: staggered
+    lengths, stop ids, and a queued request re-using a freed slot while
+    a speculative tick for the old request is still in flight."""
+    make_synthetic_gguf(tmp_path, "tiny", GGMLType.Q8_0, seed=0,
+                        seq_len=128)
+    cfg, params = load_gguf_model(tmp_path / "model")
+
+    def run(db):
+        hp = HyperParams(max_slots=2, batch_size=8)
+        hp.double_buffer = db
+        s = BatchScheduler(params, cfg, hp, backend="xla")
+        assert s.double_buffer == db
+        subs = [
+            _collect(s, [1, 2, 3], 9),
+            _collect(s, [9, 8, 7, 6], 5),
+            _collect(s, [5, 5, 5], 7),      # queued: reuses a slot
+            _collect(s, [2, 4], 6, stop_ids={3}),
+        ]
+        for _ in range(400):
+            if all(d.is_set() for _, _, d in subs):
+                break
+            s.step()
+        s.stop()
+        assert all(d.is_set() for _, _, d in subs)
+        return [list(o) for _, o, d in subs]
+
+    import os as _os
+    _os.environ.pop("POWERSERVE_DOUBLE_BUFFER", None)
+    assert run(True) == run(False)
