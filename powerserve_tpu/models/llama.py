@@ -49,6 +49,14 @@ _MOE_DISPATCH = _os.environ.get("POWERSERVE_MOE_DISPATCH", "auto")
 _MOE_BLOCK_M = int(_os.environ.get("POWERSERVE_MOE_BLOCK_M", "128"))
 _MOE_GROUP_MIN = int(_os.environ.get("POWERSERVE_MOE_GROUP_MIN", "64"))
 
+
+def _moe_grouped_decode_wins(a: int, n_local: int, bm: int = 16) -> bool:
+    """Decode-batch MoE routing choice by HBM slab reads: grouped
+    dispatch reads at most ceil(a/bm) + min(a, n_local) expert slabs
+    (ops/moe.py capacity bound at M tile bm), dense-all-experts reads
+    n_local. Engage grouped when it strictly reads fewer."""
+    return (a + bm - 1) // bm + min(a, n_local) < n_local
+
 # Layer-scan chunking: split the length-L layer scan into an outer scan
 # of L/C inner scans of C layers (exact — pure reassociation of the
 # same iteration order). Probed for the L=32 decode cliff (see below) —
@@ -589,27 +597,36 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
                                        jnp.arange(llm.n_experts_used))
             elif _MOE_DISPATCH == "grouped" or (
                     _MOE_DISPATCH == "auto"
-                    and h2f.shape[0] >= _MOE_GROUP_MIN):
+                    and (h2f.shape[0] >= _MOE_GROUP_MIN
+                         or _moe_grouped_decode_wins(
+                             h2f.shape[0] * llm.n_experts_used,
+                             moe_e_local))):
                 # grouped dispatch: sort assignments by expert, pad each
                 # expert's segment to the matmul M tile, compute ONLY
                 # routed (token, expert) pairs via per-tile expert
                 # prefetch (ops/moe.py + qmatmul_grouped) — exact, E/k
-                # fewer FFN FLOPs than dense-all-experts at prefill
+                # fewer FFN FLOPs than dense-all-experts at prefill. At
+                # decode-sized batches (S*k assignments << E, e.g.
+                # qwen3moe 128 experts at S=8) it engages too: the
+                # tightened capacity bound reads at most
+                # ceil(a/bm) + a weight slabs vs E for dense.
                 from ..ops.moe import combine, group_dispatch
                 from ..ops.qmatmul import qmatmul_grouped
 
+                bm_moe = (_MOE_BLOCK_M
+                          if h2f.shape[0] >= _MOE_GROUP_MIN else 16)
                 tok_p, w_p, tile_e = group_dispatch(
-                    topi, topw, moe_e_local, e_off, _MOE_BLOCK_M)
+                    topi, topw, moe_e_local, e_off, bm_moe)
                 xg = h2f[jnp.maximum(tok_p, 0)]
                 tids = (tile_e if layer is None
                         else layer * moe_e_local + tile_e)
                 g = qmatmul_grouped(xg, lw.w_gate_exps, tids,
-                                    block_m=_MOE_BLOCK_M, backend=backend)
+                                    block_m=bm_moe, backend=backend)
                 u = qmatmul_grouped(xg, lw.w_up_exps, tids,
-                                    block_m=_MOE_BLOCK_M, backend=backend)
+                                    block_m=bm_moe, backend=backend)
                 a = silu_hadamard(g, u).astype(jnp.bfloat16)
                 y = qmatmul_grouped(a, lw.w_down_exps, tids,
-                                    block_m=_MOE_BLOCK_M, backend=backend)
+                                    block_m=bm_moe, backend=backend)
                 down = combine(y, tok_p, w_p, h2f.shape[0])
             else:
                 def expert_step(acc, e):

@@ -39,14 +39,20 @@ def group_dispatch(topi: jax.Array, topw: jax.Array, n_local: int,
       w:   routing weight per slot (0 for padding / non-local),
       tile_e: LOCAL expert id owning each M tile (dead tiles point at
       the last local expert; their rows carry w=0 so any slab is safe).
-    P is static: round_up(N*k, block_m) + n_local * block_m bounds
-    sum_e round_up(count_e, block_m) for any routing, so no assignment
-    is ever dropped.
+    P is static: round_up(N*k, block_m) + min(N*k, n_local) * block_m
+    bounds sum_e round_up(count_e, block_m) for any routing (at most
+    min(N*k, n_local) experts have count_e > 0, each contributing at
+    most count_e + block_m - 1 padded rows), so no assignment is ever
+    dropped. The min() matters at DECODE M: with N*k << n_local (e.g.
+    qwen3moe E=128, S=8 x top-8 = 64 assignments) the old n_local
+    bound forced one tile per expert — as many weight-slab reads as
+    dense-all-experts; the tight bound reads at most
+    ceil(a/bm) + min(a, n_local) slabs.
     """
     n, k = topi.shape
     a = n * k
     bm = int(block_m)
-    p = round_up(a, bm) + n_local * bm
+    p = round_up(a, bm) + min(a, n_local) * bm
     e_flat = topi.reshape(-1).astype(jnp.int32) - e_off
     w_flat = topw.reshape(-1).astype(jnp.float32)
     tok = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)

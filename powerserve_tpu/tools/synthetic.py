@@ -41,6 +41,15 @@ PRESETS = {
     "mixtral-lite": dict(dim=4096, ffn=3584, layers=32, heads=32,
                          kv_heads=8, vocab=32000, arch="llama",
                          bias=False, experts=8, experts_used=2),
+    # qwen3moe-shaped wide-expert preset (E=128, top-8, tiny expert
+    # ffn): the decode-batch grouped-dispatch case — S=8 x k=8 routes
+    # at most 64 of 128 experts, so exact grouped dispatch reads
+    # ~half the expert slabs dense-all-experts streams (4 layers keeps
+    # bench compile time sane; the per-layer marginal cost is what
+    # the A/B measures)
+    "qwen3moe-lite": dict(dim=2048, ffn=768, layers=4, heads=16,
+                          kv_heads=4, vocab=32000, arch="llama",
+                          bias=False, experts=128, experts_used=8),
 }
 
 
