@@ -46,9 +46,9 @@ lanes = jnp.arange(K + 1)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "draft", "reprefill",
-                                             "accept"))
+                                             "accept", "draft_lm"))
 def run(t_params, ep, t_kv, e_kv, n, draft=True, reprefill=True,
-        accept=True):
+        accept=True, draft_lm=True):
     W = n * (K + 1)
     wins0 = L.make_kv_window(t_kv, tl, S, W)
 
@@ -63,8 +63,12 @@ def run(t_params, ep, t_kv, e_kv, n, draft=True, reprefill=True,
                 pos = kv.pos.astype(jnp.int32)[:, None]
                 logits, feat_out, kv = eagle_forward(
                     ep, e_llm, kv, tok[:, None], feat[:, None, :], pos,
-                    backend="auto", logits_mode="last")
-                nxt = jnp.argmax(logits[:, :V], -1).astype(jnp.int32)
+                    backend="auto",
+                    logits_mode="last" if draft_lm else "none")
+                if draft_lm:
+                    nxt = jnp.argmax(logits[:, :V], -1).astype(jnp.int32)
+                else:
+                    nxt = tok + 1  # timing-only: serial dep without lm_head
                 return (nxt, feat_out[:, -1], kv), tok
 
             (last_tok, _, e_kv), fed_in = jax.lax.scan(
@@ -151,4 +155,5 @@ out["full"] = marginal({})
 out["nodraft"] = marginal({"draft": False})
 out["noreprefill"] = marginal({"reprefill": False})
 out["noaccept"] = marginal({"accept": False})
+out["draftnolm"] = marginal({"draft_lm": False})
 print(json.dumps(out))

@@ -1089,7 +1089,9 @@ class BatchScheduler:
         tpl = self.spec_template
         if self.pool is not None:
             # a spec step transiently writes up to horizon accepted
-            # runs + one un-committed tree/chain past pos
+            # runs + one un-committed tree/chain past pos; pool ticks
+            # stay single-buffered (page decisions need true end state)
+            self._drain_inflight()
             need = self.spec_horizon * (tpl.max_depth + 1) + tpl.n_nodes
             decoding = self._ensure_decode_pages(decoding, need)
             if not decoding:
@@ -1106,6 +1108,7 @@ class BatchScheduler:
             temp[i] = s.req.temperature
             top_k[i] = s.req.top_k
             top_p[i] = s.req.top_p
+        tok_in, prev, reqs_now = self._chain_spec_tokens(decoding, tokens)
         common = dict(active=jnp.asarray(active), rngs=self.rngs,
                       temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
                       top_p=jnp.asarray(top_p))
@@ -1116,7 +1119,7 @@ class BatchScheduler:
             (emitted_d, counts, self.kv, self.d_kv, next_tok,
              self.rngs) = chain_spec_sample_scan(
                 self.params, self.dparams, self.kv, self.d_kv,
-                jnp.asarray(tokens), self.cfg.llm, self.d_llm,
+                tok_in, self.cfg.llm, self.d_llm,
                 self.spec_horizon, tpl.max_depth, self.backend,
                 fwd_t=self._spec_fwd, fwd_d=self._spec_fwd, **common)
         elif self.tp_mesh is not None:
@@ -1128,14 +1131,14 @@ class BatchScheduler:
                 (emitted_d, counts, self.kv, self.d_kv, next_tok,
                  self.rngs) = tp_chain_spec_scan(
                     self.params, self.dparams, self.kv, self.d_kv,
-                    jnp.asarray(tokens), self.cfg.llm, self.d_llm,
+                    tok_in, self.cfg.llm, self.d_llm,
                     self.spec_horizon, tpl.max_depth, self.tp_mesh,
                     self.backend, **common)
             else:
                 (emitted_d, counts, self.kv, self.d_kv, next_tok,
                  self.rngs) = tp_tree_spec_scan(
                     self.params, self.dparams, self.kv, self.d_kv,
-                    jnp.asarray(tokens), self.cfg.llm, self.d_llm,
+                    tok_in, self.cfg.llm, self.d_llm,
                     self.spec_horizon, tpl.key(), self.tp_mesh,
                     self.backend,
                     sample="wor" if getattr(self.hp, "spec_wor", False)
@@ -1145,45 +1148,81 @@ class BatchScheduler:
             (emitted_d, counts, self.kv, self.d_kv, next_tok,
              self.rngs) = chain_spec_sample_scan(
                 self.params, self.dparams, self.kv, self.d_kv,
-                jnp.asarray(tokens), self.cfg.llm, self.d_llm,
+                tok_in, self.cfg.llm, self.d_llm,
                 self.spec_horizon, kk, self.backend, **common)
         else:
             (emitted_d, counts, self.kv, self.d_kv, next_tok,
              self.rngs) = tree_spec_scan(
                 self.params, self.dparams, self.kv, self.d_kv,
-                jnp.asarray(tokens), self.cfg.llm, self.d_llm,
+                tok_in, self.cfg.llm, self.d_llm,
                 self.spec_horizon, tpl.key(), self.backend,
                 sample="wor" if getattr(self.hp, "spec_wor", False)
                 else True, **common)
         room = (self.max_seq - self.spec_horizon * (tpl.max_depth + 1)
                 - tpl.n_nodes)
-        self._emit_spec_results(decoding, emitted_d, counts, next_tok,
-                                self.kv.pos, room)
+        return self._finish_spec_tick(decoding, reqs_now, prev,
+                                      emitted_d, counts, next_tok, room)
+
+    def _chain_spec_tokens(self, decoding, tokens):
+        """Double-buffered spec ticks: take the in-flight record, chain
+        next root tokens on-device for slots still owned by the request
+        they were dispatched for, and capture request identities BEFORE
+        the drain below can free slots."""
+        prev = self._inflight
+        self._inflight = None
+        reqs_now = [self.slots[i].req for i in decoding]
+        tok_in = jnp.asarray(tokens)
+        if prev is not None and prev[0] == "spec":
+            carry = np.zeros(self.S, bool)
+            for j, r in zip(prev[1], prev[2]):
+                if self.slots[j].req is r:
+                    carry[j] = True
+            tok_in = jnp.where(jnp.asarray(carry), prev[3][2], tok_in)
+        return tok_in, prev, reqs_now
+
+    def _finish_spec_tick(self, decoding, reqs_now, prev, emitted_d,
+                          counts, next_tok, room) -> bool:
+        """Drain the previous spec tick (its fetch overlaps this tick's
+        device execution), then register this tick as in-flight."""
+        handles = (emitted_d, counts, next_tok, self.kv.pos + 0)
+        if prev is not None:
+            self._drain_inflight_with(prev)
+        self._inflight = ("spec", decoding, reqs_now, handles, room)
+        if not self.double_buffer or self.pool is not None:
+            self._drain_inflight()
         return True
 
     def _emit_spec_results(self, decoding, emitted_d, counts, next_tok,
-                           pos_host, room: int) -> None:
+                           pos_host, room: int, reqs=None,
+                           fetched: bool = False) -> None:
         """Shared per-slot emission walk for the spec ticks: deliver
         each step's accepted tokens, honor stop/cancel/length, tear
         down finished slots. emitted_d [H, S, W]; counts [H, S];
         next_tok [S]; room = last safe write position (spec steps
-        transiently write past the committed length)."""
+        transiently write past the committed length). reqs: per-slot
+        request identities captured at dispatch (double-buffered spec
+        ticks — slots reused since dispatch are skipped)."""
         # ONE batched host fetch (each np.asarray is its own ~0.1-1s
         # round trip over a remote-TPU link). pos_host arrives as the
         # POST-tick value (the pre-tick kv was donated to the scan);
         # the room check needs the PRE-tick committed length, which is
         # post - this tick's per-slot emitted counts (every spec step
         # advances pos by exactly its count).
-        emitted_d, counts, next_tok, post_pos = jax.device_get(
-            (emitted_d, counts, next_tok, pos_host))
-        pos_host = post_pos - counts.sum(axis=0)
+        if not fetched:
+            emitted_d, counts, next_tok, pos_host = jax.device_get(
+                (emitted_d, counts, next_tok, pos_host))
+        pos_host = pos_host - counts.sum(axis=0)
+        if reqs is None:
+            reqs = [self.slots[i].req for i in decoding]
         n_active = len(decoding)
         H, W = counts.shape[0], emitted_d.shape[2]
         self.n_spec_steps += H * n_active
         self.n_spec_drafted += H * n_active * (W - 1)
         self.n_spec_accepted += int(counts[:, decoding].sum()) - H * n_active
-        for i in decoding:
+        for i, req_at in zip(decoding, reqs):
             s = self.slots[i]
+            if req_at is None or s.req is not req_at:
+                continue  # slot reused since dispatch; results are void
             s.cur_token = int(next_tok[i])
             done = False
             emitted = 0
@@ -1227,6 +1266,7 @@ class BatchScheduler:
         else:
             per_step = transient = k + 1
         if self.pool is not None:
+            self._drain_inflight()  # pool ticks stay single-buffered
             need = self.spec_horizon * per_step + transient
             decoding = self._ensure_decode_pages(decoding, need)
             if not decoding:
@@ -1243,6 +1283,7 @@ class BatchScheduler:
             temp[i] = s.req.temperature
             top_k[i] = s.req.top_k
             top_p[i] = s.req.top_p
+        tok_in, prev, reqs_now = self._chain_spec_tokens(decoding, tokens)
         common = dict(active=jnp.asarray(active), rngs=self.rngs,
                       temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
                       top_p=jnp.asarray(top_p), sample=True)
@@ -1253,18 +1294,17 @@ class BatchScheduler:
             (emitted_d, counts, self.kv, self.d_kv, next_tok, self.feat,
              self.rngs) = eagle_tree_spec_scan(
                 self.params, self.eparams, self.kv, self.d_kv,
-                jnp.asarray(tokens), self.feat, self.cfg.llm, self.e_llm,
+                tok_in, self.feat, self.cfg.llm, self.e_llm,
                 self.spec_horizon, tpl.key(), self.backend, **common)
         else:
             (emitted_d, counts, self.kv, self.d_kv, next_tok, self.feat,
              self.rngs) = eagle_spec_scan(
                 self.params, self.eparams, self.kv, self.d_kv,
-                jnp.asarray(tokens), self.feat, self.cfg.llm, self.e_llm,
+                tok_in, self.feat, self.cfg.llm, self.e_llm,
                 self.spec_horizon, k, self.backend, **common)
         room = self.max_seq - self.spec_horizon * per_step - transient
-        self._emit_spec_results(decoding, emitted_d, counts, next_tok,
-                                self.kv.pos, room)
-        return True
+        return self._finish_spec_tick(decoding, reqs_now, prev,
+                                      emitted_d, counts, next_tok, room)
 
     def _drain_inflight(self) -> bool:
         """Fetch + process the results of the in-flight decode tick
@@ -1278,7 +1318,14 @@ class BatchScheduler:
         if inf is None:
             return False
         self._inflight = None
-        decoding, reqs, handles = inf
+        if inf[0] == "spec":
+            _, decoding, reqs, handles, room = inf
+            emitted_d, counts, next_tok, pos_host = jax.device_get(handles)
+            self._emit_spec_results(decoding, emitted_d, counts, next_tok,
+                                    pos_host, room, reqs=reqs,
+                                    fetched=True)
+            return True
+        _, decoding, reqs, handles = inf
         toks, lps, top_i, top_lp, pos_host = jax.device_get(handles)
         for i, req in zip(decoding, reqs):
             s = self.slots[i]
@@ -1323,10 +1370,8 @@ class BatchScheduler:
         if not decoding:
             return self._drain_inflight()
         if self.is_eagle:
-            self._drain_inflight()
             return self._eagle_decode_tick(decoding)
         if self.d_kv is not None:
-            self._drain_inflight()
             return self._spec_decode_tick(decoding)
         if self.pool is not None:
             # the pool tick reads kv.pos host-side every iteration (a
@@ -1365,11 +1410,11 @@ class BatchScheduler:
             # dispatched for takes its next input token straight from
             # the in-flight tick's device output (no host round trip)
             carry = np.zeros(self.S, bool)
-            for j, r in zip(prev[0], prev[1]):
+            for j, r in zip(prev[1], prev[2]):
                 if self.slots[j].req is r:
                     carry[j] = True
             tok_in = jnp.where(jnp.asarray(carry),
-                               prev[2][0][:, -1], tok_in)
+                               prev[3][0][:, -1], tok_in)
         (toks, lps, top_i, top_lp, self.kv, self.penalty,
          self.rngs) = self._decode_all(
             self.params, self.kv, tok_in,
@@ -1384,7 +1429,7 @@ class BatchScheduler:
             # host fetch per tick — over a remote-TPU link every
             # np.asarray is its own ~0.1-1s round trip, CLAUDE.md)
             self._drain_inflight_with(prev)
-        self._inflight = (decoding, reqs_now, handles)
+        self._inflight = ("plain", decoding, reqs_now, handles)
         if not self.double_buffer or self.pool is not None:
             # pool ticks stay single-buffered: page ensure/preempt
             # decisions must see every tick's true end state

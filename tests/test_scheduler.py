@@ -343,3 +343,40 @@ def test_double_buffer_matches_single(tmp_path):
     import os as _os
     _os.environ.pop("POWERSERVE_DOUBLE_BUFFER", None)
     assert run(True) == run(False)
+
+
+def test_spec_double_buffer_matches_single(tmp_path):
+    """Double-buffered SPECULATIVE ticks (chain self-draft): the next
+    root chains on-device from the in-flight scan's next_tok; emitted
+    streams must be byte-identical to single-buffered ticks across
+    slot churn."""
+    from powerserve_tpu.speculative.chain import self_draft_config
+
+    make_synthetic_gguf(tmp_path, "tiny", GGMLType.Q8_0, seed=0,
+                        seq_len=128)
+    cfg, params = load_gguf_model(tmp_path / "model")
+    d_llm = self_draft_config(cfg.llm, 1)
+
+    def run(db):
+        hp = HyperParams(max_slots=2, batch_size=8)
+        hp.double_buffer = db
+        hp.spec_horizon = 2
+        s = BatchScheduler(params, cfg, hp, backend="xla",
+                           draft_params=params, draft_llm=d_llm)
+        assert s.double_buffer == db
+        subs = [
+            _collect(s, [1, 2, 3], 9),
+            _collect(s, [9, 8, 7, 6], 5),
+            _collect(s, [5, 5, 5], 7),  # queued: reuses a slot
+        ]
+        for _ in range(400):
+            if all(d.is_set() for _, _, d in subs):
+                break
+            s.step()
+        s.stop()
+        assert all(d.is_set() for _, _, d in subs)
+        return [list(o) for _, o, d in subs]
+
+    import os as _os
+    _os.environ.pop("POWERSERVE_DOUBLE_BUFFER", None)
+    assert run(True) == run(False)
