@@ -46,9 +46,10 @@ lanes = jnp.arange(K + 1)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "draft", "reprefill",
-                                             "accept", "draft_lm"))
+                                             "accept", "draft_lm",
+                                             "unroll"))
 def run(t_params, ep, t_kv, e_kv, n, draft=True, reprefill=True,
-        accept=True, draft_lm=True):
+        accept=True, draft_lm=True, unroll=False):
     W = n * (K + 1)
     wins0 = L.make_kv_window(t_kv, tl, S, W)
 
@@ -71,8 +72,17 @@ def run(t_params, ep, t_kv, e_kv, n, draft=True, reprefill=True,
                     nxt = tok + 1  # timing-only: serial dep without lm_head
                 return (nxt, feat_out[:, -1], kv), tok
 
-            (last_tok, _, e_kv), fed_in = jax.lax.scan(
-                draft_body, (root, root_feat, e_kv), None, length=K)
+            if unroll:
+                dc = (root, root_feat, e_kv)
+                toks = []
+                for _ in range(K):
+                    dc, t = draft_body(dc, None)
+                    toks.append(t)
+                last_tok, _, e_kv = dc
+                fed_in = jnp.stack(toks)
+            else:
+                (last_tok, _, e_kv), fed_in = jax.lax.scan(
+                    draft_body, (root, root_feat, e_kv), None, length=K)
             fed = jnp.concatenate([fed_in, last_tok[None, :]]).T
         else:
             fed = jnp.broadcast_to(root[:, None] + lanes[None, :],
@@ -152,8 +162,26 @@ def marginal(kw, n1=8, n2=32, reps=3):
 
 out = {"metric": "eagle_ablation_ms", "k": K}
 out["full"] = marginal({})
-out["nodraft"] = marginal({"draft": False})
-out["noreprefill"] = marginal({"reprefill": False})
-out["noaccept"] = marginal({"accept": False})
-out["draftnolm"] = marginal({"draft_lm": False})
+# same, but the head gets PHYSICALLY SEPARATE copies of the shared
+# lm_head/embed/out_norm buffers — if buffer sharing with the verify
+# is what makes in-scan drafts 2.5x the solo cost, this restores it
+ep_copy = jax.tree_util.tree_map(
+    lambda a: a + jnp.zeros((), a.dtype) if hasattr(a, "dtype") else a, ep)
+ep_orig = ep
+
+def marginal2(kw, n1=8, n2=32, reps=3):
+    def go(n):
+        t_kv, e_kv = fresh()
+        r, a = run(t_params, ep_copy, t_kv, e_kv, n, **kw)
+        np.asarray(r)
+    go(n1); go(n2)
+    ms = []
+    for _ in range(reps):
+        t0 = time.perf_counter(); go(n1)
+        t1 = time.perf_counter(); go(n2)
+        t2 = time.perf_counter()
+        ms.append(((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3)
+    return round(statistics.median(ms), 2)
+
+out["full_unroll"] = marginal({"unroll": True})
 print(json.dumps(out))
