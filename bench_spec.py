@@ -51,6 +51,11 @@ def main() -> None:
                     help="chain mode: measure tree_spec_scan with these "
                          "widths per depth (e.g. 2,1,1) instead of the "
                          "k-chain")
+    ap.add_argument("--draft-rank", type=int, default=0,
+                    help="chain/eagle mode: factor the DRAFT's lm_head "
+                         "to this rank (speculative/draft_head.py) — "
+                         "~7x fewer draft-head HBM bytes at r=512; "
+                         "lossless, acceptance-rate tradeoff only")
     ap.add_argument("--wor", action="store_true",
                     help="with --tree and --temp > 0: sampled-without-"
                          "replacement children + recursive rejection "
@@ -168,6 +173,14 @@ def run_chain(args, t_cfg, t_params) -> None:
         d_cfg, dp = make_device_params(args.draft, "q4_k", seed=1)
         dl = d_cfg.llm
         draft_desc = args.draft
+    if args.draft_rank:
+        import dataclasses as _dc
+
+        from powerserve_tpu.speculative.draft_head import make_draft_head
+
+        dp = _dc.replace(dp, lm_head_lr=make_draft_head(
+            dp.lm_head, rank=args.draft_rank))
+        draft_desc += f"+lr{args.draft_rank}"
 
     def fresh(llm):
         return KVCache.create(llm.n_layers, 1, args.max_seq,
@@ -282,10 +295,15 @@ def run_eagle(args, t_cfg, t_params) -> None:
         lw0 = jax.tree_util.tree_map(lambda a: a[0], t_params.layers)
     fcw = np.concatenate([np.eye(dim, dtype=np.float32),
                           np.zeros((dim, dim), np.float32)], axis=1)
+    lr = None
+    if args.draft_rank:
+        from powerserve_tpu.speculative.draft_head import make_draft_head
+
+        lr = make_draft_head(t_params.lm_head, rank=args.draft_rank)
     ep = EagleParams(fc=_qlinear_from_float(fcw, GGMLType.Q8_0),
                      fc_bias=None, layers=(lw0,), embed=t_params.embed,
                      lm_head=t_params.lm_head, out_norm=t_params.out_norm,
-                     input_norm=True)
+                     input_norm=True, lm_head_lr=lr)
     e_llm = dataclasses.replace(tl, n_layers=1)
 
     def fresh(llm):
@@ -345,7 +363,10 @@ def run_eagle(args, t_cfg, t_params) -> None:
         "metric": ("speculative_eagle_tree_tok_s" if args.tree
                    else "speculative_eagle_tok_s"),
         "tree": args.tree or None,
-        "target": args.target, "draft": "eagle-head-1L", "k": args.k,
+        "target": args.target,
+        "draft": "eagle-head-1L" + (f"+lr{args.draft_rank}"
+                                    if args.draft_rank else ""),
+        "k": args.k,
         "t_decode_ms": round(t_dec * 1e3, 2),
         "t_spec_step_ms": round(t_step * 1e3, 2),
         "tokens_per_step": round(tokens_per_step, 2),

@@ -159,6 +159,11 @@ class HyperParams:
     # speculation-tree widths per depth, e.g. "2,1,1" (node at depth d
     # gets widths[d] children); "" = chain of length spec_k
     spec_tree: str = ""
+    # factor the DRAFT's lm_head to this rank at load time
+    # (speculative/draft_head.py): ~7x fewer draft-head HBM bytes at
+    # 512 — the measured per-draft bottleneck. Lossless for the emitted
+    # stream; trades acceptance rate. 0 = exact draft head.
+    draft_head_rank: int = 0
     prefix_cache: int = 4  # cached prompt prefixes per scheduler (0 = off)
     prefix_cache_min: int = 16  # shortest prefix worth caching (tokens)
     # paged KV pool (kv/paged.py): > 0 = slots share this many pages

@@ -143,7 +143,7 @@ class LayerWeights:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["embed", "layers", "out_norm", "lm_head"],
+    data_fields=["embed", "layers", "out_norm", "lm_head", "lm_head_lr"],
     meta_fields=[],
 )
 @dataclass
@@ -152,6 +152,14 @@ class LlamaParams:
     layers: LayerWeights  # leaves stacked on leading L axis
     out_norm: jax.Array  # [dim]
     lm_head: QLinear  # [dim, vocab]
+    # optional FACTORED draft head (speculative/draft_head.py): logits
+    # = (xh @ U) @ V with U [dim, r], V [r, vocab] re-quantized — ~7x
+    # fewer HBM bytes than the full lm_head at r=512. DRAFT models
+    # only: the emitted stream stays lossless (rejection sampling uses
+    # whatever distribution the draft actually sampled from; the
+    # target verify keeps the exact lm_head) — the tradeoff is
+    # acceptance rate, not correctness. None everywhere else.
+    lm_head_lr: tuple | None = None
 
 
 def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
@@ -800,18 +808,24 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     xf = rms_norm(x, params.out_norm, llm.norm_eps).astype(jnp.bfloat16)
     vocab_sharded = (tp_axis is not None
                      and params.lm_head.out_features < llm.vocab_size)
+
+    def head_logits(h2):  # [M, dim] -> [M, vocab] f32
+        if params.lm_head_lr is not None:
+            u, v = params.lm_head_lr
+            hr = qmatmul(h2, u, backend=backend).astype(jnp.bfloat16)
+            return qmatmul(hr, v, backend=backend).astype(jnp.float32)
+        return qmatmul(h2, params.lm_head,
+                       backend=backend).astype(jnp.float32)
+
     if logits_mode == "none":
         logits = jnp.zeros((S, 0), jnp.float32)
     elif logits_mode == "last":
-        logits = qmatmul(xf[:, -1, :], params.lm_head,
-                         backend=backend).astype(jnp.float32)
+        logits = head_logits(xf[:, -1, :])
         if vocab_sharded:
             logits = jax.lax.all_gather(logits, tp_axis, axis=-1,
                                         tiled=True)
     else:
-        logits = qmatmul(xf.reshape(S * Tq, -1), params.lm_head,
-                         backend=backend).reshape(S, Tq, -1
-                                                  ).astype(jnp.float32)
+        logits = head_logits(xf.reshape(S * Tq, -1)).reshape(S, Tq, -1)
         if vocab_sharded:
             logits = jax.lax.all_gather(logits, tp_axis, axis=-1,
                                         tiled=True)

@@ -64,8 +64,10 @@ def pp_param_specs(params: LlamaParams) -> LlamaParams:
     repl = jax.tree.map(lambda a: None if a is None else P(), params.embed)
     head = jax.tree.map(lambda a: None if a is None else P(),
                         params.lm_head)
+    lr = None if params.lm_head_lr is None else jax.tree.map(
+        lambda a: None if a is None else P(), params.lm_head_lr)
     return dataclasses.replace(params, layers=layers, embed=repl,
-                               out_norm=P(), lm_head=head)
+                               out_norm=P(), lm_head=head, lm_head_lr=lr)
 
 
 def pp_kv_specs(kv: KVCache):

@@ -215,6 +215,8 @@ def param_specs(params: LlamaParams, tp: int) -> LlamaParams:
                          bias=None if params.embed.bias is None else espec),
         layers=layers, out_norm=repl,
         lm_head=hspec,
+        # factored draft head (draft models only): small — replicate
+        lm_head_lr=None if params.lm_head_lr is None else P(),
     )
 
 
@@ -277,8 +279,12 @@ def _localize_params(params: LlamaParams) -> LlamaParams:
         layers = tuple(fix_layer(lw) for lw in params.layers)
     else:
         layers = fix_layer(params.layers)
+    lr = params.lm_head_lr
+    if lr is not None:  # replicated factored draft head
+        lr = tuple(_localize_qlinear(f) for f in lr)
     return dataclasses.replace(
-        params, layers=layers, lm_head=_localize_qlinear(params.lm_head))
+        params, layers=layers, lm_head=_localize_qlinear(params.lm_head),
+        lm_head_lr=lr)
 
 
 def local_llm_config(llm: LLMConfig, tp: int) -> LLMConfig:

@@ -64,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--self-draft-layers", type=int, default=0,
                     help="LayerSkip self-draft depth (no draft model "
                          "needed; chain engine only)")
+    ap.add_argument("--draft-head-rank", type=int, default=0,
+                    help="factor the draft's lm_head to this rank "
+                         "(lossless emitted stream; trades acceptance)")
     ap.add_argument("--spec-engine", default="chain",
                     choices=["chain", "tree", "device-tree", "eagle"],
                     help="chain: on-device loop (fast over remote "
@@ -270,10 +273,28 @@ def _run_speculative(args, model_dir, hp) -> int:
     return _spec_generate(args, tok, eng, prompt, ids)
 
 
+def _apply_draft_head_rank(args, eng) -> None:
+    """--draft-head-rank: factor the DRAFT's lm_head (lossless emitted
+    stream; trades acceptance — speculative/draft_head.py)."""
+    if not getattr(args, "draft_head_rank", 0):
+        return
+    import dataclasses
+
+    from .speculative.draft_head import make_draft_head
+
+    if hasattr(eng, "ep"):  # EagleChainEngine
+        eng.ep = dataclasses.replace(eng.ep, lm_head_lr=make_draft_head(
+            eng.ep.lm_head, rank=args.draft_head_rank))
+    elif hasattr(eng, "dp"):  # ChainSpecEngine / DeviceTreeEngine
+        eng.dp = dataclasses.replace(eng.dp, lm_head_lr=make_draft_head(
+            eng.dp.lm_head, rank=args.draft_head_rank))
+
+
 def _spec_generate(args, tok, eng, prompt, ids) -> int:
     from .core.logging import Timer
     from .speculative.engine import SpecStats
 
+    _apply_draft_head_rank(args, eng)
     stats = SpecStats()
     timer = Timer()
     print(prompt, end="", flush=True)

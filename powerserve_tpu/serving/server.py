@@ -349,6 +349,14 @@ class ServerContext:
 
                     e_llm, ep = load_eagle_gguf(
                         draft_dir, t_params, t_cfg.llm)
+                    rank = int(getattr(self.hp, "draft_head_rank", 0))
+                    if rank:
+                        import dataclasses as _dc
+
+                        from ..speculative.draft_head import make_draft_head
+
+                        ep = _dc.replace(ep, lm_head_lr=make_draft_head(
+                            ep.lm_head, rank=rank))
                     sched = BatchScheduler(t_params, t_cfg, self.hp,
                                            self.backend, mesh=self.mesh,
                                            eagle_params=ep, eagle_llm=e_llm)
@@ -383,6 +391,17 @@ class ServerContext:
                     mesh_kw = dict(pp_mesh=self.mesh)
                 else:
                     mesh_kw = dict(mesh=self.mesh)
+                rank = int(getattr(self.hp, "draft_head_rank", 0))
+                if rank:
+                    # factored DRAFT head: the per-draft lm_head read is
+                    # the measured spec bottleneck (.bench_eagle_ablate)
+                    import dataclasses as _dc
+
+                    from ..speculative.draft_head import make_draft_head
+
+                    d_params = _dc.replace(
+                        d_params, lm_head_lr=make_draft_head(
+                            d_params.lm_head, rank=rank))
                 sched = BatchScheduler(t_params, t_cfg, self.hp,
                                        self.backend,
                                        draft_params=d_params,
@@ -1109,6 +1128,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="tree speculation verifies sampled-without-"
                          "replacement children (recursive rejection) "
                          "instead of exact-match on greedy top-k")
+    ap.add_argument("--draft-head-rank", type=int, default=0,
+                    help="factor the DRAFT's lm_head to this rank at "
+                         "load (lossless emitted stream, trades "
+                         "acceptance; the per-draft lm_head read is "
+                         "the measured spec bottleneck). 0 = exact")
     ap.add_argument("--paged-pages", type=int, default=0,
                     help="paged KV pool size in pages (0 = dense "
                          "per-slot KV); slots share the pool with "
@@ -1159,6 +1183,8 @@ def main(argv: list[str] | None = None) -> None:
         hp.page_size = args.page_size
     if args.spec_wor:
         hp.spec_wor = True
+    if args.draft_head_rank:
+        hp.draft_head_rank = args.draft_head_rank
     ctx = ServerContext(root_dir, default, hp, args.backend, mesh=mesh,
                         max_models=args.max_models, pp=bool(args.pp),
                         shard_map=not args.gspmd)

