@@ -452,15 +452,14 @@ class BatchScheduler:
         # already reserves `horizon` positions before each tick), AND
         # pp ticks (parallel/pp.py pp_forward window mode — each
         # stage's cache slice stays loop-invariant, blocks come back
-        # layer-sharded). sp-in-tp keeps the carry loop (the window
-        # lanes would need the partial-softmax merge).
+        # layer-sharded), AND sp-in-tp (gqa_attention_quant_sp_deferred
+        # merges the in-flight partition on shard 0 before the
+        # cross-shard softmax merge).
         from .loops import (_DECODE_LOOP_DEFAULT, commit_kv_window,
                             make_kv_window, push_kv_window,
                             window_eligible)
 
-        tp_window_ok = (self.tp_mesh is None
-                        or self.tp_mesh.shape.get("sp", 1) == 1)
-        use_window = (_DECODE_LOOP_DEFAULT == "window" and tp_window_ok
+        use_window = (_DECODE_LOOP_DEFAULT == "window"
                       and window_eligible(self.kv, self.params))
         self.decode_window = use_window
         if self.pp_mesh is not None:

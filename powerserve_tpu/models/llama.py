@@ -328,16 +328,18 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
     if window:
         # intra_mask IS allowed (tree verifies pass the ancestor mask;
         # the deferred in-flight visibility below composes it) —
-        # vis_override is not (window lanes replace its role)
+        # vis_override is not (window lanes replace its role). sp_axis
+        # IS allowed: the deferred attention routes to the sp-merge
+        # variant with window lanes gated onto shard 0.
         assert (inflight is not None and vis_override is None
-                and quantized and sp_axis is None
+                and quantized
                 and not return_hidden
                 and not isinstance(params.layers, (tuple, list))), \
             "kv_update='window' needs inflight + plain-decode " \
             "quantized stacked-scan config"
     deferred = ((kv_update == "deferred" or window)
                 and vis_override is None
-                and quantized and sp_axis is None
+                and quantized and (sp_axis is None or window)
                 and not isinstance(params.layers, (tuple, list)))
     if deferred:
         # in-flight visibility: intra mask with padded/OOB lanes' columns
@@ -365,6 +367,12 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             win_vis = jnp.broadcast_to(
                 (jnp.arange(W_win) < w_filled)[None, None, :],
                 (S, Tq, W_win))
+        if sp_axis is not None:
+            # window lanes are replicated across sp shards; the sp
+            # softmax merge must count each exactly once -> shard 0
+            # owns them (the CURRENT step's lanes instead gate
+            # per-shard through the local position remap below)
+            win_vis = win_vis & (jax.lax.axis_index(sp_axis) == 0)
 
     def layer_body(x, lw, k_l, v_l, ks_l, vs_l, layer=None, win=None):
         # layer!=None: lw holds stacked [L, ...] weights (scan mode) —
@@ -511,14 +519,26 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
                 # prepend this step's block (one wider in-flight
                 # partition; unfilled lanes masked off by win_vis)
                 wk_l, wv_l, wks_l, wvs_l = win
-                attn = gqa_attention_quant_deferred(
-                    q, k_l, ks_l, v_l, vs_l, kv.mask,
-                    jnp.concatenate([wk_l, kqh], axis=2),
-                    jnp.concatenate([wks_l, ksh], axis=2),
-                    jnp.concatenate([wv_l, vqh], axis=2),
-                    jnp.concatenate([wvs_l, vsh], axis=2),
-                    jnp.concatenate([win_vis, intra_vis_new], axis=-1),
-                    scale)
+                infl = (jnp.concatenate([wk_l, kqh], axis=2),
+                        jnp.concatenate([wks_l, ksh], axis=2),
+                        jnp.concatenate([wv_l, vqh], axis=2),
+                        jnp.concatenate([wvs_l, vsh], axis=2),
+                        jnp.concatenate([win_vis, intra_vis_new],
+                                        axis=-1))
+                if sp_axis is not None:
+                    from ..ops.attention import (
+                        gqa_attention_quant_sp_deferred,
+                    )
+
+                    attn = gqa_attention_quant_sp_deferred(
+                        q, k_l, ks_l, v_l, vs_l, kv.mask,
+                        infl[0], infl[1], infl[2], infl[3], infl[4],
+                        scale, sp_axis)
+                else:
+                    attn = gqa_attention_quant_deferred(
+                        q, k_l, ks_l, v_l, vs_l, kv.mask,
+                        infl[0], infl[1], infl[2], infl[3], infl[4],
+                        scale)
             else:
                 attn = gqa_attention_quant_deferred(
                     q, k_l, ks_l, v_l, vs_l, kv.mask, kqh, ksh, vqh, vsh,

@@ -244,6 +244,61 @@ def gqa_attention_quant_deferred(q: jax.Array, kq: jax.Array, ks: jax.Array,
     return o.transpose(0, 3, 1, 2, 4).reshape(S, Tq, H * D)
 
 
+def gqa_attention_quant_sp_deferred(q: jax.Array, kq: jax.Array,
+                                    ks: jax.Array, vq: jax.Array,
+                                    vs: jax.Array, cache_mask: jax.Array,
+                                    knew_q: jax.Array, knew_s: jax.Array,
+                                    vnew_q: jax.Array, vnew_s: jax.Array,
+                                    intra_vis: jax.Array, scale: float,
+                                    axis: str, chunk: int = 1024
+                                    ) -> jax.Array:
+    """Sequence-parallel DEFERRED attention (the window decode loop
+    under an "sp" shard_map axis): each shard computes its online-
+    softmax state (m, l, o) over its LOCAL cache slice, folds in the
+    in-flight partition (window lanes + this step's K/V block,
+    replicated across sp shards — the CALLER must pre-mask each lane's
+    visibility so it is True on exactly one shard: window lanes gate on
+    axis_index == 0, the current block's lanes gate themselves via the
+    shard-local position remap), then the exact cross-shard softmax
+    merge of gqa_attention_quant_sp."""
+    S, Tq, H, D = q.shape
+    Hkv = kq.shape[1]
+    G = H // Hkv
+    dt = _attn_dtype()
+    qg = q.reshape(S, Tq, Hkv, G, D).astype(dt)
+    vis = jnp.broadcast_to(cache_mask[:, None, :].astype(bool),
+                           (S, Tq, kq.shape[2]))
+    m, l, o = _chunked_quant_mlo(qg, kq, ks, vq, vs, vis, scale, chunk)
+    # in-flight partition
+    sn = jnp.einsum("sqhgd,shkd->shgqk", qg, knew_q.astype(dt),
+                    preferred_element_type=jnp.float32)
+    sn = sn * (knew_s[:, :, None, None, :] * scale)
+    sn = jnp.where(intra_vis[:, None, None, :, :], sn, NEG_INF)
+    m2 = sn.max(axis=-1)
+    live2 = m2 > NEG_INF / 2  # shards whose in-flight lanes are visible
+    p = jnp.where(live2[..., None], jnp.exp(sn - m2[..., None]), 0.0)
+    l2 = p.sum(axis=-1)
+    pf = (p * vnew_s[:, :, None, None, :]).astype(dt)
+    o2 = jnp.einsum("shgqk,shkd->shgqd", pf, vnew_q.astype(dt),
+                    preferred_element_type=jnp.float32)
+    # local merge of the two partitions (no-op where live2 is False)
+    mm = jnp.maximum(m, m2)
+    w1 = jnp.where(m > NEG_INF / 2, jnp.exp(m - mm), 0.0)
+    w2 = jnp.where(live2, jnp.exp(m2 - mm), 0.0)
+    m = jnp.where(live2, mm, m)
+    l = jnp.where(live2, l * w1 + l2 * w2, l)
+    o = jnp.where(live2[..., None], o * w1[..., None] + o2 * w2[..., None],
+                  o)
+    # cross-shard exact softmax merge
+    m_max = jax.lax.pmax(m, axis)
+    w = jnp.where(m > NEG_INF / 2, jnp.exp(m - m_max), 0.0)
+    l_g = jax.lax.psum(l * w, axis)
+    o_g = jax.lax.psum(o * w[..., None], axis)
+    safe_l = jnp.where(l_g > 0, l_g, 1.0)
+    out = o_g / safe_l[..., None]
+    return out.transpose(0, 3, 1, 2, 4).reshape(S, Tq, H * D)
+
+
 def _chunked_quant_mlo(qg, kq, ks, vq, vs, visibility, scale, chunk):
     """Unnormalized online-softmax state (m, l, o) over int8 KV chunks;
     shared by the chunked path and the deferred in-flight merge."""

@@ -368,8 +368,8 @@ def tp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
     sp = mesh.shape.get("sp", 1)
     ep = mesh.shape.get("ep", 1)
     window = kv_update == "window"
-    assert not window or (inflight is not None and sp == 1), \
-        "tp window ticks need inflight and sp == 1"
+    assert not window or inflight is not None, \
+        "tp window ticks need inflight"
     llm_local = local_llm_config(llm, tp)
     pspecs = param_specs(params, tp)
     kspecs = kv_specs(kv)

@@ -166,6 +166,27 @@ def test_tp_window_decode_matches_carry(model, monkeypatch):
     assert run("window") == run("carry")
 
 
+def test_tp_sp_window_decode_matches_carry(model, monkeypatch):
+    """Window decode under tp x SEQUENCE parallel (sp=2): the in-flight
+    window rides replicated over sp; gqa_attention_quant_sp_deferred
+    counts each window lane on shard 0 only and the current block
+    gates per-shard via the local position remap. Byte-equal to the
+    carried-cache sp loop."""
+    import powerserve_tpu.engine.loops as L
+
+    def run(loop):
+        monkeypatch.setattr(L, "_DECODE_LOOP_DEFAULT", loop)
+        mesh = make_mesh({"dp": 2, "sp": 2, "tp": 2})
+        s, _ = _tp_sched(model, mesh)
+        assert s.decode_window == (loop == "window")
+        try:
+            return _run(s, PROMPTS, max_tokens=10)
+        finally:
+            s.stop()
+
+    assert run("window") == run("carry")
+
+
 def test_tp_scheduler_mm_embeds(model, ref_tokens):
     """VLM-style embed requests under tp_mesh: feeding the REAL
     embedding rows as Request.embeds must match the plain token path."""
