@@ -9,8 +9,9 @@ lm_head once at load time:
 
     logits_draft = (xh @ U) @ V,   U [dim, r],  V [r, vocab]
 
-via randomized SVD (Halko et al. 2011), with V re-quantized to Q4_K —
-at r=512 the per-draft read drops to ~41 MB (7x).
+via randomized SVD (Halko et al. 2011), with V re-quantized to int8
+per-32-block scales — at r=512 the per-draft read drops to ~70 MB
+(4x; U adds 0.5 MB).
 
 LOSSLESSNESS: the emitted stream is unchanged in distribution. Greedy
 exact-match acceptance compares drafts against the target's argmax
@@ -20,6 +21,13 @@ sampled from — the factored head's q — so the marginals remain exactly
 the target's (chain.py docstring). The only cost is ACCEPTANCE RATE:
 a rank-r head proposes slightly worse drafts. That tradeoff is
 empirical per checkpoint; `powerserve-tpu gate` measures it.
+
+TUNNEL-FRIENDLY BY CONSTRUCTION: the dequantized lm_head (2 GB f32)
+never leaves the device, V is quantized ON DEVICE, and the host only
+sees the [dim, r+p] range (9 MB), a [r+p, r+p] Gram matrix, and the
+tiny U factor — a remote-TPU link ships megabytes, not the 280 MB
+projection (the first implementation stalled >35 min on exactly that;
+it also avoids jnp.linalg.qr on the tunnel backend entirely).
 
 Reference n/a (the reference's draft is a full small model,
 spec_model.hpp); the factored head is a TPU-first answer to the
@@ -31,49 +39,66 @@ from __future__ import annotations
 import numpy as np
 
 from ..core.gguf import GGMLType
-from ..ops.qmatmul import QLinear
+from ..ops.qmatmul import QK, QLinear
 
 __all__ = ["make_draft_head"]
 
 
 def make_draft_head(lm_head: QLinear, rank: int = 512,
                     oversample: int = 32, seed: int = 0,
-                    v_quant: int = GGMLType.Q4_K,
                     u_quant: int = GGMLType.Q8_0
                     ) -> tuple[QLinear, QLinear]:
     """Factor a [dim, vocab] QLinear into (U [dim, r], V [r, vocab]).
 
-    Runs the randomized range finder on DEVICE (the dequantized lm_head
-    never leaves HBM; only the [dim, r+p] range and the [r+p, vocab]
-    projection are fetched) and the small SVD on host. rank must
-    satisfy the quantizer's K constraints (Q4_K: rank % 256 == 0)."""
+    rank must be a multiple of 32 (V's int8 per-block scales)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from ..ops.qmatmul import _dequant_full
 
+    assert rank % QK == 0, f"rank {rank} must be a multiple of {QK}"
     dim, vocab = lm_head.in_features, lm_head.out_features
     r, p = rank, oversample
     rng = np.random.default_rng(seed)
 
     @jax.jit
-    def range_and_project(lin_q, lin_s, lin_b, g):
-        import dataclasses as _dc
+    def sketch(lin, g):
+        w = _dequant_full(lin, jnp.float32)  # [dim, vocab], stays in HBM
+        return w @ g  # [dim, r+p]
 
-        lin = _dc.replace(lm_head, q=lin_q, scales=lin_s, bias=lin_b)
-        w = _dequant_full(lin, jnp.float32)  # [dim, vocab]
-        y = w @ g  # [dim, r+p]
-        q, _ = jnp.linalg.qr(y)
+    g = jnp.asarray(rng.standard_normal((vocab, r + p)).astype(np.float32)
+                    / np.sqrt(vocab))
+    y = np.asarray(sketch(lm_head, g))  # 9 MB fetch
+    q, _ = np.linalg.qr(y)  # host QR of [dim, r+p]
+
+    @jax.jit
+    def gram(lin, q):
+        w = _dequant_full(lin, jnp.float32)
         b = q.T @ w  # [r+p, vocab]
-        return q, b
+        return b @ b.T  # [r+p, r+p]
 
-    g = jnp.asarray(rng.standard_normal((vocab, r + p)), jnp.float32)
-    q, b = range_and_project(lm_head.q, lm_head.scales, lm_head.bias, g)
-    q = np.asarray(q)
-    b = np.asarray(b)
-    # small SVD on host: W ~ Q @ B, B = Ub S Vt
-    ub, s, vt = np.linalg.svd(b, full_matrices=False)
-    u = (q @ ub[:, :r]).astype(np.float32)  # [dim, r]
-    v = (s[:r, None] * vt[:r]).astype(np.float32)  # [r, vocab]
-    return (QLinear.from_float(u, u_quant),
-            QLinear.from_float(v, v_quant))
+    qd = jnp.asarray(q.astype(np.float32))
+    c = np.asarray(gram(lm_head, qd))  # tiny fetch
+    # B = Ub S Vt  =>  C = B B^T = Ub S^2 Ub^T (eigh ascending -> flip)
+    evals, evecs = np.linalg.eigh(c)
+    ub = evecs[:, ::-1][:, :r]  # [r+p, r]
+    u = (q @ ub).astype(np.float32)  # [dim, r]
+
+    @functools.partial(jax.jit, static_argnames=())
+    def project_quantize(lin, q, ub):
+        w = _dequant_full(lin, jnp.float32)
+        v = ub.T @ (q.T @ w)  # [r, vocab] = S Vt up to sign
+        # device-side symmetric int8 quantization, per-32 K blocks
+        vb = v.reshape(r // QK, QK, vocab)
+        s = jnp.max(jnp.abs(vb), axis=1) / 127.0  # [r/32, vocab]
+        qi = jnp.round(vb / jnp.maximum(s, 1e-12)[:, None, :])
+        qi = jnp.clip(qi, -127, 127).astype(jnp.int8).reshape(r, vocab)
+        return qi, s.astype(jnp.float32)
+
+    qi, s = project_quantize(lm_head, qd, jnp.asarray(ub, jnp.float32))
+    v_lin = QLinear(q=qi, scales=s, bias=None, packed=False,
+                    unsigned=False, in_features=r, out_features=vocab,
+                    pack_group=0, scale_group=QK)
+    return QLinear.from_float(u, u_quant), v_lin

@@ -445,10 +445,8 @@ def test_factored_draft_head_lossless():
     llm = cfg.llm
     # FULL rank on the tiny head: the factorization is exact up to
     # quantization (random weights have a flat spectrum, so a partial
-    # rank would NOT track well — real lm_heads decay; Q8_0 factors
-    # avoid the Q4_K K%256 rule at these dims)
-    u, v = make_draft_head(params.lm_head, rank=llm.dim, oversample=16,
-                           v_quant=GGMLType.Q8_0)
+    # rank would NOT track well — real lm_heads decay)
+    u, v = make_draft_head(params.lm_head, rank=llm.dim, oversample=16)
     assert u.in_features == llm.dim and u.out_features == llm.dim
     assert v.in_features == llm.dim and v.out_features >= llm.vocab_size
 
