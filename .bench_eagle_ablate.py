@@ -47,9 +47,9 @@ lanes = jnp.arange(K + 1)
 
 @functools.partial(jax.jit, static_argnames=("n", "draft", "reprefill",
                                              "accept", "draft_lm",
-                                             "unroll"))
+                                             "unroll", "argmax_slice"))
 def run(t_params, ep, t_kv, e_kv, n, draft=True, reprefill=True,
-        accept=True, draft_lm=True, unroll=False):
+        accept=True, draft_lm=True, unroll=False, argmax_slice=0):
     W = n * (K + 1)
     wins0 = L.make_kv_window(t_kv, tl, S, W)
 
@@ -66,7 +66,11 @@ def run(t_params, ep, t_kv, e_kv, n, draft=True, reprefill=True,
                     ep, e_llm, kv, tok[:, None], feat[:, None, :], pos,
                     backend="auto",
                     logits_mode="last" if draft_lm else "none")
-                if draft_lm:
+                if draft_lm and argmax_slice:
+                    # timing-only: argmax over a slice of the logits
+                    nxt = jnp.argmax(logits[:, :argmax_slice],
+                                     -1).astype(jnp.int32)
+                elif draft_lm:
                     nxt = jnp.argmax(logits[:, :V], -1).astype(jnp.int32)
                 else:
                     nxt = tok + 1  # timing-only: serial dep without lm_head
@@ -162,6 +166,7 @@ def marginal(kw, n1=8, n2=32, reps=3):
 
 out = {"metric": "eagle_ablation_ms", "k": K}
 out["full"] = marginal({})
+out["nodraft"] = marginal({"draft": False})
 # same, but the head gets PHYSICALLY SEPARATE copies of the shared
 # lm_head/embed/out_norm buffers — if buffer sharing with the verify
 # is what makes in-scan drafts 2.5x the solo cost, this restores it
@@ -183,5 +188,5 @@ def marginal2(kw, n1=8, n2=32, reps=3):
         ms.append(((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3)
     return round(statistics.median(ms), 2)
 
-out["full_unroll"] = marginal({"unroll": True})
+out["argmax_4k"] = marginal({"argmax_slice": 4096})
 print(json.dumps(out))
