@@ -481,7 +481,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_bn(n: int, prefer: int) -> int | None:
-    for bn in (prefer, 512, 256, 128):
+    # 768/384 matter for vocab-shaped N: 128256 = 2^8*3*167 rejects
+    # 512, and the old ladder fell to bn=256 -> 501 grid tiles per
+    # lm_head call. When `prefer` itself does not divide n, a one-rung
+    # overshoot to 768 (167 tiles) is allowed: measured 10.77 -> 10.64
+    # ms on the full decode step and -0.7 ms on the EAGLE spec step
+    # (.bench_lmhead_bn.py); shapes where `prefer` divides keep it.
+    if n % prefer and prefer >= 384 and n % 768 == 0:
+        return 768
+    for bn in (prefer, 512, 384, 256, 128):
         if bn <= prefer and n % bn == 0:
             return bn
     return None
