@@ -17,8 +17,9 @@ GEN = 96
 PROMPT = list(range(1, 129))
 
 
-def run(db, cfg, params) -> float:
+def run(db, cfg, params, horizon=4) -> float:
     hp = HyperParams(max_slots=S, batch_size=128, max_seq_len=512)
+    hp.decode_horizon = horizon
     hp.double_buffer = db
     sched = BatchScheduler(params, cfg, hp, backend="auto")
     assert sched.double_buffer == db
@@ -47,15 +48,15 @@ def main() -> None:
     import os
     os.environ.pop("POWERSERVE_DOUBLE_BUFFER", None)
     cfg, params = make_device_params("llama-8b", "q4_k")
-    off = run(False, cfg, params)
-    on = run(True, cfg, params)
-    print(json.dumps({
-        "metric": "serving_double_buffer_ab",
-        "single_tok_s": round(off, 1),
-        "double_tok_s": round(on, 1),
-        "speedup": round(on / off, 2),
-        "slots": S, "gen": GEN,
-    }))
+    # the tunnel warms up over a process's first few hundred dispatches
+    # (measured: later-in-process runs are 5-8x faster regardless of
+    # config) — alternate configs and report the WARM pairs
+    out = {"metric": "serving_double_buffer_ab", "slots": S, "gen": GEN,
+           "order": "d,s,d,s @h8"}
+    seq = [("d1", True), ("s1", False), ("d2", True), ("s2", False)]
+    for tag, db in seq:
+        out[tag] = round(run(db, cfg, params, 8), 1)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

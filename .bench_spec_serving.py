@@ -49,7 +49,10 @@ def main() -> None:
     cfg, params = make_device_params("llama-8b", "q4_k")
     hp = HyperParams(max_slots=S, batch_size=128, max_seq_len=512)
     hp.decode_horizon = 8
-    plain, _ = run(BatchScheduler(params, cfg, hp, backend="auto"))
+    sched = BatchScheduler(params, cfg, hp, backend="auto")
+    print(f"[db={sched.double_buffer} horizon={sched.horizon} "
+          f"window={sched.decode_window}]", flush=True)
+    plain, _ = run(sched)
     print(f"plain serving S={S}: {plain:.1f} gen tok/s aggregate",
           flush=True)
 
