@@ -90,7 +90,9 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
                   vis_override: jax.Array | None = None,
                   intra_mask: jax.Array | None = None,
                   backend: str = "auto",
-                  logits_mode: str = "last"):
+                  logits_mode: str = "last",
+                  kv_update: str | None = None,
+                  inflight: tuple | None = None):
     """One head forward: tokens [S, Tq] with their paired features
     [S, Tq, dim] (feature at position j-1 pairs with the token at j).
 
@@ -98,11 +100,25 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
     counts, rope); kv is the head's own cache. Returns
     (logits, feature_out [S, Tq, dim], kv) — feature_out is the head's
     predicted next feature, fed back in autoregressive drafting.
+
+    kv_update="window" + inflight (wk [L,S,Hkv,W,D] int8, wv, wks, wvs,
+    valid [S, W]): the head-cache window mode (models/llama.py forward
+    semantics) — cache buffers stay untouched, this forward's new K/V
+    comes back as a 4th output (kb, vb, ksb, vsb each [L,S,Hkv,Tq(,D)])
+    for the caller's lane push, and attention reads the valid window
+    lanes as an extra softmax partition. At serving batch the head
+    cache crosses the 2^25-byte carried-scatter cliff exactly like the
+    target's (k drafts + one re-prefill scatter per spec step).
     """
+    window = kv_update == "window"
     S, Tq = tokens.shape
     H, Hkv, D = llm.n_heads, llm.n_kv_heads, llm.head_size
     if cache_positions is None:
         cache_positions = positions
+    if window:
+        assert (inflight is not None and vis_override is None
+                and kv.quantized), \
+            "eagle window mode needs inflight + quantized head cache"
 
     emb = ep.embed.lookup(tokens).astype(jnp.bfloat16)
     xin = jnp.concatenate([emb, features.astype(jnp.bfloat16)], axis=-1)
@@ -120,6 +136,20 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
     safe_pos = jnp.where(
         (cache_positions >= 0) & (cache_positions < kv.max_seq),
         cache_positions, kv.max_seq)
+    if window:
+        from ..ops.attention import gqa_attention_quant_deferred
+
+        w_k, w_v, w_ks, w_vs, w_valid = inflight
+        W_win = w_k.shape[3]
+        win_vis = jnp.broadcast_to(w_valid[:, None, :].astype(bool),
+                                   (S, Tq, W_win))
+        # in-flight visibility of THIS forward's own lanes: causal
+        # within the block, dead (-1 / OOB) lanes' columns off
+        qi = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tq), 0)
+        ji = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tq), 1)
+        valid_new = (cache_positions >= 0) & (cache_positions < kv.max_seq)
+        intra_vis_new = (ji <= qi)[None] & valid_new[:, None, :]
+        blk_k, blk_v, blk_ks, blk_vs = [], [], [], []
 
     def scat(cache_s, new_s, pos_s):
         return cache_s.at[:, pos_s].set(new_s.astype(cache_s.dtype),
@@ -153,7 +183,29 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
         q = apply_rope(q, cos, sin, llm.rope.rope_type)
         knew = apply_rope(knew, cos, sin, llm.rope.rope_type)
 
-        if kv.quantized:
+        if window:
+            # no cache scatter: this block joins the carried window as
+            # a new lane; attention reads cache + valid window lanes +
+            # the block itself as one wider in-flight partition
+            kq, ks = KVCache.quantize_kv(knew)
+            vq, vsc = KVCache.quantize_kv(vnew)
+            kqh = kq.transpose(0, 2, 1, 3)  # [S, Hkv, Tq, D]
+            vqh = vq.transpose(0, 2, 1, 3)
+            ksh = ks.transpose(0, 2, 1)
+            vsh = vsc.transpose(0, 2, 1)
+            attn = gqa_attention_quant_deferred(
+                q, k_all[i], ks_all[i], v_all[i], vs_all[i], kv.mask,
+                jnp.concatenate([w_k[i], kqh], axis=2),
+                jnp.concatenate([w_ks[i], ksh], axis=2),
+                jnp.concatenate([w_v[i], vqh], axis=2),
+                jnp.concatenate([w_vs[i], vsh], axis=2),
+                jnp.concatenate([win_vis, intra_vis_new], axis=-1),
+                scale)
+            blk_k.append(kqh)
+            blk_v.append(vqh)
+            blk_ks.append(ksh)
+            blk_vs.append(vsh)
+        elif kv.quantized:
             kq, ks = KVCache.quantize_kv(knew)
             vq, vsc = KVCache.quantize_kv(vnew)
             k_l = jax.vmap(scat)(k_all[i], kq.transpose(0, 2, 1, 3), safe_pos)
@@ -171,11 +223,12 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
                                  safe_pos)
             ks_l, vs_l = ks_all[i], vs_all[i]
             attn = gqa_attention(q, k_l, v_l, vis, scale)
-        k_all = k_all.at[i].set(k_l)
-        v_all = v_all.at[i].set(v_l)
-        if kv.quantized:
-            ks_all = ks_all.at[i].set(ks_l)
-            vs_all = vs_all.at[i].set(vs_l)
+        if not window:
+            k_all = k_all.at[i].set(k_l)
+            v_all = v_all.at[i].set(v_l)
+            if kv.quantized:
+                ks_all = ks_all.at[i].set(ks_l)
+                vs_all = vs_all.at[i].set(vs_l)
         attn_out = lin(attn.reshape(S * Tq, -1).astype(jnp.bfloat16),
                        lw.wo, None)
         x = x + attn_out.reshape(S, Tq, -1).astype(x.dtype)
@@ -192,9 +245,17 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
         act = silu_hadamard(gate, up).astype(jnp.bfloat16)
         x = x + lin(act, lw.w_down, None).reshape(S, Tq, -1).astype(x.dtype)
 
-    kv = dataclasses.replace(kv, k=k_all, v=v_all, k_scale=ks_all,
-                             v_scale=vs_all)
-    kv = kv.advance(cache_positions, active=active)
+    if window:
+        # buffers untouched; positions advance but stay cache-invisible
+        # until the caller's post-scan lane commit
+        kv = kv.advance(cache_positions, active=active,
+                        visible=jnp.zeros((S, Tq), bool))
+        new_blocks = (jnp.stack(blk_k), jnp.stack(blk_v),
+                      jnp.stack(blk_ks), jnp.stack(blk_vs))
+    else:
+        kv = dataclasses.replace(kv, k=k_all, v=v_all, k_scale=ks_all,
+                                 v_scale=vs_all)
+        kv = kv.advance(cache_positions, active=active)
 
     feature_out = x
     xh = x if ep.out_norm is None else rms_norm(x, ep.out_norm, llm.norm_eps)
@@ -214,6 +275,8 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
         logits = head_logits(xh[:, -1, :])
     else:
         logits = head_logits(xh.reshape(S * Tq, -1)).reshape(S, Tq, -1)
+    if window:
+        return logits, feature_out, kv, new_blocks
     return logits, feature_out, kv
 
 
@@ -267,14 +330,18 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
     # in a carried [n_steps*(k+1)]-lane window read by attention as a
     # validity-masked softmax partition; acceptance flips lane validity
     # and ONE post-scan scatter commits (valid lanes hold unique
-    # positions). The head cache keeps the carried in-loop commit: it is
-    # orders of magnitude below the 2^25-byte carried-scatter cliff
-    # (one layer vs L of the target).
+    # positions). The HEAD cache windows too (r4): each step owns
+    # 2k+1 head lanes — k DRAFT lanes (positions c..c+k-1, draft-
+    # feature K/V, valid only while this step drafts) + k+1 COMMIT
+    # lanes (the true-feature re-prefill, valid per acceptance) — so
+    # at serving batch the head buffers dodge the same carried-scatter
+    # cliff (they cross 2^25 bytes at S>=8, T>=4096).
     from ..engine import loops as _loops
 
     use_window = (_loops._DECODE_LOOP_DEFAULT == "window"
                   and _loops.window_eligible(t_kv, tparams)
                   and n_steps * (k + 1) <= 1024)
+    e_window = use_window and e_kv.quantized
 
     S = root.shape[0]
     V = t_llm.vocab_size
@@ -288,39 +355,82 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         top_p = jnp.ones(S, jnp.float32)
     lanes = jnp.arange(k + 1)
     W = n_steps * (k + 1)
+    We = n_steps * (2 * k + 1)  # head lanes: k draft + k+1 commit / step
 
     def spec_step(carry, i):
         if use_window:
-            (t_pos, wins, valid, lane_pos), e_kv, root, root_feat, \
+            (t_pos, wins, valid, lane_pos), e_st, root, root_feat, \
                 rngs = carry
             c = t_pos.astype(jnp.int32)
         else:
-            t_kv_c, e_kv, root, root_feat, rngs = carry
+            t_kv_c, e_st, root, root_feat, rngs = carry
             c = t_kv_c.pos.astype(jnp.int32)  # [S] committed length p
+        if e_window:
+            e_pos, e_wins, e_valid, e_lane_pos = e_st
+            e_base = i * (2 * k + 1)
+        else:
+            e_kv_c = e_st
         split = jax.vmap(lambda r: jax.random.split(r, 4))(rngs)
         new_rngs, draft_key, u_key, res_key = (split[:, 0], split[:, 1],
                                                split[:, 2], split[:, 3])
 
         # -- 1. draft k tokens per slot with the head ------------------
-        def draft_body(dc, _):
-            tok, feat, kv, dk = dc  # tok [S], feat [S, dim]
-            pos = jnp.where(active, kv.pos.astype(jnp.int32), -1)[:, None]
-            logits, feat_out, kv = eagle_forward(
-                eparams, e_llm, kv, tok[:, None], feat[:, None, :], pos,
-                active=active, backend=backend, logits_mode="last")
-            if sample:
-                sp = jax.vmap(lambda r: jax.random.split(r, 2))(dk)
-                dk, sub = sp[:, 0], sp[:, 1]
-                q = sample_dist_batched(logits[:, :V], temp, top_k, top_p,
-                                        vocab_size=V)
-                nxt = categorical_from_dist(sub, q).astype(jnp.int32)
-            else:
-                q = jnp.zeros((S, V), jnp.float32)
-                nxt = jnp.argmax(logits[:, :V], axis=-1).astype(jnp.int32)
-            return (nxt, feat_out[:, -1], kv, dk), (tok, q)
+        if e_window:
+            def draft_body(dc, j):
+                tok, feat, epos, ewins, eval_, dk = dc
+                pos = jnp.where(active, epos.astype(jnp.int32),
+                                -1)[:, None]
+                e_kvi = dataclasses.replace(e_kv, pos=epos)
+                logits, feat_out, kvo, blk = eagle_forward(
+                    eparams, e_llm, e_kvi, tok[:, None], feat[:, None, :],
+                    pos, active=active, backend=backend,
+                    logits_mode="last", kv_update="window",
+                    inflight=ewins + (eval_,))
+                ewins = _loops.push_kv_window(ewins, blk, e_base + j)
+                eval_ = jax.lax.dynamic_update_slice(
+                    eval_, active[:, None], (0, e_base + j))
+                if sample:
+                    sp = jax.vmap(lambda r: jax.random.split(r, 2))(dk)
+                    dk, sub = sp[:, 0], sp[:, 1]
+                    q = sample_dist_batched(logits[:, :V], temp, top_k,
+                                            top_p, vocab_size=V)
+                    nxt = categorical_from_dist(sub, q).astype(jnp.int32)
+                else:
+                    q = jnp.zeros((S, V), jnp.float32)
+                    nxt = jnp.argmax(logits[:, :V],
+                                     axis=-1).astype(jnp.int32)
+                return (nxt, feat_out[:, -1], kvo.pos, ewins, eval_,
+                        dk), (tok, q)
 
-        (last_tok, _, e_kv, _), (fed_in, q_s) = jax.lax.scan(
-            draft_body, (root, root_feat, e_kv, draft_key), None, length=k)
+            (last_tok, _, _, e_wins, e_valid, _), (fed_in, q_s) = \
+                jax.lax.scan(
+                    draft_body,
+                    (root, root_feat, e_pos, e_wins, e_valid, draft_key),
+                    jnp.arange(k))
+        else:
+            def draft_body(dc, _):
+                tok, feat, kv, dk = dc  # tok [S], feat [S, dim]
+                pos = jnp.where(active, kv.pos.astype(jnp.int32),
+                                -1)[:, None]
+                logits, feat_out, kv = eagle_forward(
+                    eparams, e_llm, kv, tok[:, None], feat[:, None, :],
+                    pos, active=active, backend=backend,
+                    logits_mode="last")
+                if sample:
+                    sp = jax.vmap(lambda r: jax.random.split(r, 2))(dk)
+                    dk, sub = sp[:, 0], sp[:, 1]
+                    q = sample_dist_batched(logits[:, :V], temp, top_k,
+                                            top_p, vocab_size=V)
+                    nxt = categorical_from_dist(sub, q).astype(jnp.int32)
+                else:
+                    q = jnp.zeros((S, V), jnp.float32)
+                    nxt = jnp.argmax(logits[:, :V],
+                                     axis=-1).astype(jnp.int32)
+                return (nxt, feat_out[:, -1], kv, dk), (tok, q)
+
+            (last_tok, _, e_kv_c, _), (fed_in, q_s) = jax.lax.scan(
+                draft_body, (root, root_feat, e_kv_c, draft_key), None,
+                length=k)
         # the scan collects each step's INPUT token, so fed_in =
         # [root, d0 .. d_{k-2}] and the final carry holds d_{k-1}
         fed = jnp.concatenate([fed_in, last_tok[None, :]]).T  # [S, k+1]
@@ -405,8 +515,6 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                               c).astype(t_pos.dtype)
         else:
             t_kv_c = t_kv_c.rollback(jnp.where(active, k - n_acc, 0))
-        # the head wrote k entries (positions p .. p+k-1); drop them all
-        e_kv = e_kv.rollback(jnp.where(active, k, 0))
         # accepted window: token at p+i pairs with TRUE feature at p+i-1
         # (root_feat for i=0, feats[i-1] after); lanes past n_acc padded
         live = lanes[None, :] <= n_acc[:, None]
@@ -414,28 +522,60 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                                c[:, None] + lanes[None, :], -1)
         commit_feats = jnp.concatenate(
             [root_feat[:, None, :], feats[:, :k]], axis=1)  # [S, k+1, dim]
-        _, _, e_kv = eagle_forward(
-            eparams, e_llm, e_kv, fed, commit_feats, commit_pos,
-            active=active, backend=backend, logits_mode="none")
+        if e_window:
+            # the k draft lanes retire (the commit lanes supersede
+            # their positions); re-prefill from position c with the
+            # window's state
+            e_valid = jax.lax.dynamic_update_slice(
+                e_valid, jnp.zeros((S, k), bool), (0, e_base))
+            e_kvi = dataclasses.replace(
+                e_kv, pos=c.astype(e_kv.pos.dtype))
+            _, _, kvo, blk = eagle_forward(
+                eparams, e_llm, e_kvi, fed, commit_feats, commit_pos,
+                active=active, backend=backend, logits_mode="none",
+                kv_update="window", inflight=e_wins + (e_valid,))
+            e_wins = _loops.push_kv_window(e_wins, blk, e_base + k)
+            e_valid = jax.lax.dynamic_update_slice(
+                e_valid, val_step, (0, e_base + k))
+            e_lane_pos = jax.lax.dynamic_update_slice(
+                e_lane_pos, commit_pos, (0, e_base + k))
+            e_st = (kvo.pos, e_wins, e_valid, e_lane_pos)
+        else:
+            # the head wrote k entries (positions p..p+k-1); drop all
+            e_kv_c = e_kv_c.rollback(jnp.where(active, k, 0))
+            _, _, e_kv_c = eagle_forward(
+                eparams, e_llm, e_kv_c, fed, commit_feats, commit_pos,
+                active=active, backend=backend, logits_mode="none")
+            e_st = e_kv_c
 
         emit = jnp.where(live & active[:, None], sampled, -1)
         counts = jnp.where(active, n_acc + 1, 0)
         if use_window:
-            return ((t_pos, wins, valid, lane_pos), e_kv, new_root,
+            return ((t_pos, wins, valid, lane_pos), e_st, new_root,
                     new_root_feat, new_rngs), (emit, counts)
-        return ((t_kv_c, e_kv, new_root, new_root_feat, new_rngs),
+        return ((t_kv_c, e_st, new_root, new_root_feat, new_rngs),
                 (emit, counts))
 
     if use_window:
         wins0 = _loops.make_kv_window(t_kv, t_llm, S, W)
         st0 = (t_kv.pos, wins0, jnp.zeros((S, W), bool),
                jnp.full((S, W), -1, jnp.int32))
-        ((t_pos, wins, valid, lane_pos), e_kv, root, root_feat, rngs), \
+        e_st0 = ((e_kv.pos, _loops.make_kv_window(e_kv, e_llm, S, We),
+                  jnp.zeros((S, We), bool),
+                  jnp.full((S, We), -1, jnp.int32))
+                 if e_window else e_kv)
+        ((t_pos, wins, valid, lane_pos), e_st, root, root_feat, rngs), \
             (emitted, counts) = jax.lax.scan(
-                spec_step, (st0, e_kv, root, root_feat, rngs),
+                spec_step, (st0, e_st0, root, root_feat, rngs),
                 jnp.arange(n_steps))
         t_kv = _loops.commit_kv_lanes(t_kv, wins, lane_pos, valid,
                                       t_pos, t_kv.mask)
+        if e_window:
+            e_pos_f, e_wins_f, e_valid_f, e_lane_pos_f = e_st
+            e_kv = _loops.commit_kv_lanes(e_kv, e_wins_f, e_lane_pos_f,
+                                          e_valid_f, e_pos_f, e_kv.mask)
+        else:
+            e_kv = e_st
     else:
         (t_kv, e_kv, root, root_feat, rngs), (emitted, counts) = \
             jax.lax.scan(spec_step, (t_kv, e_kv, root, root_feat, rngs),

@@ -680,3 +680,59 @@ def test_eagle_tree_window_verify_matches_carry(monkeypatch):
         c = run("carry", sample)
         for a, b in zip(w, c):
             np.testing.assert_array_equal(a, b)
+
+
+def test_eagle_head_window_matches_carry(monkeypatch):
+    """The HEAD-cache window (r4: k draft lanes + k+1 commit lanes per
+    step; the true-feature re-prefill supersedes the draft lanes) is
+    byte-equivalent to the carried head cache — emitted streams, target
+    cache, and the head cache's committed state (pos/mask + masked
+    K/V)."""
+    import jax
+
+    import powerserve_tpu.engine.loops as L
+    from powerserve_tpu.speculative.eagle import eagle_spec_scan
+
+    params, cfg, _ = _mk_target(0, layers=2, stacked=True)
+    llm = cfg.llm
+    d_params, _, _ = _mk_target(7, layers=1)
+    rng = np.random.default_rng(3)
+    fc = _qlinear_from_float(
+        rng.standard_normal((DIM, 2 * DIM)).astype(np.float32) * 0.05,
+        GGMLType.Q8_0)
+    ep = EagleParams(
+        fc=fc, fc_bias=None, layers=(d_params.layers[0],),
+        embed=params.embed, lm_head=params.lm_head, out_norm=None,
+        input_norm=False)
+    e_llm = dataclasses.replace(llm, n_layers=1)
+
+    S, k, n_steps = 2, 3, 4
+    root = jnp.asarray([7, 42], jnp.int32)
+    root_feat = jnp.asarray(
+        np.random.default_rng(5).standard_normal((S, DIM)), jnp.float32)
+
+    def run(loop, sample):
+        monkeypatch.setattr(L, "_DECODE_LOOP_DEFAULT", loop)
+        t_kv = KVCache.create(llm.n_layers, S, 64, llm.n_kv_heads,
+                              llm.head_size)  # int8
+        e_kv = KVCache.create(1, S, 64, llm.n_kv_heads, llm.head_size)
+        kw = {}
+        if sample:
+            kw = dict(rngs=jax.vmap(jax.random.PRNGKey)(jnp.arange(S)),
+                      temp=jnp.ones(S), top_k=jnp.full(S, 8, jnp.int32),
+                      top_p=jnp.ones(S), sample=True)
+        em, cn, t_kv, e_kv, *_ = eagle_spec_scan(
+            params, ep, t_kv, e_kv, root, root_feat, llm, e_llm,
+            n_steps, k, "xla", **kw)
+        m = np.asarray(e_kv.mask)
+        return (np.asarray(em), np.asarray(cn), np.asarray(t_kv.pos),
+                np.asarray(t_kv.mask), np.asarray(e_kv.pos), m,
+                np.asarray(e_kv.k) * m[None, :, None, :, None],
+                np.asarray(e_kv.v) * m[None, :, None, :, None],
+                np.asarray(e_kv.k_scale) * m[None, :, None, :])
+
+    for sample in (False, True):
+        w = run("window", sample)
+        c = run("carry", sample)
+        for a, b in zip(w, c):
+            np.testing.assert_array_equal(a, b)
