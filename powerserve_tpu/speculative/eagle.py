@@ -341,7 +341,11 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
     use_window = (_loops._DECODE_LOOP_DEFAULT == "window"
                   and _loops.window_eligible(t_kv, tparams)
                   and n_steps * (k + 1) <= 1024)
-    e_window = use_window and e_kv.quantized
+    import os as _os
+
+    e_window = (use_window and e_kv.quantized
+                and _os.environ.get("POWERSERVE_EAGLE_HEAD_WINDOW",
+                                    "1") != "0")
 
     S = root.shape[0]
     V = t_llm.vocab_size
