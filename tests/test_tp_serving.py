@@ -241,3 +241,33 @@ def test_tp_scheduler_paged_interpret_kernel(model, ref_tokens):
     finally:
         s.stop()
     assert got[0] == ref_tokens[0][:4]
+
+
+def test_tp_spec_chain_factored_draft_head(model, ref_tokens):
+    """Chain speculation under tp_mesh with a FACTORED draft head
+    (lm_head_lr on the draft params; param_specs replicates the small
+    U/V factors across shards): greedy output must still equal vanilla
+    greedy — the factored head only changes which drafts are proposed,
+    never what is emitted."""
+    import dataclasses
+
+    from powerserve_tpu.parallel.tp import shard_params_tp
+    from powerserve_tpu.speculative.chain import self_draft_config
+    from powerserve_tpu.speculative.draft_head import make_draft_head
+
+    cfg, params = model
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    d_llm = self_draft_config(cfg.llm, 1)
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64)
+    u, v = make_draft_head(params.lm_head, rank=32, oversample=8)
+    d_params = dataclasses.replace(params, lm_head_lr=(u, v))
+    p2 = shard_params_tp(params, mesh, cfg.llm)
+    d2 = shard_params_tp(d_params, mesh, cfg.llm)
+    assert d2.lm_head_lr is not None
+    s = BatchScheduler(p2, cfg, hp, backend="xla", tp_mesh=mesh,
+                       draft_params=d2, draft_llm=d_llm, spec_k=2)
+    try:
+        got = _run(s, PROMPTS)
+    finally:
+        s.stop()
+    assert got == ref_tokens
