@@ -695,9 +695,14 @@ def _qmatmul_pallas(x: jax.Array, lin: QLinear, compute_dtype: Any,
                           n_groups, group, _ENV_UNPACK, bsum=bsum,
                           f32dot=f32dot)
     q_bytes = k * n * lin.q.dtype.itemsize // (2 if lin.packed else 1)
+    # POWERSERVE_COST_SCALE: probe knob for Mosaic's pipeliner — scales
+    # the advertised bytes/flops (CLAUDE "double-buffer tuning via
+    # CostEstimate"; measured ~0 effect, see .bench_costscale note)
+    _cs = float(_os.environ.get("POWERSERVE_COST_SCALE", "1"))
     cost = pl.CostEstimate(
-        flops=2 * m * n * k,
-        bytes_accessed=q_bytes + x.size * x.dtype.itemsize + 4 * m * n,
+        flops=int(2 * m * n * k * _cs),
+        bytes_accessed=int((q_bytes + x.size * x.dtype.itemsize
+                            + 4 * m * n) * _cs),
         transcendentals=0,
     )
     common = dict(
