@@ -45,10 +45,9 @@ def _decode_scan_carry(params: LlamaParams, tokens: jax.Array, kv: KVCache,
     def body(carry, _):
         tok, kv = carry
         pos = kv.pos.astype(jnp.int32)
-        logits, kv = forward(params, llm, kv, tok[:, None], pos[:, None],
-                             backend=backend, logits_mode="last",
-                             kv_update=kv_update)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt, kv = forward(params, llm, kv, tok[:, None], pos[:, None],
+                          backend=backend, logits_mode="argmax",
+                          kv_update=kv_update)
         return (nxt, kv), nxt
 
     (_, kv), toks = jax.lax.scan(body, (tokens, kv), None, length=n_steps)
@@ -166,13 +165,12 @@ def _decode_scan_window(params: LlamaParams, tokens: jax.Array,
     def body(carry, i):
         tok, pos, mask, wins = carry
         kvi = dataclasses.replace(kv, mask=mask, pos=pos)
-        logits, kvo, blk = forward(params, llm, kvi, tok[:, None],
-                                   pos.astype(jnp.int32)[:, None],
-                                   backend=backend, logits_mode="last",
-                                   kv_update="window",
-                                   inflight=wins + (i,))
+        nxt, kvo, blk = forward(params, llm, kvi, tok[:, None],
+                                pos.astype(jnp.int32)[:, None],
+                                backend=backend, logits_mode="argmax",
+                                kv_update="window",
+                                inflight=wins + (i,))
         wins = push_kv_window(wins, blk, i)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt, kvo.pos, kvo.mask, wins), nxt
 
     (_, pos_f, mask_f, wins), toks = jax.lax.scan(

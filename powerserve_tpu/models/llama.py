@@ -29,6 +29,7 @@ from ..ops.attention import (
     gqa_attention_quant_deferred,
 )
 from ..ops.elementwise import apply_rope, rms_norm, rope_cos_sin, silu_hadamard
+from ..ops.fused import fused_linear
 from ..ops.qmatmul import QLinear, qmatmul
 
 import os as _os
@@ -56,6 +57,16 @@ def _moe_grouped_decode_wins(a: int, n_local: int, bm: int = 16) -> bool:
     (ops/moe.py capacity bound at M tile bm), dense-all-experts reads
     n_local. Engage grouped when it strictly reads fewer."""
     return (a + bm - 1) // bm + min(a, n_local) < n_local
+
+# Fused decode-chain kernels (ops/fused.py) in layer_body: "all" fuses
+# every decode-sized layer, "head" only the lm_head/out_norm (+argmax),
+# "off" nothing. MEASURED (8B Q4_K bench.py A/B): "all" = 85.5 vs 89.6
+# tok/s — on the 32-layer main path the bsum kernel's dequant
+# efficiency beats the launch savings, so the default keeps main
+# layers unfused; 1-2 layer DRAFT forwards (chain/eagle) are launch-
+# latency-bound and request fusion explicitly via forward(fuse_layers=
+# True).
+_FUSED_DECODE = _os.environ.get("POWERSERVE_FUSED_DECODE", "head")
 
 # Layer-scan chunking: split the length-L layer scan into an outer scan
 # of L/C inner scans of C layers (exact — pure reassociation of the
@@ -178,7 +189,8 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             sp_axis: str | None = None,
             ep_axis: str | None = None,
             kv_update: str | None = None,
-            inflight: tuple | None = None):
+            inflight: tuple | None = None,
+            fuse_layers: bool | None = None):
     """One forward pass over a batch of slots.
 
     tokens/positions: [S, Tq] int32 (positions drive RoPE). active: [S]
@@ -387,21 +399,41 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             y = qmatmul(h, w, backend=backend, layer=layer)
             return y if b is None else y + sl(b)
 
-        h = rms_norm(x, sl(lw.attn_norm), llm.norm_eps).astype(jnp.bfloat16)
-        hf = h.reshape(S * Tq, -1)
-        if lw.wqkv is not None:
-            qkv = lin(hf, lw.wqkv, lw.bqkv)
+        # fused decode chain (ops/fused.py): norm/silu/residual glue
+        # moves INTO the Pallas matmul kernels, cutting the per-layer
+        # serial launch chain (the decode fixed cost is launch latency,
+        # not FLOPs). Decode-sized batches only; prefill keeps the
+        # separate MXU-shaped path.
+        fuse_layer = (lw.wqkv is not None and lw.wgu is not None
+                      and lw.q_norm is None and lw.router is None
+                      and S * Tq <= 16
+                      and (fuse_layers if fuse_layers is not None
+                           else _FUSED_DECODE == "all"))
+        xf_rows = x.reshape(S * Tq, -1)
+        if fuse_layer:
+            qkv = fused_linear(lw.wqkv, norm=(xf_rows, lw.attn_norm),
+                               bias=lw.bqkv, eps=llm.norm_eps,
+                               layer=layer, backend=backend)
             q = qkv[:, : H * D].reshape(S, Tq, H, D)
             knew = qkv[:, H * D : (H + Hkv) * D].reshape(S, Tq, Hkv, D)
             vnew = qkv[:, (H + Hkv) * D :].reshape(S, Tq, Hkv, D)
         else:
-            q = lin(hf, lw.wq, lw.bq).reshape(S, Tq, H, D)
-            knew = lin(hf, lw.wk, lw.bk).reshape(S, Tq, Hkv, D)
-            vnew = lin(hf, lw.wv, lw.bv).reshape(S, Tq, Hkv, D)
-        if lw.q_norm is not None:
-            # qwen3 QK-norm: per-head RMS over head_dim, before RoPE
-            q = rms_norm(q, sl(lw.q_norm), llm.norm_eps)
-            knew = rms_norm(knew, sl(lw.k_norm), llm.norm_eps)
+            h = rms_norm(x, sl(lw.attn_norm),
+                         llm.norm_eps).astype(jnp.bfloat16)
+            hf = h.reshape(S * Tq, -1)
+            if lw.wqkv is not None:
+                qkv = lin(hf, lw.wqkv, lw.bqkv)
+                q = qkv[:, : H * D].reshape(S, Tq, H, D)
+                knew = qkv[:, H * D : (H + Hkv) * D].reshape(S, Tq, Hkv, D)
+                vnew = qkv[:, (H + Hkv) * D :].reshape(S, Tq, Hkv, D)
+            else:
+                q = lin(hf, lw.wq, lw.bq).reshape(S, Tq, H, D)
+                knew = lin(hf, lw.wk, lw.bk).reshape(S, Tq, Hkv, D)
+                vnew = lin(hf, lw.wv, lw.bv).reshape(S, Tq, Hkv, D)
+            if lw.q_norm is not None:
+                # qwen3 QK-norm: per-head RMS over head_dim, before RoPE
+                q = rms_norm(q, sl(lw.q_norm), llm.norm_eps)
+                knew = rms_norm(knew, sl(lw.k_norm), llm.norm_eps)
         q = apply_rope(q, cos, sin, rope_type)
         knew = apply_rope(knew, cos, sin, rope_type)
 
@@ -574,6 +606,28 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
             k_l = jax.vmap(scat)(k_l, knew.transpose(0, 2, 1, 3), safe_pos)
             v_l = jax.vmap(scat)(v_l, vnew.transpose(0, 2, 1, 3), safe_pos)
             attn = gqa_attention(q, k_l, v_l, vis, scale)  # [S, Tq, H*D]
+        if fuse_layer:
+            attn_out = fused_linear(lw.wo, x=attn.reshape(S * Tq, -1),
+                                    layer=layer, backend=backend)
+            if tp_axis is not None:  # row-parallel wo: psum partials
+                attn_out = jax.lax.psum(attn_out, tp_axis)
+            gu = fused_linear(lw.wgu, norm=(xf_rows, attn_out,
+                                            lw.ffn_norm),
+                              eps=llm.norm_eps, layer=layer,
+                              backend=backend)
+            if tp_axis is None:
+                xn = fused_linear(lw.w_down, glu=gu,
+                                  resids=(xf_rows, attn_out),
+                                  layer=layer, backend=backend)
+            else:
+                # row-parallel down proj: the psum must see the bare
+                # partial sums, so the residual adds stay outside
+                down = jax.lax.psum(
+                    fused_linear(lw.w_down, glu=gu, layer=layer,
+                                 backend=backend), tp_axis)
+                xn = (xf_rows.astype(jnp.float32) + attn_out) + down
+            x = xn.reshape(S, Tq, -1).astype(x.dtype)
+            return x, (k_l, v_l, ks_l, vs_l)
         attn_out = lin(attn.reshape(S * Tq, -1).astype(jnp.bfloat16),
                        lw.wo, None)
         if tp_axis is not None:  # row-parallel wo: partial sums over K
@@ -825,27 +879,73 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         visible=jnp.zeros((S, Tq), bool) if window else visible,
         pos_axis=sp_axis)
 
-    xf = rms_norm(x, params.out_norm, llm.norm_eps).astype(jnp.bfloat16)
     vocab_sharded = (tp_axis is not None
                      and params.lm_head.out_features < llm.vocab_size)
+    head_n = (params.lm_head_lr[1].out_features
+              if params.lm_head_lr is not None
+              else params.lm_head.out_features)
+    # greedy "argmax"/"argmax_all" modes only bypass the logits
+    # materialization when the head covers exactly the vocab on this
+    # shard (otherwise compute logits and argmax outside)
+    fuse_am = not vocab_sharded and head_n == llm.vocab_size
 
-    def head_logits(h2):  # [M, dim] -> [M, vocab] f32
+    def head_out(h2, argmax=False):
+        """[rows, dim] f32/bf16 -> logits f32 (or greedy tokens int32):
+        the out_norm prologue + matmul (+ argmax epilogue) run as one
+        fused launch (ops/fused.py) at decode rows."""
+        if _FUSED_DECODE == "off" and fuse_layers is None:
+            xh = rms_norm(h2, params.out_norm,
+                          llm.norm_eps).astype(jnp.bfloat16)
+            if params.lm_head_lr is not None:
+                u, v = params.lm_head_lr
+                hr = qmatmul(xh, u, backend=backend).astype(jnp.bfloat16)
+                y = qmatmul(hr, v, backend=backend).astype(jnp.float32)
+            else:
+                y = qmatmul(xh, params.lm_head,
+                            backend=backend).astype(jnp.float32)
+            if argmax:
+                return jnp.argmax(y, axis=-1).astype(jnp.int32)
+            return y
+        first = dict(norm=(h2, params.out_norm))
         if params.lm_head_lr is not None:
             u, v = params.lm_head_lr
-            hr = qmatmul(h2, u, backend=backend).astype(jnp.bfloat16)
-            return qmatmul(hr, v, backend=backend).astype(jnp.float32)
-        return qmatmul(h2, params.lm_head,
-                       backend=backend).astype(jnp.float32)
+            hr = fused_linear(u, eps=llm.norm_eps, backend=backend,
+                              **first)
+            return fused_linear(v, x=hr, argmax=argmax, backend=backend)
+        return fused_linear(params.lm_head, eps=llm.norm_eps,
+                            argmax=argmax, backend=backend, **first)
 
     if logits_mode == "none":
         logits = jnp.zeros((S, 0), jnp.float32)
+    elif logits_mode == "argmax":
+        # greedy decode: per-slot best token, [S] int32 — the [S, vocab]
+        # logits never leave the head kernel's VMEM when fused
+        if fuse_am:
+            logits = head_out(x[:, -1, :], argmax=True)
+        else:
+            lg = head_out(x[:, -1, :])
+            if vocab_sharded:
+                lg = jax.lax.all_gather(lg, tp_axis, axis=-1, tiled=True)
+            logits = jnp.argmax(lg[:, :llm.vocab_size],
+                                axis=-1).astype(jnp.int32)
+    elif logits_mode == "argmax_all":
+        # greedy verify (speculative/chain.py): [S, Tq] int32
+        if fuse_am:
+            logits = head_out(x.reshape(S * Tq, -1),
+                              argmax=True).reshape(S, Tq)
+        else:
+            lg = head_out(x.reshape(S * Tq, -1)).reshape(S, Tq, -1)
+            if vocab_sharded:
+                lg = jax.lax.all_gather(lg, tp_axis, axis=-1, tiled=True)
+            logits = jnp.argmax(lg[:, :, :llm.vocab_size],
+                                axis=-1).astype(jnp.int32)
     elif logits_mode == "last":
-        logits = head_logits(xf[:, -1, :])
+        logits = head_out(x[:, -1, :])
         if vocab_sharded:
             logits = jax.lax.all_gather(logits, tp_axis, axis=-1,
                                         tiled=True)
     else:
-        logits = head_logits(xf.reshape(S * Tq, -1)).reshape(S, Tq, -1)
+        logits = head_out(x.reshape(S * Tq, -1)).reshape(S, Tq, -1)
         if vocab_sharded:
             logits = jax.lax.all_gather(logits, tp_axis, axis=-1,
                                         tiled=True)

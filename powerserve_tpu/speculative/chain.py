@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,20 @@ from .engine import SpecStats
 
 __all__ = ["chain_spec_scan", "chain_spec_sample_scan", "ChainSpecEngine",
            "self_draft_config"]
+
+# draft-forward LAYER fusion (ops/fused.py): "auto" fuses layer chains
+# for shallow (<= 4 layer) drafts, "on"/"off" force. The draft HEAD
+# (out_norm + lr U/V + argmax) fuses regardless via forward's
+# _FUSED_DECODE="head" default — measured the win for self-drafts.
+_FUSE_DRAFT = _os.environ.get("POWERSERVE_FUSE_DRAFT", "auto")
+
+
+def _draft_fuse(d_llm) -> bool | None:
+    if _FUSE_DRAFT == "on":
+        return True
+    if _FUSE_DRAFT == "off":
+        return None
+    return d_llm.n_layers <= 4 or None
 
 
 def self_draft_config(llm: LLMConfig, n_layers: int) -> LLMConfig:
@@ -86,6 +101,10 @@ def chain_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
     S = t_kv.pos.shape[0]
     W = n_steps * (k + 1)
     lanes = jnp.arange(k + 1)
+    # shallow drafts are launch-latency-bound: request the fused decode
+    # chain (ops/fused.py) for them; deep drafts/targets stay on the
+    # bandwidth-optimal bsum kernels (models/llama.py _FUSED_DECODE)
+    d_fuse = _draft_fuse(d_llm)
 
     def spec_step(carry, i):
         if use_window:
@@ -103,16 +122,14 @@ def chain_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
             def draft_body(dc, j):
                 tok, dpos, dwins, dval = dc
                 d_kvi = dataclasses.replace(d_kv, pos=dpos)
-                logits, kvo, blk = forward(
+                nxt, kvo, blk = forward(
                     dparams, d_llm, d_kvi, tok[:, None],
                     dpos.astype(jnp.int32)[:, None], backend=backend,
-                    logits_mode="last", kv_update="window",
-                    inflight=dwins + (dval,))
+                    logits_mode="argmax", kv_update="window",
+                    inflight=dwins + (dval,), fuse_layers=d_fuse)
                 dwins = _loops.push_kv_window(dwins, blk, base + j)
                 dval = jax.lax.dynamic_update_slice(
                     dval, jnp.ones((S, 1), bool), (0, base + j))
-                nxt = jnp.argmax(logits[:, :d_llm.vocab_size],
-                                 axis=-1).astype(jnp.int32)
                 return (nxt, kvo.pos, dwins, dval), tok[0]
 
             (_, d_pos, d_wins, _), fed = jax.lax.scan(
@@ -122,10 +139,9 @@ def chain_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
             def draft_body(dc, _):
                 tok, kv = dc
                 pos = kv.pos.astype(jnp.int32)[:, None]
-                logits, kv = forward(dparams, d_llm, kv, tok[:, None], pos,
-                                     backend=backend, logits_mode="last")
-                nxt = jnp.argmax(logits[:, :d_llm.vocab_size],
-                                 axis=-1).astype(jnp.int32)
+                nxt, kv = forward(dparams, d_llm, kv, tok[:, None], pos,
+                                  backend=backend, logits_mode="argmax",
+                                  fuse_layers=d_fuse)
                 return (nxt, kv), tok[0]
 
             (_, d_kv_c), fed = jax.lax.scan(
@@ -136,20 +152,19 @@ def chain_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
         positions = c[:, None] + lanes[None, :]
         if use_window:
             kvi = dataclasses.replace(t_kv, pos=t_pos)
-            logits, _, blk = forward(tparams, t_llm, kvi, fed[None, :],
-                                     positions, backend=backend,
-                                     logits_mode="all",
-                                     kv_update="window",
-                                     inflight=wins + (valid,))
+            sampled, _, blk = forward(tparams, t_llm, kvi, fed[None, :],
+                                      positions, backend=backend,
+                                      logits_mode="argmax_all",
+                                      kv_update="window",
+                                      inflight=wins + (valid,))
             wins = _loops.push_kv_window(wins, blk, base)
             lane_pos = jax.lax.dynamic_update_slice(
                 lane_pos, positions, (0, base))
         else:
-            logits, t_kv_c = forward(tparams, t_llm, t_kv_c, fed[None, :],
-                                     positions, backend=backend,
-                                     logits_mode="all")
-        sampled = jnp.argmax(logits[0, :, :t_llm.vocab_size],
-                             axis=-1).astype(jnp.int32)  # [k+1]
+            sampled, t_kv_c = forward(tparams, t_llm, t_kv_c, fed[None, :],
+                                      positions, backend=backend,
+                                      logits_mode="argmax_all")
+        sampled = sampled[0]  # [k+1] greedy target tokens
 
         # -- 3. greedy acceptance ------------------------------------------
         match = (sampled[:k] == fed[1:]).astype(jnp.int32)
@@ -271,7 +286,10 @@ def chain_spec_sample_scan(tparams: LlamaParams, dparams: LlamaParams,
     if fwd_t is None:
         fwd_t = functools.partial(forward, tp_axis=tp_axis)
     if fwd_d is None:
-        fwd_d = functools.partial(forward, tp_axis=tp_axis)
+        # shallow drafts are launch-latency-bound: fused decode chain
+        # (injected pp partials keep their own signature untouched)
+        fwd_d = functools.partial(forward, tp_axis=tp_axis,
+                                  fuse_layers=_draft_fuse(d_llm))
 
     S = root.shape[0]
     V = t_llm.vocab_size

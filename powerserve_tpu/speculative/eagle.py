@@ -39,11 +39,17 @@ from ..kv.cache import KVCache
 from ..models.llama import LayerWeights, LlamaParams, QEmbedding, forward
 from ..ops.attention import build_visibility, gqa_attention_quant
 from ..ops.elementwise import apply_rope, rms_norm, rope_cos_sin, silu_hadamard
+from ..ops.fused import fusable, fused_linear
 from ..ops.qmatmul import QLinear, qmatmul
 from .engine import SpecStats
 
 __all__ = ["EagleParams", "eagle_forward", "eagle_spec_scan",
            "eagle_tree_spec_scan", "EagleChainEngine"]
+
+# (fuse_layers, fuse_head) for the TREE scan's head forwards — read at
+# trace time (A/B bisection knob; chains fuse unconditionally, where
+# the in-process A/B measured -2.4 ms/step)
+_TREE_FUSE = (True, True)
 
 
 @functools.partial(
@@ -92,7 +98,9 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
                   backend: str = "auto",
                   logits_mode: str = "last",
                   kv_update: str | None = None,
-                  inflight: tuple | None = None):
+                  inflight: tuple | None = None,
+                  fuse_layers: bool = True,
+                  fuse_head: bool = True):
     """One head forward: tokens [S, Tq] with their paired features
     [S, Tq, dim] (feature at position j-1 pairs with the token at j).
 
@@ -120,11 +128,21 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
                 and kv.quantized), \
             "eagle window mode needs inflight + quantized head cache"
 
-    emb = ep.embed.lookup(tokens).astype(jnp.bfloat16)
-    xin = jnp.concatenate([emb, features.astype(jnp.bfloat16)], axis=-1)
-    x = qmatmul(xin.reshape(S * Tq, -1), ep.fc, backend=backend)
-    if ep.fc_bias is not None:
-        x = x + ep.fc_bias
+    M = S * Tq
+    emb = ep.embed.lookup(tokens)
+    if fuse_layers:
+        # one fused launch: concat prologue + fc matmul + bias epilogue
+        # (ops/fused.py; falls back to the identical unfused
+        # composition off-TPU / at prefill M)
+        x = fused_linear(ep.fc, parts=(emb.reshape(M, -1),
+                                       features.reshape(M, -1)),
+                         bias=ep.fc_bias, backend=backend)
+    else:
+        xin = jnp.concatenate([emb.astype(jnp.bfloat16),
+                               features.astype(jnp.bfloat16)], axis=-1)
+        x = qmatmul(xin.reshape(M, -1), ep.fc, backend=backend)
+        if ep.fc_bias is not None:
+            x = x + ep.fc_bias
     x = x.reshape(S, Tq, -1).astype(jnp.float32)
 
     cos, sin = rope_cos_sin(positions, llm.rope, D)
@@ -158,28 +176,48 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
     k_all, v_all = kv.k, kv.v
     ks_all, vs_all = kv.k_scale, kv.v_scale
     for i, lw in enumerate(ep.layers):
-        if i == 0 and not ep.input_norm:
-            h = x.astype(jnp.bfloat16)  # EAGLE-1: identity input norm
-        else:
-            h = rms_norm(x, lw.attn_norm, llm.norm_eps).astype(jnp.bfloat16)
-        hf = h.reshape(S * Tq, -1)
+        xf = x.reshape(M, -1)
+        # fused-chain layer (one launch per projection, glue in-kernel)
+        # when the projections are pre-fused and there is no QK-norm
+        fuse_layer = (fuse_layers
+                      and lw.wqkv is not None and lw.wgu is not None
+                      and lw.q_norm is None
+                      and lw.router is None)
 
         def lin(v, w, b):
             y = qmatmul(v, w, backend=backend)
             return y if b is None else y + b
 
-        if lw.wqkv is not None:
-            qkv = lin(hf, lw.wqkv, lw.bqkv)
+        if fuse_layer:
+            if i == 0 and not ep.input_norm:
+                qkv = fused_linear(lw.wqkv, x=xf, bias=lw.bqkv,
+                                   backend=backend)
+            else:
+                qkv = fused_linear(lw.wqkv, norm=(xf, lw.attn_norm),
+                                   bias=lw.bqkv, eps=llm.norm_eps,
+                                   backend=backend)
             q = qkv[:, : H * D].reshape(S, Tq, H, D)
             knew = qkv[:, H * D : (H + Hkv) * D].reshape(S, Tq, Hkv, D)
             vnew = qkv[:, (H + Hkv) * D :].reshape(S, Tq, Hkv, D)
         else:
-            q = lin(hf, lw.wq, lw.bq).reshape(S, Tq, H, D)
-            knew = lin(hf, lw.wk, lw.bk).reshape(S, Tq, Hkv, D)
-            vnew = lin(hf, lw.wv, lw.bv).reshape(S, Tq, Hkv, D)
-        if lw.q_norm is not None:  # qwen3-style QK-norm heads
-            q = rms_norm(q, lw.q_norm, llm.norm_eps)
-            knew = rms_norm(knew, lw.k_norm, llm.norm_eps)
+            if i == 0 and not ep.input_norm:
+                h = x.astype(jnp.bfloat16)  # EAGLE-1: identity input norm
+            else:
+                h = rms_norm(x, lw.attn_norm,
+                             llm.norm_eps).astype(jnp.bfloat16)
+            hf = h.reshape(S * Tq, -1)
+            if lw.wqkv is not None:
+                qkv = lin(hf, lw.wqkv, lw.bqkv)
+                q = qkv[:, : H * D].reshape(S, Tq, H, D)
+                knew = qkv[:, H * D : (H + Hkv) * D].reshape(S, Tq, Hkv, D)
+                vnew = qkv[:, (H + Hkv) * D :].reshape(S, Tq, Hkv, D)
+            else:
+                q = lin(hf, lw.wq, lw.bq).reshape(S, Tq, H, D)
+                knew = lin(hf, lw.wk, lw.bk).reshape(S, Tq, Hkv, D)
+                vnew = lin(hf, lw.wv, lw.bv).reshape(S, Tq, Hkv, D)
+            if lw.q_norm is not None:  # qwen3-style QK-norm heads
+                q = rms_norm(q, lw.q_norm, llm.norm_eps)
+                knew = rms_norm(knew, lw.k_norm, llm.norm_eps)
         q = apply_rope(q, cos, sin, llm.rope.rope_type)
         knew = apply_rope(knew, cos, sin, llm.rope.rope_type)
 
@@ -229,6 +267,14 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
             if kv.quantized:
                 ks_all = ks_all.at[i].set(ks_l)
                 vs_all = vs_all.at[i].set(vs_l)
+        if fuse_layer:
+            attn_out = fused_linear(lw.wo, x=attn.reshape(M, -1),
+                                    backend=backend)
+            gu = fused_linear(lw.wgu, norm=(xf, attn_out, lw.ffn_norm),
+                              eps=llm.norm_eps, backend=backend)
+            x = fused_linear(lw.w_down, glu=gu, resids=(xf, attn_out),
+                             backend=backend).reshape(S, Tq, -1)
+            continue
         attn_out = lin(attn.reshape(S * Tq, -1).astype(jnp.bfloat16),
                        lw.wo, None)
         x = x + attn_out.reshape(S, Tq, -1).astype(x.dtype)
@@ -258,23 +304,45 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
         kv = kv.advance(cache_positions, active=active)
 
     feature_out = x
-    xh = x if ep.out_norm is None else rms_norm(x, ep.out_norm, llm.norm_eps)
-    xh = xh.astype(jnp.bfloat16)
 
-    def head_logits(h2):  # [M, dim] -> [M, vocab] f32
+    def head_out(h2, argmax=False):
+        """[rows, dim] f32 -> logits f32 (or greedy tokens int32):
+        out_norm prologue + U/V (or lm_head) + optional argmax, fused
+        into 1-2 launches (ops/fused.py)."""
+        if not fuse_head:
+            xh = (h2 if ep.out_norm is None
+                  else rms_norm(h2, ep.out_norm, llm.norm_eps))
+            xh = xh.astype(jnp.bfloat16)
+            if ep.lm_head_lr is not None:
+                u, v = ep.lm_head_lr
+                hr = qmatmul(xh, u, backend=backend).astype(jnp.bfloat16)
+                y = qmatmul(hr, v, backend=backend).astype(jnp.float32)
+            else:
+                y = qmatmul(xh, ep.lm_head,
+                            backend=backend).astype(jnp.float32)
+            if argmax:
+                return jnp.argmax(y, axis=-1).astype(jnp.int32)
+            return y
+        first = (dict(x=h2) if ep.out_norm is None
+                 else dict(norm=(h2, ep.out_norm)))
         if ep.lm_head_lr is not None:
             u, v = ep.lm_head_lr
-            hr = qmatmul(h2, u, backend=backend).astype(jnp.bfloat16)
-            return qmatmul(hr, v, backend=backend).astype(jnp.float32)
-        return qmatmul(h2, ep.lm_head,
-                       backend=backend).astype(jnp.float32)
+            hr = fused_linear(u, eps=llm.norm_eps, backend=backend,
+                              **first)
+            return fused_linear(v, x=hr, argmax=argmax, backend=backend)
+        return fused_linear(ep.lm_head, eps=llm.norm_eps, argmax=argmax,
+                            backend=backend, **first)
 
     if logits_mode == "none":
         logits = jnp.zeros((S, 0), jnp.float32)
+    elif logits_mode == "argmax":
+        # greedy draft: the [S, vocab] logits never materialize — the
+        # head kernel returns the per-slot best token directly
+        logits = head_out(x[:, -1, :], argmax=True)
     elif logits_mode == "last":
-        logits = head_logits(xh[:, -1, :])
+        logits = head_out(x[:, -1, :])
     else:
-        logits = head_logits(xh.reshape(S * Tq, -1)).reshape(S, Tq, -1)
+        logits = head_out(x.reshape(S * Tq, -1)).reshape(S, Tq, -1)
     if window:
         return logits, feature_out, kv, new_blocks
     return logits, feature_out, kv
@@ -360,6 +428,12 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
     lanes = jnp.arange(k + 1)
     W = n_steps * (k + 1)
     We = n_steps * (2 * k + 1)  # head lanes: k draft + k+1 commit / step
+    # greedy drafts take the fused argmax head (logits never leave the
+    # kernel) when the head's output width is exactly the vocab
+    head_n = (eparams.lm_head_lr[1].out_features
+              if eparams.lm_head_lr is not None
+              else eparams.lm_head.out_features)
+    greedy_am = (not sample) and head_n == V
 
     def spec_step(carry, i):
         if use_window:
@@ -388,8 +462,8 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                 logits, feat_out, kvo, blk = eagle_forward(
                     eparams, e_llm, e_kvi, tok[:, None], feat[:, None, :],
                     pos, active=active, backend=backend,
-                    logits_mode="last", kv_update="window",
-                    inflight=ewins + (eval_,))
+                    logits_mode="argmax" if greedy_am else "last",
+                    kv_update="window", inflight=ewins + (eval_,))
                 ewins = _loops.push_kv_window(ewins, blk, e_base + j)
                 eval_ = jax.lax.dynamic_update_slice(
                     eval_, active[:, None], (0, e_base + j))
@@ -401,8 +475,9 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                     nxt = categorical_from_dist(sub, q).astype(jnp.int32)
                 else:
                     q = jnp.zeros((S, V), jnp.float32)
-                    nxt = jnp.argmax(logits[:, :V],
-                                     axis=-1).astype(jnp.int32)
+                    nxt = (logits if greedy_am
+                           else jnp.argmax(logits[:, :V],
+                                           axis=-1)).astype(jnp.int32)
                 return (nxt, feat_out[:, -1], kvo.pos, ewins, eval_,
                         dk), (tok, q)
 
@@ -419,7 +494,7 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                 logits, feat_out, kv = eagle_forward(
                     eparams, e_llm, kv, tok[:, None], feat[:, None, :],
                     pos, active=active, backend=backend,
-                    logits_mode="last")
+                    logits_mode="argmax" if greedy_am else "last")
                 if sample:
                     sp = jax.vmap(lambda r: jax.random.split(r, 2))(dk)
                     dk, sub = sp[:, 0], sp[:, 1]
@@ -428,8 +503,9 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                     nxt = categorical_from_dist(sub, q).astype(jnp.int32)
                 else:
                     q = jnp.zeros((S, V), jnp.float32)
-                    nxt = jnp.argmax(logits[:, :V],
-                                     axis=-1).astype(jnp.int32)
+                    nxt = (logits if greedy_am
+                           else jnp.argmax(logits[:, :V],
+                                           axis=-1)).astype(jnp.int32)
                 return (nxt, feat_out[:, -1], kv, dk), (tok, q)
 
             (last_tok, _, e_kv_c, _), (fed_in, q_s) = jax.lax.scan(
@@ -441,6 +517,9 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         q_dists = q_s.transpose(1, 0, 2)  # [S, k, V]; q_j sampled d_j
 
         # -- 2. one batched target verify over all chains --------------
+        # (greedy verifies only need the per-position argmax — the
+        # fused argmax head skips the [S, k+1, V] logits entirely)
+        vmode = "all" if sample else "argmax_all"
         positions = jnp.where(active[:, None],
                               c[:, None] + lanes[None, :], -1)
         if use_window:
@@ -450,7 +529,7 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             kvi = _dc.replace(t_kv, pos=t_pos)
             logits, _, blk, feats = forward(
                 tparams, t_llm, kvi, fed, positions, active=active,
-                backend=backend, logits_mode="all",
+                backend=backend, logits_mode=vmode,
                 return_final_hidden=True,
                 kv_update="window", inflight=wins + (valid,))
             wins = _loops.push_kv_window(wins, blk, base)
@@ -459,7 +538,7 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         else:
             logits, t_kv_c, feats = forward(
                 tparams, t_llm, t_kv_c, fed, positions, active=active,
-                backend=backend, logits_mode="all",
+                backend=backend, logits_mode=vmode,
                 return_final_hidden=True)
         feats = feats.astype(jnp.float32)  # [S, k+1, dim] true features
 
@@ -497,8 +576,7 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                 jnp.concatenate([d, jnp.zeros((S, 1), jnp.int32)], axis=1),
                 nxt[:, None])
         else:
-            sampled = jnp.argmax(logits[:, :, :V],
-                                 axis=-1).astype(jnp.int32)  # [S, k+1]
+            sampled = logits  # argmax_all: [S, k+1] greedy tokens
             match = (sampled[:, :k] == d).astype(jnp.int32)
             n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
         new_root = jnp.where(
@@ -708,7 +786,8 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             logits, feat_out, e_kv = eagle_forward(
                 eparams, e_llm, e_kv, toks_l, feats_in[:, lev], rope,
                 cache_positions=cpos, vis_override=vis, active=active,
-                backend=backend, logits_mode="all")
+                backend=backend, logits_mode="all",
+                fuse_layers=_TREE_FUSE[0], fuse_head=_TREE_FUSE[1])
             w = tpl.level_topk[d]
             if wor:
                 # children = WOR samples from the head's post-transform
@@ -735,6 +814,7 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                 feats_in = feats_in.at[:, child].set(feat_out[:, row])
 
         # -- one target verify over the whole tree ---------------------
+        vmode = "argmax_all" if not sample else "all"
         rope_v = jnp.where(active[:, None], c[:, None] + depths[None, :], -1)
         cpos_v = jnp.where(active[:, None], c[:, None] + idx_arr[None, :], -1)
         if use_window:
@@ -742,7 +822,7 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             logits, _, blk, feats_true = forward(
                 tparams, t_llm, kvi, tokens, rope_v,
                 cache_positions=cpos_v, intra_mask=anc, active=active,
-                backend=backend, logits_mode="all",
+                backend=backend, logits_mode=vmode,
                 return_final_hidden=True,
                 kv_update="window", inflight=wins + (valid,))
             wins = _loops.push_kv_window(wins, blk, base)
@@ -750,7 +830,7 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             logits, t_kv_c, feats_true = forward(
                 tparams, t_llm, t_kv_c, tokens, rope_v,
                 cache_positions=cpos_v, intra_mask=anc, active=active,
-                backend=backend, logits_mode="all",
+                backend=backend, logits_mode=vmode,
                 return_final_hidden=True)
         feats_true = feats_true.astype(jnp.float32)  # [S, N, dim]
         if wor:
@@ -804,7 +884,8 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                                    c[:, None] + lanes[None, :], -1)
             _, _, e_kv = eagle_forward(
                 eparams, e_llm, e_kv, fed_chain, commit_feats, commit_pos,
-                active=active, backend=backend, logits_mode="none")
+                active=active, backend=backend, logits_mode="none",
+                fuse_layers=_TREE_FUSE[0])
             if use_window:
                 return (((t_pos, wins, valid, lane_pos), e_kv, new_root,
                          new_root_feat, wor_rngs), (emit, n_commit))
@@ -824,8 +905,7 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             ).astype(jnp.int32).reshape(S, N)
         else:
             new_rngs = rngs
-            sampled = jnp.argmax(logits[:, :, :t_llm.vocab_size],
-                                 axis=-1).astype(jnp.int32)
+            sampled = logits  # argmax_all: [S, N] greedy tokens
 
         # -- acceptance walk over the static child table ----------------
         cur = jnp.zeros(S, jnp.int32)
@@ -888,7 +968,8 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                                c[:, None] + lanes[None, :], -1)
         _, _, e_kv = eagle_forward(
             eparams, e_llm, e_kv, fed_chain, commit_feats, commit_pos,
-            active=active, backend=backend, logits_mode="none")
+            active=active, backend=backend, logits_mode="none",
+            fuse_layers=_TREE_FUSE[0])
 
         counts = n_commit
         if use_window:
