@@ -187,9 +187,10 @@ class BatchScheduler:
         shard_map over the (dp, tp) mesh with the fused Pallas dequant
         kernel on each shard's local weights, instead of the GSPMD
         `mesh` path's backend="xla" fallback. params (and draft_params)
-        must already be laid out by parallel.tp.shard_params_tp.
-        Constraints: eagle unsupported (use `mesh`); paged pool needs
-        dp == sp == 1; spec needs sp == 1."""
+        must already be laid out by parallel.tp.shard_params_tp (and
+        eagle_params by parallel.tp.shard_eagle_tp). Constraints:
+        paged pool needs dp == sp == 1; speculation (chain/tree/EAGLE)
+        needs sp == 1."""
         self.params = params
         self.cfg = cfg
         self.hp = hp or HyperParams()
@@ -277,8 +278,6 @@ class BatchScheduler:
             # Pallas kernel runs per-shard (parallel/tp.py docstring).
             assert mesh is None and pp_mesh is None, \
                 "tp_mesh excludes the GSPMD mesh and pp_mesh paths"
-            assert eagle_params is None, \
-                "EAGLE x shard_map tp is unsupported; use the GSPMD mesh"
             from ..parallel.tp import shard_kv_tp
 
             if self.pool is not None:
@@ -719,6 +718,30 @@ class BatchScheduler:
         backend = self.backend
         from ..speculative.eagle import eagle_forward
 
+        if self.tp_mesh is not None:
+            # EAGLE x shard_map tp: the prefill pair runs inside one
+            # shard_map (parallel/tp.py tp_eagle_prefill); the decode
+            # tick routes to tp_eagle_(tree_)spec_scan below
+            from ..parallel.tp import tp_eagle_prefill
+
+            tp_mesh = self.tp_mesh
+
+            @functools.partial(jax.jit, donate_argnums=(2, 3, 7),
+                               static_argnames=("mm",))
+            def eagle_prefill_chunk(params, eparams, kv, e_kv, tokens,
+                                    positions, active, last_feat, n_real,
+                                    embeds=None, use_embeds=None,
+                                    mm: bool = False):
+                return tp_eagle_prefill(
+                    params, eparams, kv, e_kv, tokens, positions,
+                    active, last_feat, n_real, llm, e_llm, tp_mesh,
+                    backend=backend, embeds=embeds,
+                    use_embeds=use_embeds)
+
+            self._eagle_prefill_chunk = eagle_prefill_chunk
+            self._finish_eagle_jits()
+            return
+
         @functools.partial(jax.jit, donate_argnums=(2, 3, 7),
                            static_argnames=("mm",))
         def eagle_prefill_chunk(params, eparams, kv, e_kv, tokens,
@@ -761,6 +784,9 @@ class BatchScheduler:
             return kv, e_kv, new_last
 
         self._eagle_prefill_chunk = eagle_prefill_chunk
+        self._finish_eagle_jits()
+
+    def _finish_eagle_jits(self) -> None:
         self.spec_horizon = max(int(getattr(self.hp, "spec_horizon", 1)), 1)
         # hp.spec_tree widths pick an EAGLE-2-style tree topology; ""
         # runs a spec_k chain (cheapest drafting, fewer head forwards)
@@ -1286,7 +1312,33 @@ class BatchScheduler:
         common = dict(active=jnp.asarray(active), rngs=self.rngs,
                       temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
                       top_p=jnp.asarray(top_p), sample=True)
-        if self.spec_template is not None:
+        if self.tp_mesh is not None:
+            # EAGLE x shard_map tp: the whole scan runs in one
+            # shard_map so each shard's Pallas kernel sees local
+            # weights (parallel/tp.py)
+            from ..parallel.tp import (
+                tp_eagle_spec_scan,
+                tp_eagle_tree_spec_scan,
+            )
+
+            if self.spec_template is not None:
+                tpl = self.spec_template
+                if getattr(self.hp, "spec_wor", False):
+                    common["sample"] = "wor"
+                (emitted_d, counts, self.kv, self.d_kv, next_tok,
+                 self.feat, self.rngs) = tp_eagle_tree_spec_scan(
+                    self.params, self.eparams, self.kv, self.d_kv,
+                    tok_in, self.feat, self.cfg.llm, self.e_llm,
+                    self.spec_horizon, tpl.key(), self.tp_mesh,
+                    self.backend, **common)
+            else:
+                (emitted_d, counts, self.kv, self.d_kv, next_tok,
+                 self.feat, self.rngs) = tp_eagle_spec_scan(
+                    self.params, self.eparams, self.kv, self.d_kv,
+                    tok_in, self.feat, self.cfg.llm, self.e_llm,
+                    self.spec_horizon, k, self.tp_mesh,
+                    self.backend, **common)
+        elif self.spec_template is not None:
             tpl = self.spec_template
             if getattr(self.hp, "spec_wor", False):
                 common["sample"] = "wor"

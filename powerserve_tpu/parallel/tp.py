@@ -127,28 +127,35 @@ def prepare_params_for_tp(params: LlamaParams, cfg: LLMConfig,
     if H % tp or Hkv % tp:
         raise ValueError(f"heads {H}/{Hkv} not divisible by tp={tp}")
 
-    def fix_layer(lw: LayerWeights) -> LayerWeights:
-        out = lw
-        if lw.wqkv is not None:
-            perm = _qkv_perm(H, Hkv, D, tp)
-            out = dataclasses.replace(
-                out, wqkv=_permute_cols(lw.wqkv, perm),
-                bqkv=None if lw.bqkv is None
-                else jnp.take(lw.bqkv, jnp.asarray(perm), axis=-1))
-        if lw.wgu is not None:
-            F = lw.wgu.out_features // 2
-            out = dataclasses.replace(
-                out, wgu=_permute_cols(lw.wgu, _gu_perm(F, tp)))
-        return dataclasses.replace(
-            out, wo=_repack_rows(out.wo, tp),
-            w_down=_repack_rows(out.w_down, tp),
-            w_down_exps=_repack_rows(out.w_down_exps, tp))
-
+    fix_layer = functools.partial(_fix_layer_for_tp, H=H, Hkv=Hkv, D=D,
+                                  tp=tp)
     if isinstance(params.layers, (tuple, list)):
         layers = tuple(fix_layer(lw) for lw in params.layers)
     else:
         layers = fix_layer(params.layers)
     return dataclasses.replace(params, layers=layers)
+
+
+def _fix_layer_for_tp(lw: LayerWeights, H: int, Hkv: int, D: int,
+                      tp: int) -> LayerWeights:
+    """Per-layer host re-layout (shared by target and EAGLE-head prep):
+    permute fused wqkv/wgu columns per-shard, repack row-parallel
+    weights to a local-K-aligned pack group."""
+    out = lw
+    if lw.wqkv is not None:
+        perm = _qkv_perm(H, Hkv, D, tp)
+        out = dataclasses.replace(
+            out, wqkv=_permute_cols(lw.wqkv, perm),
+            bqkv=None if lw.bqkv is None
+            else jnp.take(lw.bqkv, jnp.asarray(perm), axis=-1))
+    if lw.wgu is not None:
+        F = lw.wgu.out_features // 2
+        out = dataclasses.replace(
+            out, wgu=_permute_cols(lw.wgu, _gu_perm(F, tp)))
+    return dataclasses.replace(
+        out, wo=_repack_rows(out.wo, tp),
+        w_down=_repack_rows(out.w_down, tp),
+        w_down_exps=_repack_rows(out.w_down_exps, tp))
 
 
 # ---------------------------------------------------------------------------
@@ -159,47 +166,53 @@ def _divisible(n: int, by: int) -> bool:
     return n % by == 0
 
 
+def _layer_specs(lw: LayerWeights, lead: tuple) -> LayerWeights:
+    """PartitionSpecs for one decoder layer (each QLinear subtree gets
+    one spec — q/scales/bias all shard the same axis). Shared by the
+    target's param_specs and the EAGLE head's eagle_param_specs."""
+    col = P(*lead, None, "tp")
+    row = P(*lead, "tp", None)
+    repl = P()
+
+    def colspec(l):
+        return None if l is None else col
+
+    def rowspec(l):
+        return None if l is None else row
+
+    def bias(b):
+        return None if b is None else P(*lead, "tp")
+
+    # expert leaves carry (layer?, expert, K, N): experts shard
+    # over "ep", and their matmul dims over "tp" like the dense FFN
+    ecol = P(*lead, "ep", None, "tp")
+    erow = P(*lead, "ep", "tp", None)
+    return LayerWeights(
+        attn_norm=repl, ffn_norm=repl,
+        wq=colspec(lw.wq), wk=colspec(lw.wk), wv=colspec(lw.wv),
+        wo=rowspec(lw.wo),
+        bq=bias(lw.bq), bk=bias(lw.bk), bv=bias(lw.bv),
+        w_gate=colspec(lw.w_gate), w_up=colspec(lw.w_up),
+        w_down=rowspec(lw.w_down),
+        wqkv=colspec(lw.wqkv), bqkv=bias(lw.bqkv),
+        wgu=colspec(lw.wgu),
+        # QK-norm weights are per-head [hd]: replicated
+        q_norm=None if lw.q_norm is None else repl,
+        k_norm=None if lw.k_norm is None else repl,
+        router=None if lw.router is None else repl,
+        w_gate_exps=None if lw.w_gate_exps is None else ecol,
+        w_up_exps=None if lw.w_up_exps is None else ecol,
+        w_down_exps=None if lw.w_down_exps is None else erow,
+    )
+
+
 def param_specs(params: LlamaParams, tp: int) -> LlamaParams:
     """PartitionSpec pytree matching params (each QLinear subtree gets
     one spec — q/scales/bias all shard the same axis)."""
     stacked = not isinstance(params.layers, (tuple, list))
     lead = (None,) if stacked else ()
-
-    col = P(*lead, None, "tp")
-    row = P(*lead, "tp", None)
     repl = P()
-
-    def spec_layer(lw: LayerWeights) -> LayerWeights:
-        def colspec(l):
-            return None if l is None else col
-
-        def rowspec(l):
-            return None if l is None else row
-
-        def bias(b):
-            return None if b is None else P(*lead, "tp")
-
-        # expert leaves carry (layer?, expert, K, N): experts shard
-        # over "ep", and their matmul dims over "tp" like the dense FFN
-        ecol = P(*lead, "ep", None, "tp")
-        erow = P(*lead, "ep", "tp", None)
-        return LayerWeights(
-            attn_norm=repl, ffn_norm=repl,
-            wq=colspec(lw.wq), wk=colspec(lw.wk), wv=colspec(lw.wv),
-            wo=rowspec(lw.wo),
-            bq=bias(lw.bq), bk=bias(lw.bk), bv=bias(lw.bv),
-            w_gate=colspec(lw.w_gate), w_up=colspec(lw.w_up),
-            w_down=rowspec(lw.w_down),
-            wqkv=colspec(lw.wqkv), bqkv=bias(lw.bqkv),
-            wgu=colspec(lw.wgu),
-            # QK-norm weights are per-head [hd]: replicated
-            q_norm=None if lw.q_norm is None else repl,
-            k_norm=None if lw.k_norm is None else repl,
-            router=None if lw.router is None else repl,
-            w_gate_exps=None if lw.w_gate_exps is None else ecol,
-            w_up_exps=None if lw.w_up_exps is None else ecol,
-            w_down_exps=None if lw.w_down_exps is None else erow,
-        )
+    spec_layer = functools.partial(_layer_specs, lead=lead)
 
     if stacked:
         layers = spec_layer(params.layers)
@@ -259,21 +272,24 @@ def _localize_qlinear(lin: QLinear | None) -> QLinear | None:
                                out_features=lin.q.shape[-1])
 
 
+def _localize_layer(lw: LayerWeights) -> LayerWeights:
+    return dataclasses.replace(
+        lw,
+        wq=_localize_qlinear(lw.wq), wk=_localize_qlinear(lw.wk),
+        wv=_localize_qlinear(lw.wv), wo=_localize_qlinear(lw.wo),
+        w_gate=_localize_qlinear(lw.w_gate),
+        w_up=_localize_qlinear(lw.w_up),
+        w_down=_localize_qlinear(lw.w_down),
+        wqkv=_localize_qlinear(lw.wqkv),
+        wgu=_localize_qlinear(lw.wgu),
+        w_gate_exps=_localize_qlinear(lw.w_gate_exps),
+        w_up_exps=_localize_qlinear(lw.w_up_exps),
+        w_down_exps=_localize_qlinear(lw.w_down_exps),
+    )
+
+
 def _localize_params(params: LlamaParams) -> LlamaParams:
-    def fix_layer(lw: LayerWeights) -> LayerWeights:
-        return dataclasses.replace(
-            lw,
-            wq=_localize_qlinear(lw.wq), wk=_localize_qlinear(lw.wk),
-            wv=_localize_qlinear(lw.wv), wo=_localize_qlinear(lw.wo),
-            w_gate=_localize_qlinear(lw.w_gate),
-            w_up=_localize_qlinear(lw.w_up),
-            w_down=_localize_qlinear(lw.w_down),
-            wqkv=_localize_qlinear(lw.wqkv),
-            wgu=_localize_qlinear(lw.wgu),
-            w_gate_exps=_localize_qlinear(lw.w_gate_exps),
-            w_up_exps=_localize_qlinear(lw.w_up_exps),
-            w_down_exps=_localize_qlinear(lw.w_down_exps),
-        )
+    fix_layer = _localize_layer
 
     if isinstance(params.layers, (tuple, list)):
         layers = tuple(fix_layer(lw) for lw in params.layers)
@@ -561,3 +577,237 @@ def tp_tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
         check_vma=False)
     return f(tparams, dparams, t_kv, d_kv, root, active, rngs,
              temp, top_k, top_p)
+
+
+# ---------------------------------------------------------------------------
+# EAGLE over the shard_map mesh (spec x tp on the flagship serving path)
+# ---------------------------------------------------------------------------
+# The EAGLE head is a 1-layer llama decoder over target features
+# (speculative/eagle.py). Under tp it shards exactly like a target
+# layer — wqkv/wgu column-parallel (pre-permuted), wo/w_down
+# row-parallel with psums — while the small fc fusion projection and
+# the optional factored lm_head_lr replicate, and the (usually
+# target-aliased) embed/lm_head tables keep the target's vocab
+# sharding, so sharing stays zero-copy. Reference role: speculation is
+# the reference's headline feature (README.md:4-7) and must ride the
+# flagship multichip path.
+
+def prepare_eagle_for_tp(ep, e_llm: LLMConfig, tp: int):
+    """Host-side head re-layout before sharding (no-op at tp == 1)."""
+    if tp == 1:
+        return ep
+    H, Hkv, D = e_llm.n_heads, e_llm.n_kv_heads, e_llm.head_size
+    if H % tp or Hkv % tp:
+        raise ValueError(f"eagle heads {H}/{Hkv} not divisible by tp={tp}")
+    layers = tuple(_fix_layer_for_tp(lw, H, Hkv, D, tp)
+                   for lw in ep.layers)
+    return dataclasses.replace(ep, layers=layers)
+
+
+def eagle_param_specs(ep, tp: int):
+    """PartitionSpec pytree matching EagleParams."""
+    from ..speculative.eagle import EagleParams
+
+    layers = tuple(_layer_specs(lw, ()) for lw in ep.layers)
+    vocab = ep.embed.q.shape[0]
+    espec = P("tp", None) if _divisible(vocab, tp) else P()
+    hspec = P(None, "tp") if _divisible(ep.lm_head.out_features,
+                                        tp) else P()
+    return EagleParams(
+        fc=P(), fc_bias=None if ep.fc_bias is None else P(),
+        layers=layers,
+        embed=QEmbedding(q=espec, scales=espec,
+                         bias=None if ep.embed.bias is None else espec),
+        lm_head=hspec,
+        out_norm=None if ep.out_norm is None else P(),
+        input_norm=ep.input_norm,
+        lm_head_lr=None if ep.lm_head_lr is None else P())
+
+
+def shard_eagle_tp(ep, mesh: Mesh, e_llm: LLMConfig):
+    """prepare + device_put with the tp shardings (load-time helper).
+    embed/lm_head arrays aliased from an already-sharded target are
+    re-put with the SAME sharding — a no-op, no duplication."""
+    tp = mesh.shape["tp"]
+    ep = prepare_eagle_for_tp(ep, e_llm, tp)
+    return _put_by_specs(ep, eagle_param_specs(ep, tp), mesh)
+
+
+def _localize_eagle(ep):
+    lr = ep.lm_head_lr
+    if lr is not None:
+        lr = tuple(_localize_qlinear(f) for f in lr)
+    return dataclasses.replace(
+        ep, fc=_localize_qlinear(ep.fc),
+        layers=tuple(_localize_layer(lw) for lw in ep.layers),
+        lm_head=_localize_qlinear(ep.lm_head), lm_head_lr=lr)
+
+
+def tp_eagle_prefill(params: LlamaParams, eparams, kv: KVCache,
+                     e_kv: KVCache, tokens: jax.Array,
+                     positions: jax.Array, active: jax.Array,
+                     last_feat: jax.Array, n_real: jax.Array,
+                     t_llm: LLMConfig, e_llm: LLMConfig, mesh: Mesh,
+                     backend: str = "auto",
+                     embeds: jax.Array | None = None,
+                     use_embeds: jax.Array | None = None):
+    """Target prefill chunk + head prefill inside ONE shard_map (the tp
+    twin of the scheduler's eagle_prefill_chunk): returns (kv, e_kv,
+    new carried feature [S, dim]). embeds/use_embeds: per-slot VLM
+    overlay (mm x eagle x tp)."""
+    from ..speculative.eagle import eagle_forward
+
+    tp = mesh.shape["tp"]
+    assert mesh.shape.get("sp", 1) == 1, "eagle x sp unsupported"
+    t_local = local_llm_config(t_llm, tp)
+    e_local = local_llm_config(e_llm, tp)
+    tok_spec = P("dp", None)
+    feat_spec = P("dp", None)
+    emb_spec = None if embeds is None else P("dp", None, None)
+    use_spec = None if use_embeds is None else P("dp")
+
+    def body(params, eparams, kv, e_kv, tokens, positions, active,
+             last_feat, n_real, embeds, use_embeds):
+        params = _localize_params(params)
+        eparams = _localize_eagle(eparams)
+        x = None
+        if embeds is not None:
+            if params.embed.q.shape[0] < t_local.vocab_size:
+                v_local = params.embed.q.shape[0]
+                off = jax.lax.axis_index("tp") * v_local
+                local = tokens - off
+                ok = (local >= 0) & (local < v_local)
+                xg = params.embed.lookup(jnp.where(ok, local, 0))
+                xg = jnp.where(ok[..., None], xg, 0.0)
+                xt = jax.lax.psum(xg, "tp").astype(jnp.bfloat16)
+            else:
+                xt = params.embed.lookup(tokens).astype(jnp.bfloat16)
+            x = jnp.where(use_embeds[:, None, None],
+                          embeds.astype(jnp.bfloat16), xt)
+        _, kv, feats = forward(params, t_local, kv, tokens, positions,
+                               active=active, backend=backend,
+                               logits_mode="none", embeds=x,
+                               return_final_hidden=True, tp_axis="tp")
+        feats = feats.astype(jnp.float32)  # [S, C, dim]
+        head_feats = jnp.concatenate(
+            [last_feat[:, None, :], feats[:, :-1]], axis=1)
+        _, _, e_kv = eagle_forward(
+            eparams, e_local, e_kv, tokens, head_feats, positions,
+            active=active, backend=backend, logits_mode="none",
+            tp_axis="tp")
+        idx = jnp.maximum(n_real - 1, 0)
+        new_last = jnp.take_along_axis(
+            feats, idx[:, None, None], axis=1)[:, 0]
+        new_last = jnp.where((active & (n_real > 0))[:, None],
+                             new_last, last_feat)
+        return kv, e_kv, new_last
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(param_specs(params, tp), eagle_param_specs(eparams, tp),
+                  kv_specs(kv), kv_specs(e_kv), tok_spec, tok_spec,
+                  P("dp"), feat_spec, P("dp"), emb_spec, use_spec),
+        out_specs=(kv_specs(kv), kv_specs(e_kv), feat_spec),
+        check_vma=False)
+    return f(params, eparams, kv, e_kv, tokens, positions, active,
+             last_feat, n_real, embeds, use_embeds)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_llm", "e_llm", "n_steps", "k", "backend", "mesh",
+                     "sample"),
+    donate_argnums=(2, 3),
+)
+def tp_eagle_spec_scan(tparams: LlamaParams, eparams,
+                       t_kv: KVCache, e_kv: KVCache, root: jax.Array,
+                       root_feat: jax.Array, t_llm: LLMConfig,
+                       e_llm: LLMConfig, n_steps: int, k: int,
+                       mesh: Mesh, backend: str = "auto",
+                       active: jax.Array | None = None,
+                       rngs: jax.Array | None = None,
+                       temp: jax.Array | None = None,
+                       top_k: jax.Array | None = None,
+                       top_p: jax.Array | None = None,
+                       sample: bool = False):
+    """eagle_spec_scan inside ONE shard_map over the (dp, tp) mesh
+    (see tp_chain_spec_scan): the whole multi-step
+    draft->verify->accept cycle runs with LOCAL weight shards and
+    explicit megatron collectives; slots shard over dp."""
+    from ..speculative.eagle import eagle_spec_scan
+
+    tp = mesh.shape["tp"]
+    assert mesh.shape.get("sp", 1) == 1, "spec x sp unsupported"
+    t_local = local_llm_config(t_llm, tp)
+    e_local = local_llm_config(e_llm, tp)
+    sp = _spec_arg_specs(t_kv, e_kv)
+    feat_spec = P("dp", None)
+
+    def body(tparams, eparams, t_kv, e_kv, root, root_feat, active,
+             rngs, temp, top_k, top_p):
+        return eagle_spec_scan(
+            _localize_params(tparams), _localize_eagle(eparams),
+            t_kv, e_kv, root, root_feat, t_local, e_local, n_steps, k,
+            backend=backend, active=active, rngs=rngs, temp=temp,
+            top_k=top_k, top_p=top_p, sample=sample, tp_axis="tp")
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(param_specs(tparams, tp), eagle_param_specs(eparams, tp),
+                  sp["tkv"], sp["dkv"], sp["vec"], feat_spec, sp["vec"],
+                  sp["rng"], sp["vec"], sp["vec"], sp["vec"]),
+        out_specs=(P(None, "dp", None), P(None, "dp"), sp["tkv"],
+                   sp["dkv"], sp["vec"], feat_spec, sp["rng"]),
+        check_vma=False)
+    return f(tparams, eparams, t_kv, e_kv, root, root_feat, active,
+             rngs, temp, top_k, top_p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_llm", "e_llm", "n_steps", "tree_key", "backend",
+                     "mesh", "sample"),
+    donate_argnums=(2, 3),
+)
+def tp_eagle_tree_spec_scan(tparams: LlamaParams, eparams,
+                            t_kv: KVCache, e_kv: KVCache,
+                            root: jax.Array, root_feat: jax.Array,
+                            t_llm: LLMConfig, e_llm: LLMConfig,
+                            n_steps: int, tree_key: tuple, mesh: Mesh,
+                            backend: str = "auto",
+                            active: jax.Array | None = None,
+                            rngs: jax.Array | None = None,
+                            temp: jax.Array | None = None,
+                            top_k: jax.Array | None = None,
+                            top_p: jax.Array | None = None,
+                            sample: bool = False):
+    """eagle_tree_spec_scan inside one shard_map (EAGLE-2-style trees
+    on the tp serving path)."""
+    from ..speculative.eagle import eagle_tree_spec_scan
+
+    tp = mesh.shape["tp"]
+    assert mesh.shape.get("sp", 1) == 1, "spec x sp unsupported"
+    t_local = local_llm_config(t_llm, tp)
+    e_local = local_llm_config(e_llm, tp)
+    sp = _spec_arg_specs(t_kv, e_kv)
+    feat_spec = P("dp", None)
+
+    def body(tparams, eparams, t_kv, e_kv, root, root_feat, active,
+             rngs, temp, top_k, top_p):
+        return eagle_tree_spec_scan(
+            _localize_params(tparams), _localize_eagle(eparams),
+            t_kv, e_kv, root, root_feat, t_local, e_local, n_steps,
+            tree_key, backend=backend, active=active, rngs=rngs,
+            temp=temp, top_k=top_k, top_p=top_p, sample=sample,
+            tp_axis="tp")
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(param_specs(tparams, tp), eagle_param_specs(eparams, tp),
+                  sp["tkv"], sp["dkv"], sp["vec"], feat_spec, sp["vec"],
+                  sp["rng"], sp["vec"], sp["vec"], sp["vec"]),
+        out_specs=(P(None, "dp", None), P(None, "dp"), sp["tkv"],
+                   sp["dkv"], sp["vec"], feat_spec, sp["rng"]),
+        check_vma=False)
+    return f(tparams, eparams, t_kv, e_kv, root, root_feat, active,
+             rngs, temp, top_k, top_p)

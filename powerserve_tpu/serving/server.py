@@ -279,12 +279,12 @@ class ServerContext:
             draft_dir = None if is_self else self.resolve_dir(draft_name)
             is_eagle = draft_dir is not None \
                 and self._is_eagle_dir(draft_dir)
-            # the host tree engine and EAGLE drafting run outside the
-            # shard_map path (plain forward / scheduler assert); spec x
-            # sequence-parallel is also unsupported there
+            # the host tree engine runs outside the shard_map path
+            # (plain forward); spec x sequence-parallel is also
+            # unsupported there. EAGLE rides shard_map (tp_eagle_*).
             main_dir = self.resolve_dir(main_name)
             is_vlm_main = self._is_vlm_dir(main_dir)
-            want_sm = (self.sm and engine_kind != "tree" and not is_eagle
+            want_sm = (self.sm and engine_kind != "tree"
                        and not is_vlm_main
                        and (self.mesh is None
                             or self.mesh.shape.get("sp", 1) == 1))
@@ -347,19 +347,45 @@ class ServerContext:
                     # continuous batching, no serializing lock)
                     from ..models.loader import load_eagle_gguf
 
-                    e_llm, ep = load_eagle_gguf(
-                        draft_dir, t_params, t_cfg.llm)
-                    rank = int(getattr(self.hp, "draft_head_rank", 0))
-                    if rank:
-                        import dataclasses as _dc
+                    def _mk_eagle(tp_):
+                        e_llm, ep = load_eagle_gguf(
+                            draft_dir, tp_, t_cfg.llm)
+                        rank = int(getattr(self.hp, "draft_head_rank", 0))
+                        if rank:
+                            import dataclasses as _dc
 
-                        from ..speculative.draft_head import make_draft_head
+                            from ..speculative.draft_head import (
+                                make_draft_head,
+                            )
 
-                        ep = _dc.replace(ep, lm_head_lr=make_draft_head(
-                            ep.lm_head, rank=rank))
+                            ep = _dc.replace(
+                                ep, lm_head_lr=make_draft_head(
+                                    ep.lm_head, rank=rank))
+                        return e_llm, ep
+
+                    e_llm, ep = _mk_eagle(t_params)
+                    mesh_kw = dict(mesh=self.mesh)
+                    if t_sm:
+                        # EAGLE x shard_map tp: the head shards like a
+                        # target layer (parallel/tp.py shard_eagle_tp);
+                        # if its geometry won't split, the PAIR falls
+                        # back to GSPMD (both must run the same path)
+                        from ..parallel.tp import shard_eagle_tp
+
+                        try:
+                            ep = shard_eagle_tp(ep, self.mesh, e_llm)
+                            mesh_kw = dict(tp_mesh=self.mesh)
+                        except ValueError as e:
+                            log.warning(
+                                f"eagle head not shard_map-shardable "
+                                f"({e}); pair falls back to GSPMD")
+                            t_cfg, t_params, t_sm = self._load(
+                                main_dir, sm=False)
+                            e_llm, ep = _mk_eagle(t_params)
                     sched = BatchScheduler(t_params, t_cfg, self.hp,
-                                           self.backend, mesh=self.mesh,
-                                           eagle_params=ep, eagle_llm=e_llm)
+                                           self.backend,
+                                           eagle_params=ep, eagle_llm=e_llm,
+                                           **mesh_kw)
                     sched.start()
                     ctx = ModelContext(name, sched, tok)
                     self.models[name] = ctx

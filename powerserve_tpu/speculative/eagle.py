@@ -100,9 +100,18 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
                   kv_update: str | None = None,
                   inflight: tuple | None = None,
                   fuse_layers: bool = True,
-                  fuse_head: bool = True):
+                  fuse_head: bool = True,
+                  tp_axis: str | None = None):
     """One head forward: tokens [S, Tq] with their paired features
     [S, Tq, dim] (feature at position j-1 pairs with the token at j).
+
+    tp_axis: megatron tensor parallelism when called inside a shard_map
+    over that mesh axis (parallel/tp.py tp_eagle_spec_scan) — llm must
+    carry LOCAL head counts, layer wqkv/wgu are column-parallel
+    (pre-permuted by prepare_eagle_for_tp), wo/w_down row-parallel with
+    psums, embed/lm_head vocab-sharded (detected from array shapes; fc
+    and lm_head_lr replicate). Mirrors models/llama.py forward's
+    schedule so the head rides the flagship shard_map serving path.
 
     llm carries the head's geometry (n_layers == len(ep.layers), head
     counts, rope); kv is the head's own cache. Returns
@@ -129,7 +138,17 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
             "eagle window mode needs inflight + quantized head cache"
 
     M = S * Tq
-    emb = ep.embed.lookup(tokens)
+    if tp_axis is not None and ep.embed.q.shape[0] < llm.vocab_size:
+        # vocab-sharded table: masked local gather + psum (each shard
+        # contributes rows it owns, zeros elsewhere)
+        v_local = ep.embed.q.shape[0]
+        off = jax.lax.axis_index(tp_axis) * v_local
+        local = tokens - off
+        ok = (local >= 0) & (local < v_local)
+        emb = ep.embed.lookup(jnp.where(ok, local, 0))
+        emb = jax.lax.psum(jnp.where(ok[..., None], emb, 0.0), tp_axis)
+    else:
+        emb = ep.embed.lookup(tokens)
     if fuse_layers:
         # one fused launch: concat prologue + fc matmul + bias epilogue
         # (ops/fused.py; falls back to the identical unfused
@@ -270,13 +289,26 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
         if fuse_layer:
             attn_out = fused_linear(lw.wo, x=attn.reshape(M, -1),
                                     backend=backend)
+            if tp_axis is not None:  # row-parallel wo: psum partials
+                attn_out = jax.lax.psum(attn_out, tp_axis)
             gu = fused_linear(lw.wgu, norm=(xf, attn_out, lw.ffn_norm),
                               eps=llm.norm_eps, backend=backend)
-            x = fused_linear(lw.w_down, glu=gu, resids=(xf, attn_out),
-                             backend=backend).reshape(S, Tq, -1)
+            if tp_axis is None:
+                x = fused_linear(lw.w_down, glu=gu, resids=(xf, attn_out),
+                                 backend=backend).reshape(S, Tq, -1)
+            else:
+                # row-parallel down proj: the psum must see the bare
+                # partial sums, so the residual adds stay outside
+                down = jax.lax.psum(
+                    fused_linear(lw.w_down, glu=gu, backend=backend),
+                    tp_axis)
+                x = ((xf.astype(jnp.float32) + attn_out)
+                     + down).reshape(S, Tq, -1)
             continue
         attn_out = lin(attn.reshape(S * Tq, -1).astype(jnp.bfloat16),
                        lw.wo, None)
+        if tp_axis is not None:  # row-parallel wo: partial sums over K
+            attn_out = jax.lax.psum(attn_out, tp_axis)
         x = x + attn_out.reshape(S, Tq, -1).astype(x.dtype)
 
         h2 = rms_norm(x, lw.ffn_norm, llm.norm_eps).astype(jnp.bfloat16)
@@ -289,7 +321,10 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
             gate = lin(h2f, lw.w_gate, None)
             up = lin(h2f, lw.w_up, None)
         act = silu_hadamard(gate, up).astype(jnp.bfloat16)
-        x = x + lin(act, lw.w_down, None).reshape(S, Tq, -1).astype(x.dtype)
+        down = lin(act, lw.w_down, None)
+        if tp_axis is not None:  # row-parallel down proj
+            down = jax.lax.psum(down, tp_axis)
+        x = x + down.reshape(S, Tq, -1).astype(x.dtype)
 
     if window:
         # buffers untouched; positions advance but stay cache-invisible
@@ -304,6 +339,10 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
         kv = kv.advance(cache_positions, active=active)
 
     feature_out = x
+    # lm_head_lr (when set) is what head_out actually reads, and it
+    # replicates — only the raw lm_head can be vocab-sharded
+    vocab_sharded = (tp_axis is not None and ep.lm_head_lr is None
+                     and ep.lm_head.out_features < llm.vocab_size)
 
     def head_out(h2, argmax=False):
         """[rows, dim] f32 -> logits f32 (or greedy tokens int32):
@@ -333,16 +372,29 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
         return fused_linear(ep.lm_head, eps=llm.norm_eps, argmax=argmax,
                             backend=backend, **first)
 
+    def gathered(y):
+        """Local vocab shard -> full [rows, vocab] logits."""
+        if vocab_sharded:
+            return jax.lax.all_gather(y, tp_axis, axis=-1, tiled=True)
+        return y
+
     if logits_mode == "none":
         logits = jnp.zeros((S, 0), jnp.float32)
     elif logits_mode == "argmax":
         # greedy draft: the [S, vocab] logits never materialize — the
-        # head kernel returns the per-slot best token directly
-        logits = head_out(x[:, -1, :], argmax=True)
+        # head kernel returns the per-slot best token directly (with a
+        # vocab-sharded head, gather the shard logits and argmax here)
+        if vocab_sharded:
+            lg = gathered(head_out(x[:, -1, :]))
+            logits = jnp.argmax(lg[:, :llm.vocab_size],
+                                axis=-1).astype(jnp.int32)
+        else:
+            logits = head_out(x[:, -1, :], argmax=True)
     elif logits_mode == "last":
-        logits = head_out(x[:, -1, :])
+        logits = gathered(head_out(x[:, -1, :]))
     else:
-        logits = head_out(x.reshape(S * Tq, -1)).reshape(S, Tq, -1)
+        logits = gathered(head_out(x.reshape(S * Tq, -1))).reshape(
+            S, Tq, -1)
     if window:
         return logits, feature_out, kv, new_blocks
     return logits, feature_out, kv
@@ -350,7 +402,8 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t_llm", "e_llm", "n_steps", "k", "backend", "sample"),
+    static_argnames=("t_llm", "e_llm", "n_steps", "k", "backend", "sample",
+                     "tp_axis"),
     donate_argnums=(2, 3),
 )
 def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
@@ -363,7 +416,8 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                     temp: jax.Array | None = None,
                     top_k: jax.Array | None = None,
                     top_p: jax.Array | None = None,
-                    sample: bool = False):
+                    sample: bool = False,
+                    tp_axis: str | None = None):
     """n_steps BATCHED EAGLE chain-speculation steps in one dispatch
     (every scheduler slot at once — speculation composes with
     continuous batching; the reference serializes its single-stream
@@ -415,6 +469,12 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                 and _os.environ.get("POWERSERVE_EAGLE_HEAD_WINDOW",
                                     "1") != "0")
 
+    # tp_axis (parallel/tp.py tp_eagle_spec_scan): the scan runs inside
+    # a shard_map — t_llm/e_llm hold LOCAL head counts, params are
+    # localized shards, and both forwards thread the megatron axis
+    efwd = functools.partial(eagle_forward, tp_axis=tp_axis)
+    tfwd = functools.partial(forward, tp_axis=tp_axis)
+
     S = root.shape[0]
     V = t_llm.vocab_size
     if active is None:
@@ -459,7 +519,7 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                 pos = jnp.where(active, epos.astype(jnp.int32),
                                 -1)[:, None]
                 e_kvi = dataclasses.replace(e_kv, pos=epos)
-                logits, feat_out, kvo, blk = eagle_forward(
+                logits, feat_out, kvo, blk = efwd(
                     eparams, e_llm, e_kvi, tok[:, None], feat[:, None, :],
                     pos, active=active, backend=backend,
                     logits_mode="argmax" if greedy_am else "last",
@@ -491,7 +551,7 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                 tok, feat, kv, dk = dc  # tok [S], feat [S, dim]
                 pos = jnp.where(active, kv.pos.astype(jnp.int32),
                                 -1)[:, None]
-                logits, feat_out, kv = eagle_forward(
+                logits, feat_out, kv = efwd(
                     eparams, e_llm, kv, tok[:, None], feat[:, None, :],
                     pos, active=active, backend=backend,
                     logits_mode="argmax" if greedy_am else "last")
@@ -527,7 +587,7 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
 
             base = i * (k + 1)
             kvi = _dc.replace(t_kv, pos=t_pos)
-            logits, _, blk, feats = forward(
+            logits, _, blk, feats = tfwd(
                 tparams, t_llm, kvi, fed, positions, active=active,
                 backend=backend, logits_mode=vmode,
                 return_final_hidden=True,
@@ -536,7 +596,7 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             lane_pos = jax.lax.dynamic_update_slice(
                 lane_pos, c[:, None] + lanes[None, :], (0, base))
         else:
-            logits, t_kv_c, feats = forward(
+            logits, t_kv_c, feats = tfwd(
                 tparams, t_llm, t_kv_c, fed, positions, active=active,
                 backend=backend, logits_mode=vmode,
                 return_final_hidden=True)
@@ -612,7 +672,7 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                 e_valid, jnp.zeros((S, k), bool), (0, e_base))
             e_kvi = dataclasses.replace(
                 e_kv, pos=c.astype(e_kv.pos.dtype))
-            _, _, kvo, blk = eagle_forward(
+            _, _, kvo, blk = efwd(
                 eparams, e_llm, e_kvi, fed, commit_feats, commit_pos,
                 active=active, backend=backend, logits_mode="none",
                 kv_update="window", inflight=e_wins + (e_valid,))
@@ -625,7 +685,7 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         else:
             # the head wrote k entries (positions p..p+k-1); drop all
             e_kv_c = e_kv_c.rollback(jnp.where(active, k, 0))
-            _, _, e_kv_c = eagle_forward(
+            _, _, e_kv_c = efwd(
                 eparams, e_llm, e_kv_c, fed, commit_feats, commit_pos,
                 active=active, backend=backend, logits_mode="none")
             e_st = e_kv_c
@@ -668,7 +728,7 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
 @functools.partial(
     jax.jit,
     static_argnames=("t_llm", "e_llm", "n_steps", "tree_key", "backend",
-                     "sample"),
+                     "sample", "tp_axis"),
     donate_argnums=(2, 3),
 )
 def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
@@ -681,7 +741,8 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                          temp: jax.Array | None = None,
                          top_k: jax.Array | None = None,
                          top_p: jax.Array | None = None,
-                         sample: bool = False):
+                         sample: bool = False,
+                         tp_axis: str | None = None):
     """Batched EAGLE speculation over a static TREE topology (EAGLE-2
     style): the head drafts every tree level in one batched forward
     (siblings take the head's rank-r tokens), ONE target forward
@@ -706,6 +767,10 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         _wor_accept_walk,
         _wor_emit,
     )
+
+    # tp_axis: see eagle_spec_scan — scan runs inside a shard_map
+    efwd = functools.partial(eagle_forward, tp_axis=tp_axis)
+    tfwd = functools.partial(forward, tp_axis=tp_axis)
 
     tpl = TreeTemplate(*tree_key)
     N, Dp = tpl.n_nodes, tpl.max_depth
@@ -783,7 +848,7 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             cpos = jnp.where(active[:, None],
                              c[:, None] + jnp.asarray(lev)[None, :], -1)
             vis = _level_visibility(mask0, tpl.anc[lev], c, T)
-            logits, feat_out, e_kv = eagle_forward(
+            logits, feat_out, e_kv = efwd(
                 eparams, e_llm, e_kv, toks_l, feats_in[:, lev], rope,
                 cache_positions=cpos, vis_override=vis, active=active,
                 backend=backend, logits_mode="all",
@@ -819,7 +884,7 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         cpos_v = jnp.where(active[:, None], c[:, None] + idx_arr[None, :], -1)
         if use_window:
             kvi = dataclasses.replace(t_kv, pos=t_pos)
-            logits, _, blk, feats_true = forward(
+            logits, _, blk, feats_true = tfwd(
                 tparams, t_llm, kvi, tokens, rope_v,
                 cache_positions=cpos_v, intra_mask=anc, active=active,
                 backend=backend, logits_mode=vmode,
@@ -827,7 +892,7 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                 kv_update="window", inflight=wins + (valid,))
             wins = _loops.push_kv_window(wins, blk, base)
         else:
-            logits, t_kv_c, feats_true = forward(
+            logits, t_kv_c, feats_true = tfwd(
                 tparams, t_llm, t_kv_c, tokens, rope_v,
                 cache_positions=cpos_v, intra_mask=anc, active=active,
                 backend=backend, logits_mode=vmode,
@@ -882,7 +947,7 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             live = lanes[None, :] <= n_acc[:, None]
             commit_pos = jnp.where(live & active[:, None],
                                    c[:, None] + lanes[None, :], -1)
-            _, _, e_kv = eagle_forward(
+            _, _, e_kv = efwd(
                 eparams, e_llm, e_kv, fed_chain, commit_feats, commit_pos,
                 active=active, backend=backend, logits_mode="none",
                 fuse_layers=_TREE_FUSE[0])
@@ -966,7 +1031,7 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         live = lanes[None, :] <= n_acc[:, None]
         commit_pos = jnp.where(live & active[:, None],
                                c[:, None] + lanes[None, :], -1)
-        _, _, e_kv = eagle_forward(
+        _, _, e_kv = efwd(
             eparams, e_llm, e_kv, fed_chain, commit_feats, commit_pos,
             active=active, backend=backend, logits_mode="none",
             fuse_layers=_TREE_FUSE[0])

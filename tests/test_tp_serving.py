@@ -271,3 +271,99 @@ def test_tp_spec_chain_factored_draft_head(model, ref_tokens):
     finally:
         s.stop()
     assert got == ref_tokens
+
+
+# ---------------------------------------------------------------------------
+# EAGLE x shard_map tp (VERDICT r4 item 3): the head shards like a
+# target layer and the whole eagle scan runs inside one shard_map
+# ---------------------------------------------------------------------------
+
+PRESETS.setdefault("tpserve-head", dict(dim=256, ffn=512, layers=1,
+                                        heads=8, kv_heads=8, vocab=512,
+                                        arch="llama", bias=False))
+
+
+def _mk_eagle_head(model, seed=7):
+    """Random 1-layer EAGLE head with the target's geometry (worst-case
+    acceptance — losslessness must hold for ANY head weights)."""
+    import dataclasses
+
+    from powerserve_tpu.core.gguf import GGMLType
+    from powerserve_tpu.models.loader import _qlinear_from_float
+    from powerserve_tpu.speculative.eagle import EagleParams
+
+    cfg, params = model
+    _, head = make_device_params("tpserve-head", quant="q4_k", seed=seed,
+                                 stacked=False)
+    dim = cfg.llm.dim
+    rng = np.random.default_rng(11)
+    fc = _qlinear_from_float(
+        rng.standard_normal((dim, 2 * dim)).astype(np.float32) * 0.05,
+        GGMLType.Q8_0)
+    ep = EagleParams(fc=fc, fc_bias=None, layers=(head.layers[0],),
+                     embed=params.embed, lm_head=params.lm_head,
+                     out_norm=None, input_norm=False)
+    e_llm = dataclasses.replace(cfg.llm, n_layers=1)
+    return e_llm, ep
+
+
+def _tp_eagle_sched(model, mesh, hp, backend="xla", rank=0):
+    from powerserve_tpu.parallel.tp import shard_eagle_tp, shard_params_tp
+
+    cfg, params = model
+    e_llm, ep = _mk_eagle_head(model)
+    if rank:
+        import dataclasses
+
+        from powerserve_tpu.speculative.draft_head import make_draft_head
+
+        ep = dataclasses.replace(
+            ep, lm_head_lr=make_draft_head(ep.lm_head, rank=rank))
+    p2 = shard_params_tp(params, mesh, cfg.llm)
+    ep2 = shard_eagle_tp(ep, mesh, e_llm)
+    return BatchScheduler(p2, cfg, hp, backend=backend, tp_mesh=mesh,
+                          eagle_params=ep2, eagle_llm=e_llm), (e_llm, ep)
+
+
+def test_tp_scheduler_eagle_chain_matches(model, ref_tokens):
+    """EAGLE chain speculation under tp_mesh: greedy output must equal
+    the single-device plain scheduler (lossless through the sharded
+    head's psums / vocab-sharded verify)."""
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64)
+    hp.spec_k = 2
+    s, _ = _tp_eagle_sched(model, mesh, hp)
+    try:
+        got = _run(s, PROMPTS)
+    finally:
+        s.stop()
+    assert got == ref_tokens
+
+
+def test_tp_scheduler_eagle_tree_matches(model, ref_tokens):
+    """EAGLE-2-style tree drafting under tp_mesh (hp.spec_tree)."""
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64)
+    hp.spec_tree = "2,1"
+    s, _ = _tp_eagle_sched(model, mesh, hp)
+    assert s.spec_template is not None
+    try:
+        got = _run(s, PROMPTS)
+    finally:
+        s.stop()
+    assert got == ref_tokens
+
+
+def test_tp_scheduler_eagle_factored_head_matches(model, ref_tokens):
+    """EAGLE x tp with the factored (low-rank) draft head: the
+    replicated U/V factors change which drafts are proposed, never
+    what is emitted."""
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64)
+    hp.spec_k = 2
+    s, _ = _tp_eagle_sched(model, mesh, hp, rank=32)
+    try:
+        got = _run(s, PROMPTS)
+    finally:
+        s.stop()
+    assert got == ref_tokens
