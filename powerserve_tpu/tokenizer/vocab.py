@@ -8,8 +8,9 @@ Supported vocab models (tokenizer.ggml.model):
     normalization and [CLS]/[SEP] wrapping (reference llama-vocab.cpp
     llm_tokenizer_wpm)
   - "t5": Unigram (UGM) — Viterbi max-score segmentation with fused
-    UNK runs (reference llm_tokenizer_ugm; the optional
-    precompiled_charsmap normalizer is not applied)
+    UNK runs (reference llm_tokenizer_ugm), with the
+    precompiled_charsmap normalizer applied when the GGUF carries one
+    (tokenizer/charsmap.py: XCDA trie walk + whitespace semantics)
   - "llama": SentencePiece-style BPE driven by per-token scores, with
     byte fallback (<0xNN> tokens) and the U+2581 space convention.
   - "gpt2": byte-level BPE driven by a merge list, with the GPT-2
@@ -120,6 +121,8 @@ class GGUFVocab:
     add_bos: bool = True
     add_eos: bool = False
     add_space_prefix: bool = True
+    remove_extra_ws: bool = False  # tokenizer.ggml.remove_extra_whitespaces
+    charsmap: Any = None  # parsed precompiled_charsmap (charsmap.Charsmap)
     chat_template: str = ""
     token_to_id: dict[str, int] = field(default_factory=dict)
     _merge_ranks: dict[tuple[str, str], int] = field(default_factory=dict)
@@ -150,8 +153,16 @@ class GGUFVocab:
             add_bos=bool(md.get("tokenizer.ggml.add_bos_token", True)),
             add_eos=bool(md.get("tokenizer.ggml.add_eos_token", False)),
             add_space_prefix=bool(md.get("tokenizer.ggml.add_space_prefix", True)),
+            remove_extra_ws=bool(
+                md.get("tokenizer.ggml.remove_extra_whitespaces", False)),
             chat_template=str(md.get("tokenizer.chat_template", "")),
         )
+        csm = md.get("tokenizer.ggml.precompiled_charsmap")
+        if csm is not None and len(csm):
+            from .charsmap import Charsmap
+
+            blob = csm.tobytes() if hasattr(csm, "tobytes") else bytes(csm)
+            v.charsmap = Charsmap.from_blob(blob)
         v.token_to_id = {t: i for i, t in enumerate(tokens)}
         if merges:
             for rank, m in enumerate(merges):
@@ -394,10 +405,10 @@ class GGUFVocab:
         """Viterbi segmentation maximizing summed unigram scores.
         Unknown characters take unk_id at (min_score - 10) per char,
         and consecutive unknowns fuse into one UNK (llama-vocab.cpp
-        unknown_token_score_penalty / merging). The optional
-        precompiled_charsmap normalization is NOT applied (plain
-        whitespace escaping only) — exotic normalizer entries may
-        tokenize differently than sentencepiece."""
+        unknown_token_score_penalty / merging). Callers pass already-
+        normalized text when the vocab carries a precompiled_charsmap
+        (encode()'s t5 branch); the " "->U+2581 replace below is then
+        a no-op."""
         if not text:
             return []
         text = text.replace(" ", _SPM_SPACE)
@@ -455,11 +466,31 @@ class GGUFVocab:
             elif self.model == "bert":
                 ids.extend(self._wpm_encode_fragment(frag))
             elif self.model == "t5":
-                f = frag
-                if first_normal and self.add_space_prefix and f \
-                        and not f.startswith(" "):
-                    f = " " + f
-                ids.extend(self._ugm_encode_fragment(f))
+                if self.charsmap is not None or self.remove_extra_ws:
+                    # full UGM normalization (reference llm_tokenizer_ugm
+                    # ::normalize): precompiled_charsmap replacements +
+                    # space escape/prefix/merge — the Viterbi then runs
+                    # on the normalized text directly
+                    cm = self.charsmap
+                    if cm is None:
+                        from .charsmap import Charsmap
+                        import numpy as _np
+
+                        cm = self.charsmap = Charsmap(
+                            _np.zeros(0, _np.uint32), b"")
+                    norm = cm.normalize(
+                        frag,
+                        prepend_space=(self.add_space_prefix
+                                       and first_normal),
+                        merge_spaces=self.remove_extra_ws,
+                        specials=[t for t, _ in self._special])
+                    ids.extend(self._ugm_encode_fragment(norm))
+                else:
+                    f = frag
+                    if first_normal and self.add_space_prefix and f \
+                            and not f.startswith(" "):
+                        f = " " + f
+                    ids.extend(self._ugm_encode_fragment(f))
             else:
                 f = frag
                 if first_normal and self.add_space_prefix and f and not f.startswith(" "):
