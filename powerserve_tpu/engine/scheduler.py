@@ -281,9 +281,19 @@ class BatchScheduler:
             from ..parallel.tp import shard_kv_tp
 
             if self.pool is not None:
-                assert tp_mesh.shape.get("dp", 1) == 1 \
-                    and tp_mesh.shape.get("sp", 1) == 1, \
-                    "paged pool x tp_mesh requires dp == sp == 1"
+                # paged x dp: partition the pool across dp groups (each
+                # shard scatters only into its local slab shard; the
+                # shard_map body remaps global->local page ids) — the
+                # host allocator is rebuilt with per-group free lists
+                assert tp_mesh.shape.get("sp", 1) == 1, \
+                    "paged pool x tp_mesh requires sp == 1"
+                dp_n = tp_mesh.shape.get("dp", 1)
+                if dp_n > 1:
+                    from ..kv.paged import PagePool
+
+                    self.pool = PagePool(
+                        self.pool.n_pages, self.S, self.pool.max_pages,
+                        self.pool.page_size, n_groups=dp_n)
             if self.d_kv is not None:
                 assert tp_mesh.shape.get("sp", 1) == 1, \
                     "speculation x tp_mesh requires sp == 1"
@@ -900,9 +910,12 @@ class BatchScheduler:
             if s.req is None:  # already preempted as a victim this tick
                 continue
             while not self.pool.ensure(i, int(pos_host[i]) + extra):
+                # dp groups: only same-group victims free useful pages
+                grp = self.pool.group_of(i)
                 victims = [j for j in range(self.S)
                            if j != i and self.slots[j].req is not None
-                           and self.pool.owned[j]]
+                           and self.pool.owned[j]
+                           and self.pool.group_of(j) == grp]
                 if victims:
                     v = max(victims, key=lambda j: self.slots[j].req.id)
                     if self.slots[v].req.id > s.req.id:

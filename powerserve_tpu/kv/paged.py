@@ -348,21 +348,46 @@ class PagePool:
 
     The scheduler calls ensure()/release() between device ticks and
     pushes `table` (the numpy mirror) with PagedKVCache.assign_pages
-    when it changed. No device state lives here."""
+    when it changed. No device state lives here.
+
+    n_groups > 1 partitions the pool for DATA-PARALLEL serving
+    (paged x dp under a tp_mesh): dp shard g's slots (a contiguous
+    slot range, matching shard_map's axis-0 split) may only hold pages
+    from its own partition [g*P/dp, (g+1)*P/dp) — each shard then
+    scatters exclusively into its local slab shard, so the pool can
+    shard over "dp" instead of forcing replication (parallel/tp.py
+    kv_specs). Page ids in the table stay GLOBAL; the shard_map body
+    remaps them to shard-local ids."""
 
     def __init__(self, n_pages: int, n_slots: int, max_pages: int,
-                 page_size: int):
+                 page_size: int, n_groups: int = 1):
+        if n_pages % n_groups or n_slots % n_groups:
+            raise ValueError(
+                f"pages ({n_pages}) and slots ({n_slots}) must divide "
+                f"into {n_groups} dp groups")
         self.n_pages = n_pages
         self.page_size = page_size
         self.max_pages = max_pages
-        self.free: list[int] = list(range(n_pages))
+        self.n_groups = n_groups
+        self.group_pages = n_pages // n_groups
+        self._slots_per_group = n_slots // n_groups
+        self._free: list[list[int]] = [
+            list(range(g * self.group_pages, (g + 1) * self.group_pages))
+            for g in range(n_groups)]
         self.owned: list[list[int]] = [[] for _ in range(n_slots)]
         self.table = np.full((n_slots, max_pages), n_pages, np.int32)
         self.dirty = False
 
+    def group_of(self, slot: int) -> int:
+        return slot // self._slots_per_group
+
     @property
     def n_free(self) -> int:
-        return len(self.free)
+        return sum(len(f) for f in self._free)
+
+    def n_free_for(self, slot: int) -> int:
+        """Free pages available to `slot` (its dp group's partition)."""
+        return len(self._free[self.group_of(slot)])
 
     def ensure(self, slot: int, n_tokens: int) -> bool:
         """Grow `slot`'s mapping to cover n_tokens logical positions.
@@ -371,11 +396,12 @@ class PagePool:
         need = -(-n_tokens // self.page_size)
         if need > self.max_pages:
             return False
+        free = self._free[self.group_of(slot)]
         cur = len(self.owned[slot])
         while cur < need:
-            if not self.free:
+            if not free:
                 return False
-            pg = self.free.pop()
+            pg = free.pop()
             self.table[slot, cur] = pg
             self.owned[slot].append(pg)
             cur += 1
@@ -385,7 +411,7 @@ class PagePool:
     def release(self, slot: int) -> None:
         """Return all of a slot's pages to the pool."""
         if self.owned[slot]:
-            self.free.extend(self.owned[slot])
+            self._free[self.group_of(slot)].extend(self.owned[slot])
             self.owned[slot] = []
             self.table[slot, :] = self.n_pages
             self.dirty = True

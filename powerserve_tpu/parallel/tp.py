@@ -238,24 +238,53 @@ def kv_specs(kv: KVCache) -> KVCache:
     over sp (a no-op when the mesh's sp axis is 1).
 
     Paged pools ([L, P, H, page, D], kv/paged.py) shard kv heads over
-    tp only: the pool is shared across slots so the page table / mask /
-    pos replicate, and dp/sp must be 1 (each dp shard would otherwise
-    scatter different pages into "replicated" pool slabs and diverge)."""
+    "tp" and the POOL-PAGE axis over "dp": the host allocator
+    (PagePool n_groups=dp) confines each dp group's slots to its own
+    page partition, so every shard scatters exclusively into its local
+    slab shard. The page table / mask / pos shard their slot axis over
+    dp; table values stay GLOBAL page ids — _remap_paged_dp translates
+    them to shard-local ids inside the shard_map body. sp must be 1."""
     from ..kv.paged import PagedKVCache
 
     if isinstance(kv, PagedKVCache):
         import dataclasses
 
         return dataclasses.replace(
-            kv, k=P(None, None, "tp", None, None),
-            v=P(None, None, "tp", None, None),
-            k_scale=P(None, None, "tp", None),
-            v_scale=P(None, None, "tp", None),
-            page_table=P(), mask=P(), pos=P())
+            kv, k=P(None, "dp", "tp", None, None),
+            v=P(None, "dp", "tp", None, None),
+            k_scale=P(None, "dp", "tp", None),
+            v_scale=P(None, "dp", "tp", None),
+            page_table=P("dp", None), mask=P("dp", None), pos=P("dp"))
     kvs = P(None, "dp", "tp", "sp", None)
     scs = P(None, "dp", "tp", "sp") if kv.quantized else P()
     return KVCache(k=kvs, v=kvs, k_scale=scs, v_scale=scs,
                    mask=P("dp", "sp"), pos=P("dp"), quantized=kv.quantized)
+
+
+def _remap_paged_dp(kv):
+    """Inside a shard_map body: translate a dp-sharded paged pool's
+    page table from GLOBAL page ids to shard-local ids (shard g owns
+    pages [g*PL, (g+1)*PL) of the global pool; ids outside the local
+    range — including the global unallocated sentinel — map to the
+    LOCAL sentinel PL, which locate() drops). Returns (kv with local
+    table, original table) — callers must restore the original table
+    on the OUTPUT kv so the global array never holds local ids.
+    No-op (returns (kv, None)) for dense caches."""
+    from ..kv.paged import PagedKVCache
+
+    if not isinstance(kv, PagedKVCache):
+        return kv, None
+    pt = kv.page_table
+    pl = kv.k.shape[1]  # local pages on this shard
+    lo = jax.lax.axis_index("dp") * pl
+    local = jnp.where((pt >= lo) & (pt < lo + pl), pt - lo, pl)
+    return dataclasses.replace(kv, page_table=local), pt
+
+
+def _restore_paged_dp(kv, orig_pt):
+    if orig_pt is None:
+        return kv
+    return dataclasses.replace(kv, page_table=orig_pt)
 
 
 # ---------------------------------------------------------------------------
@@ -423,11 +452,15 @@ def tp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
                 xt = params.embed.lookup(tokens).astype(jnp.bfloat16)
             x = jnp.where(use_embeds[:, None, None],
                           embeds.astype(jnp.bfloat16), xt)
-        return forward(params, llm_local, kv, tokens, positions,
-                       active=active, backend=backend,
-                       logits_mode=logits_mode, tp_axis="tp",
-                       sp_axis=sp_axis, ep_axis=ep_axis, embeds=x,
-                       kv_update=kv_update, inflight=inflight)
+        kv, _pt = _remap_paged_dp(kv)
+        out = forward(params, llm_local, kv, tokens, positions,
+                      active=active, backend=backend,
+                      logits_mode=logits_mode, tp_axis="tp",
+                      sp_axis=sp_axis, ep_axis=ep_axis, embeds=x,
+                      kv_update=kv_update, inflight=inflight)
+        if _pt is not None:
+            out = (out[0], _restore_paged_dp(out[1], _pt)) + out[2:]
+        return out
 
     out_specs = (P("dp", None), kspecs)
     if window:
@@ -515,11 +548,13 @@ def tp_chain_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
 
     def body(tparams, dparams, t_kv, d_kv, root, active, rngs,
              temp, top_k, top_p):
-        return chain_spec_sample_scan(
+        t_kv, _pt = _remap_paged_dp(t_kv)
+        out = chain_spec_sample_scan(
             _localize_params(tparams), _localize_params(dparams),
             t_kv, d_kv, root, t_local, d_local, n_steps, k,
             backend=backend, active=active, rngs=rngs, temp=temp,
             top_k=top_k, top_p=top_p, tp_axis="tp")
+        return out[:2] + (_restore_paged_dp(out[2], _pt),) + out[3:]
 
     f = jax.shard_map(
         body, mesh=mesh,
@@ -561,11 +596,13 @@ def tp_tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
 
     def body(tparams, dparams, t_kv, d_kv, root, active, rngs,
              temp, top_k, top_p):
-        return tree_spec_scan(
+        t_kv, _pt = _remap_paged_dp(t_kv)
+        out = tree_spec_scan(
             _localize_params(tparams), _localize_params(dparams),
             t_kv, d_kv, root, t_local, d_local, n_steps, tree_key,
             backend=backend, active=active, rngs=rngs, temp=temp,
             top_k=top_k, top_p=top_p, sample=sample, tp_axis="tp")
+        return out[:2] + (_restore_paged_dp(out[2], _pt),) + out[3:]
 
     f = jax.shard_map(
         body, mesh=mesh,
@@ -684,10 +721,12 @@ def tp_eagle_prefill(params: LlamaParams, eparams, kv: KVCache,
                 xt = params.embed.lookup(tokens).astype(jnp.bfloat16)
             x = jnp.where(use_embeds[:, None, None],
                           embeds.astype(jnp.bfloat16), xt)
+        kv, _pt = _remap_paged_dp(kv)
         _, kv, feats = forward(params, t_local, kv, tokens, positions,
                                active=active, backend=backend,
                                logits_mode="none", embeds=x,
                                return_final_hidden=True, tp_axis="tp")
+        kv = _restore_paged_dp(kv, _pt)
         feats = feats.astype(jnp.float32)  # [S, C, dim]
         head_feats = jnp.concatenate(
             [last_feat[:, None, :], feats[:, :-1]], axis=1)
@@ -745,11 +784,13 @@ def tp_eagle_spec_scan(tparams: LlamaParams, eparams,
 
     def body(tparams, eparams, t_kv, e_kv, root, root_feat, active,
              rngs, temp, top_k, top_p):
-        return eagle_spec_scan(
+        t_kv, _pt = _remap_paged_dp(t_kv)
+        out = eagle_spec_scan(
             _localize_params(tparams), _localize_eagle(eparams),
             t_kv, e_kv, root, root_feat, t_local, e_local, n_steps, k,
             backend=backend, active=active, rngs=rngs, temp=temp,
             top_k=top_k, top_p=top_p, sample=sample, tp_axis="tp")
+        return out[:2] + (_restore_paged_dp(out[2], _pt),) + out[3:]
 
     f = jax.shard_map(
         body, mesh=mesh,
@@ -794,12 +835,14 @@ def tp_eagle_tree_spec_scan(tparams: LlamaParams, eparams,
 
     def body(tparams, eparams, t_kv, e_kv, root, root_feat, active,
              rngs, temp, top_k, top_p):
-        return eagle_tree_spec_scan(
+        t_kv, _pt = _remap_paged_dp(t_kv)
+        out = eagle_tree_spec_scan(
             _localize_params(tparams), _localize_eagle(eparams),
             t_kv, e_kv, root, root_feat, t_local, e_local, n_steps,
             tree_key, backend=backend, active=active, rngs=rngs,
             temp=temp, top_k=top_k, top_p=top_p, sample=sample,
             tp_axis="tp")
+        return out[:2] + (_restore_paged_dp(out[2], _pt),) + out[3:]
 
     f = jax.shard_map(
         body, mesh=mesh,

@@ -367,3 +367,65 @@ def test_tp_scheduler_eagle_factored_head_matches(model, ref_tokens):
     finally:
         s.stop()
     assert got == ref_tokens
+
+
+def test_tp_scheduler_paged_dp(model, ref_tokens):
+    """Paged pool x DATA parallel (VERDICT r4 item 7): the pool's page
+    axis shards over dp (PagePool n_groups confines each dp group's
+    slots to its own partition; the shard_map body remaps global page
+    ids to shard-local) — greedy output must equal single-device."""
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64)
+    hp.paged_pages = 16
+    hp.page_size = 8
+    s, _ = _tp_sched(model, mesh, hp=hp)
+    assert s.pool.n_groups == 2
+    try:
+        got = _run(s, PROMPTS)
+    finally:
+        s.stop()
+    assert got == ref_tokens
+
+
+def test_tp_scheduler_paged_dp_preempt(model, ref_tokens):
+    """Pool preemption under dp groups: a starved slot only evicts
+    same-group victims, and recompute-readmission still reproduces
+    greedy output with a pool sized to force preemption."""
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=64)
+    hp.paged_pages = 10  # 5 pages/group x 8 tokens: tight for 2 slots
+    hp.page_size = 8
+    s, _ = _tp_sched(model, mesh, hp=hp)
+    try:
+        got = _run(s, PROMPTS, max_tokens=12, timeout=480)
+    finally:
+        s.stop()
+    # slot/group assignment may serialize the requests; output must
+    # still equal the unconstrained single-device scheduler's
+    hp2 = HyperParams(max_slots=2, batch_size=8, max_seq_len=64)
+    ref = BatchScheduler(model[1], model[0], hp2, backend="xla")
+    try:
+        want = _run(ref, PROMPTS, max_tokens=12)
+    finally:
+        ref.stop()
+    assert got == want
+
+
+def test_page_pool_groups_unit():
+    """PagePool n_groups: allocation stays inside a slot's group
+    partition; release returns pages to the right group."""
+    from powerserve_tpu.kv.paged import PagePool
+
+    pool = PagePool(n_pages=8, n_slots=4, max_pages=4, page_size=8,
+                    n_groups=2)
+    assert pool.group_of(0) == 0 and pool.group_of(2) == 1
+    assert pool.ensure(0, 32)  # 4 pages: all of group 0's partition
+    assert all(p < 4 for p in pool.owned[0])
+    assert not pool.ensure(1, 8)  # group 0 dry
+    assert pool.ensure(2, 32)  # group 1 partition unaffected
+    assert all(4 <= p < 8 for p in pool.owned[2])
+    assert pool.n_free_for(1) == 0 and pool.n_free == 0
+    pool.release(0)
+    assert pool.n_free_for(1) == 4
+    assert pool.ensure(1, 16)
+    assert all(p < 4 for p in pool.owned[1])
