@@ -171,6 +171,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-o", "--output", default="gate.json")
     args = ap.parse_args(argv)
 
+    # accept a WORKSPACE dir (workspace.json -> model subdir) exactly
+    # like `run`/`serve` do — the gate used to require the bare model
+    # dir and rotted when pointed at a workspace (r5 smoke run)
+    from pathlib import Path as _Path
+
+    root = _Path(args.model_dir)
+    if (root / "workspace.json").exists():
+        from ..core.config import WorkspaceConfig
+
+        args.model_dir = str(WorkspaceConfig.load(root).main_model_dir)
+
     report: dict = {"model_dir": str(args.model_dir),
                     "backend": args.backend, "checks": {}}
     failures: list[str] = []

@@ -79,7 +79,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--data-dir", required=True,
                     help="dir of MMLU *_test.csv files")
     ap.add_argument("--url", default="http://127.0.0.1:8080")
-    ap.add_argument("--model", default="default")
+    ap.add_argument("--model", default="",
+                    help="model name ('' = the server's default — a "
+                         "workspace-launched server names its main "
+                         "model after the model subdir, not 'default')")
     ap.add_argument("--limit", type=int, default=0,
                     help="max questions per subject")
     ap.add_argument("-o", "--output", default="mmlu_results.json")

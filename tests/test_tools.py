@@ -110,3 +110,30 @@ def test_deploy_print_only(capsys):
     out = capsys.readouterr().out
     assert "gcloud compute tpus tpu-vm ssh" in out
     assert "--worker=all" in out and "--distributed" in out
+
+
+def test_gate_smoke_workspace(tmp_path):
+    """The eval gate must accept a WORKSPACE dir (workspace.json ->
+    model subdir, like run/serve) and produce perplexity + real
+    speculation-acceptance numbers — it rotted on exactly this in the
+    r5 smoke run (VERDICT r4 item 9: keep the gate standing)."""
+    from powerserve_tpu.tools.gate import main as gate_main
+
+    src = tmp_path / "src"
+    make_synthetic_gguf(src, "tiny", GGMLType.Q8_0)
+    ws = create_workspace(tmp_path / "ws", src / "model")
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("The quick brown fox jumps over the lazy dog. "
+                      * 20)
+    out = tmp_path / "gate.json"
+    rc = gate_main(["-d", str(ws), "--backend", "xla",
+                    "--prompt-file", str(corpus),
+                    "--draft", "self:1", "--spec-tokens", "16",
+                    "-o", str(out)])
+    assert rc == 0
+    rep = json.loads(out.read_text())
+    assert rep["pass"] is True
+    assert rep["checks"]["perplexity"]["perplexity"] > 0
+    spec = rep["checks"]["speculation"]
+    assert spec["generated"] == 16
+    assert 0.0 <= spec["accept_rate"] <= 1.0
