@@ -370,8 +370,13 @@ def forward(params: LlamaParams, cfg: LLMConfig, kv: KVCache,
         W_win = w_k.shape[3]
         # w_filled: scalar int -> first `filled` lanes visible (decode
         # loop); bool [S, W] -> per-slot lane validity (spec scans,
-        # where rollback invalidates lanes)
-        if getattr(w_filled, "dtype", None) == jnp.bool_ \
+        # where rollback invalidates lanes); bool [S, Tq, W] ->
+        # PER-QUERY lane visibility (tree DRAFT levels: a query sees
+        # prior committed lanes plus only its own ancestors among this
+        # step's lanes — the window-mode replacement for vis_override)
+        if getattr(w_filled, "ndim", 0) == 3:
+            win_vis = w_filled.astype(bool)
+        elif getattr(w_filled, "dtype", None) == jnp.bool_ \
                 or getattr(w_filled, "ndim", 0) == 2:
             win_vis = jnp.broadcast_to(w_filled[:, None, :].astype(bool),
                                        (S, Tq, W_win))

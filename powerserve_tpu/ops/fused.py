@@ -56,6 +56,9 @@ __all__ = ["fused_linear", "fusable"]
 # master gate: POWERSERVE_FUSED=0 restores the unfused composition
 # everywhere (fallback path below == the pre-fusion op sequence)
 _FUSED_DEFAULT = os.environ.get("POWERSERVE_FUSED", "1") != "0"
+# in-kernel blocksum dequant (mul-only zero-point fold): 0 restores the
+# per-element fma (A/B gate)
+_FUSED_BSUM = os.environ.get("POWERSERVE_FUSED_BSUM", "1") != "0"
 
 _NEG_INF = float("-inf")
 _BIG_IDX = 2 ** 30  # python literal: jnp scalars would be captured consts
@@ -96,6 +99,12 @@ class _Spec:
     prefetch: bool
     stacked_nw: bool
     stacked_bias: bool
+    # mul-only dequant: fold the per-block zero point through an
+    # IN-KERNEL blocksum of the prologue output (bs = x @ 0/1 block
+    # matrix on the MXU, then a tiny [bm, kb] x [kb, bn] correction
+    # dot) instead of the per-element fma — recovers the bsum-kernel
+    # dequant efficiency the fused path used to give up
+    bsum: bool = False
 
 
 def _make_fused_kernel(s: _Spec):
@@ -162,19 +171,51 @@ def _make_fused_kernel(s: _Spec):
         acc = None
         if s.packed:
             half = s.group // 2
+            kbh = half // QK
+            if s.bsum:
+                # 0/1 block-membership matrix (shared by all groups):
+                # x_half @ sel = per-32-block sums of the activation
+                sel = (jax.lax.broadcasted_iota(
+                    jnp.int32, (half, kbh), 0) // QK
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (half, kbh), 1)).astype(jnp.float32)
             for g in range(s.n_groups):
                 part = q_ref[g * half : (g + 1) * half, :]
                 qf = part.astype(jnp.int32).astype(jnp.float32)
                 hi = jnp.floor(qf * (1.0 / 16.0))
                 lo = qf - hi * 16.0
-                kbh = half // QK
                 s0 = g * 2 * kbh
                 s_lo = jnp.repeat(
                     s_ref[s0 : s0 + kbh, :].astype(jnp.float32), QK, axis=0)
                 s_hi = jnp.repeat(
                     s_ref[s0 + kbh : s0 + 2 * kbh, :].astype(jnp.float32),
                     QK, axis=0)
-                if s.unsigned:
+                x_lo = xs(g * s.group, half)
+                x_hi = xs(g * s.group + half, half)
+                if s.bsum:
+                    # mul-only planes; the zero point rides a tiny
+                    # correction dot on the blocksums
+                    w_lo = lo * s_lo
+                    w_hi = hi * s_hi
+                    bs_lo = jnp.dot(x_lo, sel,
+                                    preferred_element_type=jnp.float32)
+                    bs_hi = jnp.dot(x_hi, sel,
+                                    preferred_element_type=jnp.float32)
+                    if s.unsigned:
+                        off_lo = b_ref[s0 : s0 + kbh, :].astype(
+                            jnp.float32)
+                        off_hi = b_ref[s0 + kbh : s0 + 2 * kbh, :].astype(
+                            jnp.float32)
+                    else:  # biased (+8) nibbles: offset = 8 * scale
+                        off_lo = s_ref[s0 : s0 + kbh, :].astype(
+                            jnp.float32) * 8.0
+                        off_hi = s_ref[s0 + kbh : s0 + 2 * kbh, :].astype(
+                            jnp.float32) * 8.0
+                    corr = jnp.dot(bs_lo, off_lo,
+                                   preferred_element_type=jnp.float32) \
+                        + jnp.dot(bs_hi, off_hi,
+                                  preferred_element_type=jnp.float32)
+                elif s.unsigned:
                     b_lo = jnp.repeat(
                         b_ref[s0 : s0 + kbh, :].astype(jnp.float32),
                         QK, axis=0)
@@ -186,12 +227,12 @@ def _make_fused_kernel(s: _Spec):
                 else:  # nibbles stored biased (+8)
                     w_lo = (lo - 8.0) * s_lo
                     w_hi = (hi - 8.0) * s_hi
-                x_lo = xs(g * s.group, half)
-                x_hi = xs(g * s.group + half, half)
                 p = jnp.dot(x_lo, w_lo,
                             preferred_element_type=jnp.float32) \
                     + jnp.dot(x_hi, w_hi,
                               preferred_element_type=jnp.float32)
+                if s.bsum:
+                    p = p - corr
                 acc = p if acc is None else acc + p
         else:
             w = q_ref[...].astype(jnp.float32) \
@@ -292,6 +333,7 @@ def _fused_pallas(lin: QLinear, pro: str, pro_ops, nw, bias, resids,
         and nw2.shape[0] != 1,
         stacked_bias=bias2 is not None and bias2.ndim == 2 and stacked
         and bias2.shape[0] != 1,
+        bsum=lin.packed and _FUSED_BSUM,
     )
 
     in_specs, inputs = [], []

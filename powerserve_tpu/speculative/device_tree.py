@@ -308,16 +308,39 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
     # tree-shaped): verify nodes land in carried window lanes;
     # acceptance marks path nodes valid at lane_pos = c + depth(node)
     # — their compacted position — replacing the rollback +
-    # commit_tokens gather; ONE post-scan scatter commits. The DRAFT
-    # cache keeps the carried compaction: its level forwards need
-    # vis_override (committed prefix + own ancestors), which the window
-    # path does not compose with.
+    # commit_tokens gather; ONE post-scan scatter commits.
     from ..engine import loops as _loops
 
     use_window = (_loops._DECODE_LOOP_DEFAULT == "window"
                   and _loops.window_eligible(t_kv, tparams)
                   and n_steps * N <= 1024)
     W_win = n_steps * N
+    # DRAFT-side window (r5, closing the last carried cache): level
+    # forwards used vis_override (committed prefix + own ancestors in
+    # the CACHE); windowed, the cache stays loop-invariant (its mask IS
+    # the committed-prefix visibility) and the tree structure moves
+    # into PER-QUERY window-lane visibility ([S, Tq, W] inflight
+    # validity, models/llama.py): a level-d query sees prior steps'
+    # ACCEPTED lanes (the shared `valid`) plus its own ancestors among
+    # this step's already-written level lanes. Node n's lane carries
+    # rope position c + depth(n) — exactly its compacted commit
+    # position — so the draft commit REUSES the target's lane_pos/valid
+    # and ONE post-scan scatter replaces every rollback+commit_tokens.
+    import os as _os
+
+    d_window = (use_window and _loops.window_eligible(d_kv, dparams)
+                and _os.environ.get("POWERSERVE_TREE_DRAFT_WINDOW",
+                                    "1") != "0")
+    if d_window:
+        # written_mask[d][n]: node n's lane exists when level d drafts
+        _written = []
+        acc_nodes: list[int] = []
+        for d in range(D + 1):
+            w = np.zeros(N, bool)
+            w[acc_nodes] = True
+            _written.append(w)
+            acc_nodes.extend(tpl.levels[d])
+        d_kv_inv = d_kv  # loop-invariant buffers (closure, not carry)
 
     def _on_path(chain_m):
         idx = jnp.maximum(chain_m, 0)
@@ -327,11 +350,16 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
 
     def spec_step(carry, i):
         if use_window:
-            (t_pos, wins, valid, lane_pos), d_kv, root, rngs = carry
+            (t_pos, wins, valid, lane_pos), d_st, root, rngs = carry
             base = i * N
+            if d_window:
+                d_wins, d_kv = d_st, d_kv_inv
+            else:
+                d_kv = d_st
+            c = t_pos.astype(jnp.int32)
         else:
             t_kv_c, d_kv, root, rngs = carry
-        c = d_kv.pos.astype(jnp.int32)  # [S] committed length
+            c = d_kv.pos.astype(jnp.int32)  # [S] committed length
         mask0 = d_kv.mask  # committed visibility BEFORE this tree
 
         if wor:
@@ -351,12 +379,35 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
                              c[:, None] + depths[lev][None, :], -1)
             cpos = jnp.where(active[:, None],
                              c[:, None] + jnp.asarray(lev)[None, :], -1)
-            vis = _level_visibility(mask0, tpl.anc[lev], c, T)
-            logits, d_kv = forward(dparams, d_llm, d_kv, toks_l, rope,
-                                   cache_positions=cpos, vis_override=vis,
-                                   active=active, backend=backend,
-                                   logits_mode="all" if d < D else "none",
-                                   tp_axis=tp_axis)
+            if d_window:
+                ln = len(lev)
+                # prior steps' accepted lanes visible to every query;
+                # this step's lanes per static ancestor/written masks
+                prev_vis = jnp.broadcast_to(valid[:, None, :],
+                                            (S, ln, W_win))
+                step_vis = jnp.asarray(tpl.anc[lev] & _written[d][None, :])
+                step_vis = (jnp.broadcast_to(step_vis[None], (S, ln, N))
+                            & active[:, None, None])
+                win_vis = jax.lax.dynamic_update_slice(
+                    prev_vis, step_vis, (0, 0, base))
+                logits, _, blk = forward(
+                    dparams, d_llm, d_kv, toks_l, rope,
+                    cache_positions=cpos,
+                    intra_mask=jnp.eye(ln, dtype=bool), active=active,
+                    backend=backend,
+                    logits_mode="all" if d < D else "none",
+                    tp_axis=tp_axis,
+                    kv_update="window", inflight=d_wins + (win_vis,))
+                d_wins = _loops.push_kv_window(d_wins, blk,
+                                               base + lev[0])
+            else:
+                vis = _level_visibility(mask0, tpl.anc[lev], c, T)
+                logits, d_kv = forward(
+                    dparams, d_llm, d_kv, toks_l, rope,
+                    cache_positions=cpos, vis_override=vis,
+                    active=active, backend=backend,
+                    logits_mode="all" if d < D else "none",
+                    tp_axis=tp_axis)
             if d < D and wor:
                 # children = WOR samples from the draft's post-transform
                 # dist q: Gumbel top-k == sequential without-replacement
@@ -416,11 +467,13 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
             emit, new_root = _wor_emit(tokens, chain_m, n_acc, final_tok,
                                        active, root)
 
-            d_kv = d_kv.rollback(d_kv.pos.astype(jnp.int32) - c,
-                                 active=active)
+            if not d_window:
+                d_kv = d_kv.rollback(d_kv.pos.astype(jnp.int32) - c,
+                                     active=active)
             src = jnp.where(chain_m >= 0, c[:, None] + chain_m, -1)
             n_commit = jnp.where(active, n_acc + 1, 0)
-            d_kv = d_kv.commit_tokens(jnp.arange(S), src, n_commit)
+            if not d_window:
+                d_kv = d_kv.commit_tokens(jnp.arange(S), src, n_commit)
             if use_window:
                 valid = jax.lax.dynamic_update_slice(
                     valid, _on_path(chain_m) & active[:, None], (0, base))
@@ -430,7 +483,8 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
                               c[:, None] + depths[None, :], -1), (0, base))
                 t_pos = jnp.where(active, c + n_acc + 1,
                                   c).astype(t_kv.pos.dtype)
-                return (((t_pos, wins, valid, lane_pos), d_kv, new_root,
+                d_st = d_wins if d_window else d_kv
+                return (((t_pos, wins, valid, lane_pos), d_st, new_root,
                          wor_rngs), (emit, n_commit))
             t_kv_c = t_kv_c.rollback(t_kv_c.pos.astype(jnp.int32) - c,
                                      active=active)
@@ -480,10 +534,15 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
                              root)
 
         # -- roll back to the committed prefix, compact accepted chain -
-        d_kv = d_kv.rollback(d_kv.pos.astype(jnp.int32) - c, active=active)
+        # (d_window: lanes not marked valid simply never commit — no
+        # rollback or gather-compaction needed on the draft side)
+        if not d_window:
+            d_kv = d_kv.rollback(d_kv.pos.astype(jnp.int32) - c,
+                                 active=active)
         src = jnp.where(chain_m >= 0, c[:, None] + chain_m, -1)
         n_commit = jnp.where(active, n_acc + 1, 0)
-        d_kv = d_kv.commit_tokens(jnp.arange(S), src, n_commit)
+        if not d_window:
+            d_kv = d_kv.commit_tokens(jnp.arange(S), src, n_commit)
         counts = n_commit
         if use_window:
             valid = jax.lax.dynamic_update_slice(
@@ -494,7 +553,8 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
                           c[:, None] + depths[None, :], -1), (0, base))
             t_pos = jnp.where(active, c + n_acc + 1,
                               c).astype(t_kv.pos.dtype)
-            return (((t_pos, wins, valid, lane_pos), d_kv, new_root,
+            d_st = d_wins if d_window else d_kv
+            return (((t_pos, wins, valid, lane_pos), d_st, new_root,
                      new_rngs), (emit, counts))
         t_kv_c = t_kv_c.rollback(t_kv_c.pos.astype(jnp.int32) - c,
                                  active=active)
@@ -505,11 +565,20 @@ def tree_spec_scan(tparams: LlamaParams, dparams: LlamaParams,
         wins0 = _loops.make_kv_window(t_kv, t_llm, S, W_win)
         st0 = (t_kv.pos, wins0, jnp.zeros((S, W_win), bool),
                jnp.full((S, W_win), -1, jnp.int32))
-        ((t_pos, wins, valid, lane_pos), d_kv, root, rngs), \
+        d_st0 = (_loops.make_kv_window(d_kv, d_llm, S, W_win)
+                 if d_window else d_kv)
+        ((t_pos, wins, valid, lane_pos), d_st, root, rngs), \
             (emitted, counts) = jax.lax.scan(
-                spec_step, (st0, d_kv, root, rngs), jnp.arange(n_steps))
+                spec_step, (st0, d_st0, root, rngs), jnp.arange(n_steps))
         t_kv = _loops.commit_kv_lanes(t_kv, wins, lane_pos, valid,
                                       t_pos, t_kv.mask)
+        if d_window:
+            # node n's lane rope position == its compacted commit
+            # position, so the draft shares the target's lane_pos/valid
+            d_kv = _loops.commit_kv_lanes(d_kv, d_st, lane_pos, valid,
+                                          t_pos, d_kv.mask)
+        else:
+            d_kv = d_st
     else:
         (t_kv, d_kv, root, rngs), (emitted, counts) = jax.lax.scan(
             spec_step, (t_kv, d_kv, root, rngs), jnp.arange(n_steps))

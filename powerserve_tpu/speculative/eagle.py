@@ -178,14 +178,26 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
 
         w_k, w_v, w_ks, w_vs, w_valid = inflight
         W_win = w_k.shape[3]
-        win_vis = jnp.broadcast_to(w_valid[:, None, :].astype(bool),
-                                   (S, Tq, W_win))
+        if getattr(w_valid, "ndim", 0) == 3:
+            # per-query lane visibility (tree head drafts: a level
+            # query sees prior commit lanes + its own ancestors among
+            # this step's draft lanes — models/llama.py semantics)
+            win_vis = w_valid.astype(bool)
+        else:
+            win_vis = jnp.broadcast_to(w_valid[:, None, :].astype(bool),
+                                       (S, Tq, W_win))
         # in-flight visibility of THIS forward's own lanes: causal
-        # within the block, dead (-1 / OOB) lanes' columns off
-        qi = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tq), 0)
-        ji = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tq), 1)
+        # within the block (or the caller's intra_mask — tree level
+        # drafts pass identity: siblings are mutually invisible), dead
+        # (-1 / OOB) lanes' columns off
+        if intra_mask is None:
+            qi = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tq), 0)
+            ji = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tq), 1)
+            intra = ji <= qi
+        else:
+            intra = jnp.asarray(intra_mask, bool)
         valid_new = (cache_positions >= 0) & (cache_positions < kv.max_seq)
-        intra_vis_new = (ji <= qi)[None] & valid_new[:, None, :]
+        intra_vis_new = intra[None] & valid_new[:, None, :]
         blk_k, blk_v, blk_ks, blk_vs = [], [], [], []
 
     def scat(cache_s, new_s, pos_s):
@@ -805,6 +817,30 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                   and _loops.window_eligible(t_kv, tparams)
                   and n_steps * N <= 1024)
     W_win = n_steps * N
+    # HEAD-cache window (r5, the last carried cache): per spec step the
+    # head owns n_drafted DRAFT lanes (levels 0..Dp-1, valid only
+    # intra-step via PER-QUERY ancestor visibility — the window-mode
+    # replacement for vis_override) + Dp+1 COMMIT lanes (the
+    # true-feature re-prefill, valid per acceptance at compacted
+    # positions). One post-scan scatter commits; rollback is lane
+    # invalidation. POWERSERVE_EAGLE_HEAD_WINDOW=0 restores the carry.
+    import os as _os
+
+    e_window = (use_window and e_kv.quantized
+                and _os.environ.get("POWERSERVE_EAGLE_HEAD_WINDOW",
+                                    "1") != "0")
+    lanes_per = n_drafted + Dp + 1
+    We = n_steps * lanes_per
+    if e_window:
+        # _ewritten[d][n]: drafted node n's lane exists when level d
+        # drafts (BFS order puts all drafted nodes first: 0..n_drafted)
+        _ewritten = []
+        acc_nodes: list[int] = []
+        for d in range(Dp):
+            w = np.zeros(n_drafted, bool)
+            w[acc_nodes] = True
+            _ewritten.append(w)
+            acc_nodes.extend(int(n) for n in tpl.levels[d])
 
     def _on_path(chain_m):
         """[S, Dp+1] accepted node ids (-1 dead) -> [S, N] bool."""
@@ -813,15 +849,43 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         return jax.vmap(
             lambda i_, u: jnp.zeros((N,), bool).at[i_].max(u))(idx, upd)
 
+    e_kv_inv = e_kv  # loop-invariant head buffers when e_window
+
+    def _e_commit(e_wins, e_valid, e_lane_pos, base_e, fed, cfeats,
+                  cpos, live):
+        """Window-mode commit re-prefill: the accepted chain's head
+        entries land in this step's Dp+1 COMMIT lanes (true features,
+        compacted positions); the step's draft lanes were never marked
+        valid, so no rollback is needed."""
+        cw = jnp.broadcast_to(e_valid[:, None, :], (S, Dp + 1, We))
+        _, _, _, blk = efwd(
+            eparams, e_llm, e_kv_inv, fed, cfeats, cpos,
+            active=active, backend=backend, logits_mode="none",
+            fuse_layers=_TREE_FUSE[0],
+            kv_update="window", inflight=e_wins + (cw,))
+        e_wins = _loops.push_kv_window(e_wins, blk, base_e + n_drafted)
+        e_valid = jax.lax.dynamic_update_slice(
+            e_valid, live & active[:, None], (0, base_e + n_drafted))
+        e_lane_pos = jax.lax.dynamic_update_slice(
+            e_lane_pos, cpos, (0, base_e + n_drafted))
+        return e_wins, e_valid, e_lane_pos
+
     def spec_step(carry, i):
         if use_window:
-            (t_pos, wins, valid, lane_pos), e_kv, root, root_feat, \
+            (t_pos, wins, valid, lane_pos), e_st, root, root_feat, \
                 rngs = carry
             c = t_pos.astype(jnp.int32)
             base = i * N
+            if e_window:
+                e_wins, e_valid, e_lane_pos = e_st
+                base_e = i * lanes_per
+            else:
+                e_kv = e_st
         else:
             t_kv_c, e_kv, root, root_feat, rngs = carry
             c = t_kv_c.pos.astype(jnp.int32)  # [S] committed length
+        if e_window:
+            e_kv = e_kv_inv  # loop-invariant head buffers (closure)
         mask0 = e_kv.mask  # committed visibility BEFORE this tree
 
         if wor:
@@ -847,12 +911,35 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                              c[:, None] + depths[lev][None, :], -1)
             cpos = jnp.where(active[:, None],
                              c[:, None] + jnp.asarray(lev)[None, :], -1)
-            vis = _level_visibility(mask0, tpl.anc[lev], c, T)
-            logits, feat_out, e_kv = efwd(
-                eparams, e_llm, e_kv, toks_l, feats_in[:, lev], rope,
-                cache_positions=cpos, vis_override=vis, active=active,
-                backend=backend, logits_mode="all",
-                fuse_layers=_TREE_FUSE[0], fuse_head=_TREE_FUSE[1])
+            if e_window:
+                ln = len(lev)
+                # prior steps' commit lanes visible to every query;
+                # this step's draft lanes per static ancestor masks
+                prev_vis = jnp.broadcast_to(e_valid[:, None, :],
+                                            (S, ln, We))
+                step_vis = jnp.asarray(
+                    tpl.anc[lev][:, :n_drafted] & _ewritten[d][None, :])
+                step_vis = (jnp.broadcast_to(step_vis[None],
+                                             (S, ln, n_drafted))
+                            & active[:, None, None])
+                win_vis = jax.lax.dynamic_update_slice(
+                    prev_vis, step_vis, (0, 0, base_e))
+                logits, feat_out, _, blk = efwd(
+                    eparams, e_llm, e_kv, toks_l, feats_in[:, lev], rope,
+                    cache_positions=cpos,
+                    intra_mask=jnp.eye(ln, dtype=bool), active=active,
+                    backend=backend, logits_mode="all",
+                    fuse_layers=_TREE_FUSE[0], fuse_head=_TREE_FUSE[1],
+                    kv_update="window", inflight=e_wins + (win_vis,))
+                e_wins = _loops.push_kv_window(e_wins, blk,
+                                               base_e + int(lev[0]))
+            else:
+                vis = _level_visibility(mask0, tpl.anc[lev], c, T)
+                logits, feat_out, e_kv = efwd(
+                    eparams, e_llm, e_kv, toks_l, feats_in[:, lev], rope,
+                    cache_positions=cpos, vis_override=vis, active=active,
+                    backend=backend, logits_mode="all",
+                    fuse_layers=_TREE_FUSE[0], fuse_head=_TREE_FUSE[1])
             w = tpl.level_topk[d]
             if wor:
                 # children = WOR samples from the head's post-transform
@@ -935,7 +1022,8 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                     t_kv_c.pos.astype(jnp.int32) - c, active=active)
                 src = jnp.where(chain_m >= 0, c[:, None] + chain_m, -1)
                 t_kv_c = t_kv_c.commit_tokens(jnp.arange(S), src, n_commit)
-            e_kv = e_kv.rollback(jnp.where(active, n_drafted, 0))
+            if not e_window:
+                e_kv = e_kv.rollback(jnp.where(active, n_drafted, 0))
             fed_chain = jnp.take_along_axis(
                 tokens, jnp.maximum(chain_m, 0), axis=1)
             pred = jnp.maximum(chain_m[:, :-1], 0)
@@ -947,6 +1035,13 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             live = lanes[None, :] <= n_acc[:, None]
             commit_pos = jnp.where(live & active[:, None],
                                    c[:, None] + lanes[None, :], -1)
+            if e_window:
+                e_wins, e_valid, e_lane_pos = _e_commit(
+                    e_wins, e_valid, e_lane_pos, base_e, fed_chain,
+                    commit_feats, commit_pos, live)
+                e_st = (e_wins, e_valid, e_lane_pos)
+                return (((t_pos, wins, valid, lane_pos), e_st, new_root,
+                         new_root_feat, wor_rngs), (emit, n_commit))
             _, _, e_kv = efwd(
                 eparams, e_llm, e_kv, fed_chain, commit_feats, commit_pos,
                 active=active, backend=backend, logits_mode="none",
@@ -1019,7 +1114,8 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             t_kv_c = t_kv_c.commit_tokens(jnp.arange(S), src, n_commit)
         # head drafted n_drafted entries; drop them all, re-prefill the
         # accepted chain paired with TRUE features of its predecessors
-        e_kv = e_kv.rollback(jnp.where(active, n_drafted, 0))
+        if not e_window:
+            e_kv = e_kv.rollback(jnp.where(active, n_drafted, 0))
         fed_chain = jnp.take_along_axis(tokens, jnp.maximum(chain_m, 0),
                                         axis=1)  # [S, Dp+1]
         pred = jnp.maximum(chain_m[:, :-1], 0)  # predecessors of 1..Dp
@@ -1031,12 +1127,19 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         live = lanes[None, :] <= n_acc[:, None]
         commit_pos = jnp.where(live & active[:, None],
                                c[:, None] + lanes[None, :], -1)
+        counts = n_commit
+        if e_window:
+            e_wins, e_valid, e_lane_pos = _e_commit(
+                e_wins, e_valid, e_lane_pos, base_e, fed_chain,
+                commit_feats, commit_pos, live)
+            e_st = (e_wins, e_valid, e_lane_pos)
+            return (((t_pos, wins, valid, lane_pos), e_st, new_root,
+                     new_root_feat, new_rngs), (emit, counts))
         _, _, e_kv = efwd(
             eparams, e_llm, e_kv, fed_chain, commit_feats, commit_pos,
             active=active, backend=backend, logits_mode="none",
             fuse_layers=_TREE_FUSE[0])
 
-        counts = n_commit
         if use_window:
             return (((t_pos, wins, valid, lane_pos), e_kv, new_root,
                      new_root_feat, new_rngs), (emit, counts))
@@ -1047,12 +1150,22 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         wins0 = _loops.make_kv_window(t_kv, t_llm, S, W_win)
         st0 = (t_kv.pos, wins0, jnp.zeros((S, W_win), bool),
                jnp.full((S, W_win), -1, jnp.int32))
-        ((t_pos, wins, valid, lane_pos), e_kv, root, root_feat, rngs), \
+        e_st0 = ((_loops.make_kv_window(e_kv, e_llm, S, We),
+                  jnp.zeros((S, We), bool),
+                  jnp.full((S, We), -1, jnp.int32))
+                 if e_window else e_kv)
+        ((t_pos, wins, valid, lane_pos), e_st, root, root_feat, rngs), \
             (emitted, counts) = jax.lax.scan(
-                spec_step, (st0, e_kv, root, root_feat, rngs),
+                spec_step, (st0, e_st0, root, root_feat, rngs),
                 jnp.arange(n_steps))
         t_kv = _loops.commit_kv_lanes(t_kv, wins, lane_pos, valid,
                                       t_pos, t_kv.mask)
+        if e_window:
+            e_wins_f, e_valid_f, e_lane_pos_f = e_st
+            e_kv = _loops.commit_kv_lanes(e_kv, e_wins_f, e_lane_pos_f,
+                                          e_valid_f, t_pos, e_kv.mask)
+        else:
+            e_kv = e_st
     else:
         (t_kv, e_kv, root, root_feat, rngs), (emitted, counts) = \
             jax.lax.scan(spec_step, (t_kv, e_kv, root, root_feat, rngs),

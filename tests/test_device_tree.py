@@ -288,3 +288,56 @@ def test_wor_scheduler_greedy_matches_plain():
                          draft_params=params, draft_llm=cfg.llm)
     got = run_req(wor, [3, 17, 5, 9])
     assert got == want
+
+
+def test_tree_draft_window_matches_carry(monkeypatch):
+    """The DRAFT-side window (r5: per-query window-lane visibility
+    replaces vis_override; node lanes commit at their compacted rope
+    positions through the target's shared lane_pos/valid) must be
+    byte-equal to the carried-compaction path — including a SECOND
+    scan continuing from window-committed draft state, greedy and
+    WOR."""
+    import jax
+
+    import powerserve_tpu.engine.loops as L
+    from powerserve_tpu.engine.loops import prefill_step
+
+    cfg, params = make_device_params("tiny", "q8_0")
+    llm = cfg.llm
+    tpl = TreeTemplate.from_widths([2, 2, 1])
+    prompt = [3, 17, 5, 9]
+
+    def run(loop, wor):
+        monkeypatch.setattr(L, "_DECODE_LOOP_DEFAULT", loop)
+        t_kv = KVCache.create(llm.n_layers, 1, 128, llm.n_kv_heads,
+                              llm.head_size, "int8")
+        d_kv = KVCache.create(llm.n_layers, 1, 128, llm.n_kv_heads,
+                              llm.head_size, "int8")
+        toks = jnp.asarray([prompt[:-1]], jnp.int32)
+        pos = jnp.arange(3, dtype=jnp.int32)[None, :]
+        _, t_kv = prefill_step(params, toks, pos, t_kv, llm, "xla")
+        _, d_kv = prefill_step(params, toks, pos, d_kv, llm, "xla")
+        root = jnp.asarray([prompt[-1]], jnp.int32)
+        kw = dict(backend=f"xla{'' if loop == 'window' else ''}")
+        if wor:
+            kw.update(rngs=jax.vmap(jax.random.PRNGKey)(jnp.arange(1)),
+                      temp=jnp.zeros(1), top_k=jnp.full(1, 8, jnp.int32),
+                      top_p=jnp.ones(1), sample="wor")
+        outs = []
+        for _ in range(2):  # second scan continues from committed state
+            emitted, counts, t_kv, d_kv, root, *_rest = tree_spec_scan(
+                params, params, t_kv, d_kv, root, llm, llm, 3,
+                tpl.key(), kw.pop("backend", "xla"), **kw)
+            kw["backend"] = "xla"
+            outs.append((np.asarray(emitted), np.asarray(counts)))
+        return outs, (np.asarray(t_kv.pos), np.asarray(d_kv.pos),
+                      np.asarray(t_kv.mask), np.asarray(d_kv.mask))
+
+    for wor in (False, True):
+        (w_out, w_state) = run("window", wor)
+        (c_out, c_state) = run("carry", wor)
+        for (we, wc), (ce, cc) in zip(w_out, c_out):
+            assert (wc == cc).all(), (wor, wc, cc)
+            assert (we == ce).all(), (wor, we, ce)
+        for a, b in zip(w_state, c_state):
+            assert (a == b).all(), wor

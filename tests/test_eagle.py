@@ -736,3 +736,78 @@ def test_eagle_head_window_matches_carry(monkeypatch):
         c = run("carry", sample)
         for a, b in zip(w, c):
             np.testing.assert_array_equal(a, b)
+
+
+def test_eagle_tree_head_window_matches_carry(monkeypatch):
+    """The EAGLE-tree HEAD-cache window (r5: per-query draft-lane
+    visibility + commit lanes, no rollback) must match the carried
+    head byte-for-byte — greedy and WOR, across two consecutive scans
+    (the second continues from window-committed head state)."""
+    import jax
+
+    import powerserve_tpu.engine.loops as L
+    from powerserve_tpu.engine.loops import prefill_step
+    from powerserve_tpu.speculative.device_tree import TreeTemplate
+    from powerserve_tpu.speculative.eagle import eagle_tree_spec_scan
+
+    params, cfg, _ = _mk_target(0, layers=2, stacked=True)
+    d_params, _, _ = _mk_target(7, layers=1, stacked=False)
+    rng = np.random.default_rng(11)
+    fc = _qlinear_from_float(
+        rng.standard_normal((DIM, 2 * DIM)).astype(np.float32) * 0.05,
+        GGMLType.Q8_0)
+    ep = EagleParams(
+        fc=fc, fc_bias=None, layers=(d_params.layers[0],),
+        embed=params.embed, lm_head=params.lm_head, out_norm=None,
+        input_norm=False)
+    e_llm = dataclasses.replace(cfg.llm, n_layers=1)
+    llm = cfg.llm
+    tpl = TreeTemplate.from_widths([2, 2, 1])
+    prompt = [3, 17, 5, 9]
+
+    def run(head_window, wor):
+        monkeypatch.setattr(L, "_DECODE_LOOP_DEFAULT", "window")
+        monkeypatch.setenv("POWERSERVE_EAGLE_HEAD_WINDOW",
+                           "1" if head_window else "0")
+        t_kv = KVCache.create(llm.n_layers, 1, 128, llm.n_kv_heads,
+                              llm.head_size, "int8")
+        e_kv = KVCache.create(1, 1, 128, e_llm.n_kv_heads,
+                              e_llm.head_size, "int8")
+        toks = jnp.asarray([prompt[:-1]], jnp.int32)
+        pos = jnp.arange(3, dtype=jnp.int32)[None, :]
+        _, t_kv, feats = forward(params, llm, t_kv, toks, pos,
+                                 backend="xla", logits_mode="none",
+                                 return_final_hidden=True)
+        from powerserve_tpu.speculative.eagle import eagle_forward
+
+        head_feats = jnp.concatenate(
+            [jnp.zeros((1, 1, DIM)), feats[:, :-1].astype(jnp.float32)],
+            axis=1)
+        _, _, e_kv = eagle_forward(ep, e_llm, e_kv, toks, head_feats,
+                                   pos, backend="xla",
+                                   logits_mode="none")
+        root = jnp.asarray([prompt[-1]], jnp.int32)
+        root_feat = feats[:, -1].astype(jnp.float32)
+        kw = {}
+        if wor:
+            kw.update(rngs=jax.vmap(jax.random.PRNGKey)(jnp.arange(1)),
+                      temp=jnp.zeros(1), top_k=jnp.full(1, 8, jnp.int32),
+                      top_p=jnp.ones(1), sample="wor")
+        outs = []
+        for _ in range(2):
+            (emitted, counts, t_kv, e_kv, root, root_feat,
+             _r) = eagle_tree_spec_scan(
+                params, ep, t_kv, e_kv, root, root_feat, llm, e_llm,
+                3, tpl.key(), "xla", **kw)
+            outs.append((np.asarray(emitted), np.asarray(counts)))
+        return outs, (np.asarray(t_kv.pos), np.asarray(e_kv.pos),
+                      np.asarray(e_kv.mask))
+
+    for wor in (False, True):
+        w_out, w_state = run(True, wor)
+        c_out, c_state = run(False, wor)
+        for (we, wc), (ce, cc) in zip(w_out, c_out):
+            assert (wc == cc).all(), (wor, wc, cc)
+            assert (we == ce).all(), (wor, we, ce)
+        for a, b in zip(w_state, c_state):
+            assert (a == b).all(), wor
