@@ -253,14 +253,18 @@ class BatchScheduler:
         if pp_mesh is not None:
             # pipeline-parallel serving (parallel/pp.py): params must
             # already be sharded by shard_params_pp; the kv created
-            # above shards its layer axis here. Plain, multimodal, and
-            # CHAIN-speculation decode/prefill (the chain scan runs
-            # pp_forward via injectable fwd callables; tree templates
-            # need vis_override, which the staged pipeline lacks).
-            # Self-drafting is out too: a layer-truncated draft config
-            # breaks the per-stage layer layout.
-            assert eagle_params is None and mesh is None, \
-                "pp serving: EAGLE / GSPMD mesh do not compose"
+            # above shards its layer axis here. Plain, multimodal,
+            # CHAIN-speculation, and EAGLE-chain decode/prefill (the
+            # chain/eagle scans run pp_forward via injectable fwd
+            # callables; the tiny EAGLE head + its cache replicate
+            # across stages and draft off the psum-replicated feature
+            # stream; tree templates need vis_override, which the
+            # staged pipeline lacks). Self-drafting is out too: a
+            # layer-truncated draft config breaks the per-stage layout.
+            assert mesh is None, "pp excludes the GSPMD mesh path"
+            assert eagle_params is None or not getattr(
+                self.hp, "spec_tree", ""), \
+                "eagle x pp supports chains only (no spec_tree)"
             from ..parallel.pp import shard_kv_pp
 
             if draft_params is not None:
@@ -727,6 +731,44 @@ class BatchScheduler:
         e_llm = self.e_llm
         backend = self.backend
         from ..speculative.eagle import eagle_forward
+
+        if self.pp_mesh is not None:
+            # EAGLE x pipeline: target prefill/verify run through the
+            # staged pp_forward; the tiny head + its cache replicate
+            # across stages and consume the psum-replicated features
+            from ..parallel.pp import pp_forward as _ppf
+
+            pp_mesh = self.pp_mesh
+            self._spec_fwd = functools.partial(_ppf, mesh=pp_mesh)
+
+            @functools.partial(jax.jit, donate_argnums=(2, 3, 7),
+                               static_argnames=("mm",))
+            def eagle_prefill_chunk(params, eparams, kv, e_kv, tokens,
+                                    positions, active, last_feat, n_real,
+                                    embeds=None, use_embeds=None,
+                                    mm: bool = False):
+                _, kv, feats = _ppf(
+                    params, llm, kv, tokens, positions, mesh=pp_mesh,
+                    active=active, backend=backend, logits_mode="none",
+                    embeds=embeds if mm else None,
+                    use_embeds=use_embeds if mm else None,
+                    return_final_hidden=True)
+                feats = feats.astype(jnp.float32)
+                head_feats = jnp.concatenate(
+                    [last_feat[:, None, :], feats[:, :-1]], axis=1)
+                _, _, e_kv = eagle_forward(
+                    eparams, e_llm, e_kv, tokens, head_feats, positions,
+                    active=active, backend=backend, logits_mode="none")
+                idx = jnp.maximum(n_real - 1, 0)
+                new_last = jnp.take_along_axis(
+                    feats, idx[:, None, None], axis=1)[:, 0]
+                new_last = jnp.where((active & (n_real > 0))[:, None],
+                                     new_last, last_feat)
+                return kv, e_kv, new_last
+
+            self._eagle_prefill_chunk = eagle_prefill_chunk
+            self._finish_eagle_jits()
+            return
 
         if self.tp_mesh is not None:
             # EAGLE x shard_map tp: the prefill pair runs inside one
@@ -1325,7 +1367,17 @@ class BatchScheduler:
         common = dict(active=jnp.asarray(active), rngs=self.rngs,
                       temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
                       top_p=jnp.asarray(top_p), sample=True)
-        if self.tp_mesh is not None:
+        if self.pp_mesh is not None:
+            # EAGLE x pipeline: the verify runs through the staged
+            # pp_forward partial; head forwards stay replicated
+            # (chains only — __init__ asserts no spec_tree under pp)
+            (emitted_d, counts, self.kv, self.d_kv, next_tok,
+             self.feat, self.rngs) = eagle_spec_scan(
+                self.params, self.eparams, self.kv, self.d_kv,
+                tok_in, self.feat, self.cfg.llm, self.e_llm,
+                self.spec_horizon, k, self.backend,
+                fwd_t=self._spec_fwd, **common)
+        elif self.tp_mesh is not None:
             # EAGLE x shard_map tp: the whole scan runs in one
             # shard_map so each shard's Pallas kernel sees local
             # weights (parallel/tp.py)

@@ -125,9 +125,15 @@ def pp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
                embeds: jax.Array | None = None,
                use_embeds: jax.Array | None = None,
                kv_update: str | None = None,
-               inflight: tuple | None = None):
+               inflight: tuple | None = None,
+               return_final_hidden: bool = False):
     """Pipelined forward: logits (replicated), updated kv (layer-
     sharded). Single microbatch — pp phases, one stage live per phase.
+
+    return_final_hidden: append the last stage's final hidden states
+    [S, Tq, dim] f32 (psum-replicated) to the outputs — the EAGLE
+    feature stream (eagle x pp: the head runs replicated on every
+    stage off these features).
 
     embeds/use_embeds: optional per-slot embedding overlay (the VLM
     prefill path — scheduler mm_prefill_chunk): slots flagged in
@@ -220,13 +226,16 @@ def pp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
             logits = qmatmul(xf.reshape(S * Tq, -1), params.lm_head,
                              backend=backend).reshape(S, Tq, -1
                                                       ).astype(jnp.float32)
-        if window:
-            return logits, kv, blk
-        return logits, kv
+        outs = (logits, kv) + ((blk,) if window else ())
+        if return_final_hidden:
+            outs = outs + (x_final,)
+        return outs
 
     out_specs = (P(), kspecs)
     if window:
         out_specs = out_specs + (pp_window_specs(),)
+    if return_final_hidden:
+        out_specs = out_specs + (P(),)
     f = jax.shard_map(
         body, mesh=mesh,
         in_specs=(pspecs, kspecs, P(), P(), act_spec, emb_spec, emb_spec,

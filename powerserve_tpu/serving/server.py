@@ -338,9 +338,10 @@ class ServerContext:
                     d_llm = self_draft_config(t_cfg.llm,
                                               int(draft_name[5:]))
                 elif is_eagle:
-                    if self.pp:
+                    if self.pp and getattr(self.hp, "spec_tree", ""):
                         raise web.HTTPBadRequest(
-                            text="EAGLE does not compose with --pp")
+                            text="eagle x --pp supports chains only "
+                                 "(drop --spec-tree)")
                     # EAGLE feature-level draft head: every tick drafts
                     # a spec_k chain per slot with the head and one
                     # batched target verify covers all slots (EAGLE x
@@ -365,7 +366,11 @@ class ServerContext:
 
                     e_llm, ep = _mk_eagle(t_params)
                     mesh_kw = dict(mesh=self.mesh)
-                    if t_sm:
+                    if self.pp:
+                        # eagle x pipeline: target pp-sharded, head
+                        # replicated (scheduler pp branch)
+                        mesh_kw = dict(pp_mesh=self.mesh)
+                    elif t_sm:
                         # EAGLE x shard_map tp: the head shards like a
                         # target layer (parallel/tp.py shard_eagle_tp);
                         # if its geometry won't split, the PAIR falls

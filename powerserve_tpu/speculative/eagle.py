@@ -415,7 +415,7 @@ def eagle_forward(ep: EagleParams, llm: LLMConfig, kv: KVCache,
 @functools.partial(
     jax.jit,
     static_argnames=("t_llm", "e_llm", "n_steps", "k", "backend", "sample",
-                     "tp_axis"),
+                     "tp_axis", "fwd_t"),
     donate_argnums=(2, 3),
 )
 def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
@@ -429,7 +429,8 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                     top_k: jax.Array | None = None,
                     top_p: jax.Array | None = None,
                     sample: bool = False,
-                    tp_axis: str | None = None):
+                    tp_axis: str | None = None,
+                    fwd_t=None):
     """n_steps BATCHED EAGLE chain-speculation steps in one dispatch
     (every scheduler slot at once — speculation composes with
     continuous batching; the reference serializes its single-stream
@@ -472,7 +473,9 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
     # cliff (they cross 2^25 bytes at S>=8, T>=4096).
     from ..engine import loops as _loops
 
-    use_window = (_loops._DECODE_LOOP_DEFAULT == "window"
+    injected = fwd_t is not None
+    use_window = (not injected
+                  and _loops._DECODE_LOOP_DEFAULT == "window"
                   and _loops.window_eligible(t_kv, tparams)
                   and n_steps * (k + 1) <= 1024)
     import os as _os
@@ -485,7 +488,14 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
     # a shard_map — t_llm/e_llm hold LOCAL head counts, params are
     # localized shards, and both forwards thread the megatron axis
     efwd = functools.partial(eagle_forward, tp_axis=tp_axis)
-    tfwd = functools.partial(forward, tp_axis=tp_axis)
+    # fwd_t: injectable TARGET forward (static) — the pipeline-parallel
+    # scheduler passes a pp_forward partial (eagle x pp: the verify
+    # runs through the staged pipeline while the tiny head + its cache
+    # run replicated on every stage off the psum-replicated features).
+    # pp_forward has no argmax_all mode, so the greedy verify computes
+    # the argmax outside from logits_mode="all".
+    tfwd = fwd_t if injected else functools.partial(forward,
+                                                    tp_axis=tp_axis)
 
     S = root.shape[0]
     V = t_llm.vocab_size
@@ -591,7 +601,7 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         # -- 2. one batched target verify over all chains --------------
         # (greedy verifies only need the per-position argmax — the
         # fused argmax head skips the [S, k+1, V] logits entirely)
-        vmode = "all" if sample else "argmax_all"
+        vmode = "all" if (sample or injected) else "argmax_all"
         positions = jnp.where(active[:, None],
                               c[:, None] + lanes[None, :], -1)
         if use_window:
@@ -648,7 +658,11 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                 jnp.concatenate([d, jnp.zeros((S, 1), jnp.int32)], axis=1),
                 nxt[:, None])
         else:
-            sampled = logits  # argmax_all: [S, k+1] greedy tokens
+            # argmax_all: [S, k+1] greedy tokens (injected pp forwards
+            # return full logits instead — argmax here)
+            sampled = (jnp.argmax(logits[..., :V],
+                                  axis=-1).astype(jnp.int32)
+                       if injected else logits)
             match = (sampled[:, :k] == d).astype(jnp.int32)
             n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
         new_root = jnp.where(

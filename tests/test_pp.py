@@ -293,3 +293,72 @@ def test_pp_mm_scheduler_matches_plain():
     got = run_req(sched)
     sched.stop()
     assert got == want, (got, want)
+
+
+def test_pp_eagle_scheduler_matches_plain():
+    """EAGLE chain speculation x pipeline parallelism (r5): the verify
+    runs through the staged pp_forward (features psum-replicated from
+    the last stage) while the 1-layer head + its cache replicate —
+    greedy output must equal the plain scheduler's (losslessness holds
+    for ANY head weights; random head = worst-case acceptance)."""
+    import dataclasses
+    import queue as _q
+
+    from powerserve_tpu.core.config import HyperParams
+    from powerserve_tpu.core.gguf import GGMLType
+    from powerserve_tpu.engine.scheduler import BatchScheduler, Request
+    from powerserve_tpu.models.loader import (
+        _qlinear_from_float,
+        load_gguf_model,
+    )
+    from powerserve_tpu.parallel.pp import shard_params_pp
+    from powerserve_tpu.speculative.eagle import EagleParams
+    from powerserve_tpu.tools.synthetic import make_synthetic_gguf
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        make_synthetic_gguf(td, "tiny", GGMLType.Q8_0, seed=0,
+                            seq_len=128)
+        cfg, params = load_gguf_model(td + "/model")
+        make_synthetic_gguf(td + "/h", "tiny", GGMLType.Q8_0, seed=7,
+                            seq_len=128)
+        _, head = load_gguf_model(td + "/h/model")
+
+    dim = cfg.llm.dim
+    rng = np.random.default_rng(11)
+    fc = _qlinear_from_float(
+        rng.standard_normal((dim, 2 * dim)).astype(np.float32) * 0.05,
+        GGMLType.Q8_0)
+    lw0 = jax.tree_util.tree_map(lambda a: a[0], head.layers)
+    ep = EagleParams(fc=fc, fc_bias=None, layers=(lw0,),
+                     embed=params.embed, lm_head=params.lm_head,
+                     out_norm=None, input_norm=False)
+    e_llm = dataclasses.replace(cfg.llm, n_layers=1)
+
+    def run_req(sched, prompt):
+        out, done = [], _q.Queue()
+
+        def sink(t):
+            done.put(True) if t is None else out.append(t)
+
+        sched.submit(Request(prompt_ids=prompt, max_tokens=8,
+                             temperature=0.0, sink=sink))
+        for _ in range(300):
+            if not done.empty():
+                break
+            sched.step()
+        assert not done.empty()
+        return out
+
+    hp = HyperParams(max_slots=2, batch_size=8, max_seq_len=128)
+    plain = BatchScheduler(params, cfg, hp, backend="xla")
+    want = run_req(plain, [3, 17, 5, 9])
+
+    mesh = make_mesh({"pp": 2}, jax.devices()[:2])
+    p2 = shard_params_pp(params, mesh, cfg.llm)
+    hp2 = HyperParams(max_slots=2, batch_size=8, max_seq_len=128)
+    hp2.spec_k = 2
+    sched = BatchScheduler(p2, cfg, hp2, backend="xla", pp_mesh=mesh,
+                           eagle_params=ep, eagle_llm=e_llm)
+    got = run_req(sched, [3, 17, 5, 9])
+    assert got == want, (got, want)
