@@ -216,6 +216,14 @@ class BatchScheduler:
             self.max_seq = self.kv.max_seq  # rounded up to whole pages
             self.pool = PagePool(int(self.hp.paged_pages), self.S,
                                  self.kv.max_pages, page)
+            # host position mirror for DOUBLE-BUFFERED pool ticks
+            # (r5): page grants for the next tick come from the last
+            # drained positions (seeded at prefill completion,
+            # refreshed by every drain's batched fetch) instead of a
+            # per-tick device sync; slots with stale mirrors fall back
+            # to the exact single-buffered path
+            self._pos_drained = np.zeros(self.S, np.int64)
+            self._pos_known: set[int] = set()
         else:
             self.kv = KVCache.create(llm.n_layers, self.S, self.max_seq,
                                      llm.n_kv_heads, llm.head_size,
@@ -342,6 +350,8 @@ class BatchScheduler:
         # token_tree.cpp:246-253, as live serving metrics)
         self.n_spec_steps = 0
         self.n_preemptions = 0
+        self.n_pool_slow_ticks = 0  # pool ticks that fell back to the
+        # single-buffered exact path (stale mirror / pool pressure)
         self.n_spec_drafted = 0
         self.n_spec_accepted = 0
         self.started_at = time.time()
@@ -916,6 +926,7 @@ class BatchScheduler:
         """Tear down a slot, returning its pool pages (paged mode)."""
         if self.pool is not None:
             self.pool.release(i)
+            self._pos_known.discard(i)
         self.slots[i] = _Slot()
 
     def _preempt(self, i: int) -> None:
@@ -937,6 +948,11 @@ class BatchScheduler:
         self.n_preemptions += 1
         log.debug(f"req {req.id}: preempted (paged pool dry)")
 
+    def _seed_pos(self, i: int, pos: int) -> None:
+        if self.pool is not None:
+            self._pos_drained[i] = min(int(pos), self.max_seq)
+            self._pos_known.add(i)
+
     def _ensure_decode_pages(self, decoding: list[int],
                              extra: int) -> list[int]:
         """Paged mode: grow each decoding slot's page mapping to cover
@@ -946,6 +962,8 @@ class BatchScheduler:
         A lone request the pool can't serve finishes with 'length'
         instead of thrashing through re-admit into the same dry pool."""
         pos_host = np.asarray(self.kv.pos)
+        for i in decoding:  # exact positions: re-seed the fast-path mirror
+            self._seed_pos(i, int(pos_host[i]))
         keep = []
         for i in decoding:
             s = self.slots[i]
@@ -1076,6 +1094,7 @@ class BatchScheduler:
             part = prompt[off : off + C]
             if not part:
                 slot.prefilling = False
+                self._seed_pos(i, len(slot.req.prompt_ids) - 1)
                 continue
             tokens[i, :len(part)] = part
             positions[i, :len(part)] = off + np.arange(len(part))
@@ -1088,6 +1107,7 @@ class BatchScheduler:
             slot.prefill_off += len(part)
             if slot.prefill_off >= len(prompt):
                 slot.prefilling = False
+                self._seed_pos(i, len(slot.req.prompt_ids) - 1)
                 if self.prefix_cache is not None \
                         and slot.req.embeds is None:
                     stores.append((i, prompt[:slot.prefill_off]))
@@ -1443,6 +1463,12 @@ class BatchScheduler:
             return True
         _, decoding, reqs, handles = inf
         toks, lps, top_i, top_lp, pos_host = jax.device_get(handles)
+        if self.pool is not None:
+            for i, req in zip(decoding, reqs):
+                if req is not None and self.slots[i].req is req:
+                    # upper bound (tick start + horizon): page grants
+                    # may only over-cover, never under-cover
+                    self._seed_pos(i, int(pos_host[i]) + self.horizon)
         for i, req in zip(decoding, reqs):
             s = self.slots[i]
             if req is None or s.req is not req:
@@ -1489,14 +1515,39 @@ class BatchScheduler:
             return self._eagle_decode_tick(decoding)
         if self.d_kv is not None:
             return self._spec_decode_tick(decoding)
+        pool_fast = False
         if self.pool is not None:
-            # the pool tick reads kv.pos host-side every iteration (a
-            # full device sync) and can preempt slots — keep it
-            # single-buffered
-            self._drain_inflight()
-            decoding = self._ensure_decode_pages(decoding, self.horizon)
-            if not decoding:
-                return True  # preemptions / forced finishes were work
+            # double-buffered pool ticks (r5): steady-state page
+            # grants come from the host position mirror, covering TWO
+            # ticks ahead — no per-tick device sync. Falls back to the
+            # exact single-buffered path for stale mirrors (fresh
+            # admissions) or pool pressure (preemption decisions need
+            # true end state; it must not evict an in-flight slot).
+            pool_fast = self.double_buffer
+            if pool_fast:
+                for i in decoding:
+                    need = int(self._pos_drained[i]) + 2 * self.horizon
+                    if (i not in self._pos_known
+                            or not self.pool.ensure(i, need)):
+                        pool_fast = False
+                        break
+                    if self.pool.dirty and self.pool.n_free_for(i) > 2:
+                        # opportunistic page batching: a table flush is
+                        # a host->device transfer (expensive over a
+                        # remote link) — when a grant was needed anyway
+                        # and the pool has slack, grab 2 extra pages so
+                        # the next flushes land 3 pages later
+                        self.pool.ensure(
+                            i, need + 2 * self.pool.page_size)
+            if pool_fast:
+                self.kv = self.pool.flush(self.kv)
+            else:
+                self.n_pool_slow_ticks += 1
+                self._drain_inflight()
+                decoding = self._ensure_decode_pages(decoding,
+                                                     self.horizon)
+                if not decoding:
+                    return True  # preemptions / finishes were work
         tokens = np.zeros(self.S, np.int32)
         active = np.zeros(self.S, bool)
         temp = np.zeros(self.S, np.float32)
@@ -1546,9 +1597,8 @@ class BatchScheduler:
             # np.asarray is its own ~0.1-1s round trip, CLAUDE.md)
             self._drain_inflight_with(prev)
         self._inflight = ("plain", decoding, reqs_now, handles)
-        if not self.double_buffer or self.pool is not None:
-            # pool ticks stay single-buffered: page ensure/preempt
-            # decisions must see every tick's true end state
+        if not self.double_buffer or (self.pool is not None
+                                      and not pool_fast):
             self._drain_inflight()
         return True
 
@@ -1603,6 +1653,7 @@ class BatchScheduler:
         if self.pool is not None:
             out["paged_pages_total"] = self.pool.n_pages
             out["paged_pages_free"] = self.pool.n_free
+            out["paged_slow_ticks"] = self.n_pool_slow_ticks
             out["paged_preemptions_total"] = self.n_preemptions
             out["paged_deferred_requests"] = len(self._waitq)
         if self.n_spec_steps:
