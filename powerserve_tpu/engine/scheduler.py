@@ -270,9 +270,6 @@ class BatchScheduler:
             # staged pipeline lacks). Self-drafting is out too: a
             # layer-truncated draft config breaks the per-stage layout.
             assert mesh is None, "pp excludes the GSPMD mesh path"
-            assert eagle_params is None or not getattr(
-                self.hp, "spec_tree", ""), \
-                "eagle x pp supports chains only (no spec_tree)"
             from ..parallel.pp import shard_kv_pp
 
             if draft_params is not None:
@@ -1389,14 +1386,26 @@ class BatchScheduler:
                       top_p=jnp.asarray(top_p), sample=True)
         if self.pp_mesh is not None:
             # EAGLE x pipeline: the verify runs through the staged
-            # pp_forward partial; head forwards stay replicated
-            # (chains only — __init__ asserts no spec_tree under pp)
-            (emitted_d, counts, self.kv, self.d_kv, next_tok,
-             self.feat, self.rngs) = eagle_spec_scan(
-                self.params, self.eparams, self.kv, self.d_kv,
-                tok_in, self.feat, self.cfg.llm, self.e_llm,
-                self.spec_horizon, k, self.backend,
-                fwd_t=self._spec_fwd, **common)
+            # pp_forward partial (trees thread cache_positions + the
+            # ancestor intra_mask through it); head forwards stay
+            # replicated
+            if self.spec_template is not None:
+                tpl = self.spec_template
+                if getattr(self.hp, "spec_wor", False):
+                    common["sample"] = "wor"
+                (emitted_d, counts, self.kv, self.d_kv, next_tok,
+                 self.feat, self.rngs) = eagle_tree_spec_scan(
+                    self.params, self.eparams, self.kv, self.d_kv,
+                    tok_in, self.feat, self.cfg.llm, self.e_llm,
+                    self.spec_horizon, tpl.key(), self.backend,
+                    fwd_t=self._spec_fwd, **common)
+            else:
+                (emitted_d, counts, self.kv, self.d_kv, next_tok,
+                 self.feat, self.rngs) = eagle_spec_scan(
+                    self.params, self.eparams, self.kv, self.d_kv,
+                    tok_in, self.feat, self.cfg.llm, self.e_llm,
+                    self.spec_horizon, k, self.backend,
+                    fwd_t=self._spec_fwd, **common)
         elif self.tp_mesh is not None:
             # EAGLE x shard_map tp: the whole scan runs in one
             # shard_map so each shard's Pallas kernel sees local

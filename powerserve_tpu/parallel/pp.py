@@ -126,7 +126,9 @@ def pp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
                use_embeds: jax.Array | None = None,
                kv_update: str | None = None,
                inflight: tuple | None = None,
-               return_final_hidden: bool = False):
+               return_final_hidden: bool = False,
+               cache_positions: jax.Array | None = None,
+               intra_mask: jax.Array | None = None):
     """Pipelined forward: logits (replicated), updated kv (layer-
     sharded). Single microbatch — pp phases, one stage live per phase.
 
@@ -134,6 +136,11 @@ def pp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
     [S, Tq, dim] f32 (psum-replicated) to the outputs — the EAGLE
     feature stream (eagle x pp: the head runs replicated on every
     stage off these features).
+
+    cache_positions / intra_mask: tree-verify semantics (models/
+    llama.py forward) — rope positions stay `positions`, the KV
+    scatters land at cache_positions, and intra_mask carries the
+    ancestor matrix (eagle x pp TREE templates).
 
     embeds/use_embeds: optional per-slot embedding overlay (the VLM
     prefill path — scheduler mm_prefill_chunk): slots flagged in
@@ -169,7 +176,7 @@ def pp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
         win_specs = pp_window_specs() + (P(),)
 
     def body(params, kv, tokens, positions, active, embeds, use_embeds,
-             inflight):
+             inflight, cache_positions, intra_mask):
         params = _localize_params(params)
         s = jax.lax.axis_index("pp")
         act = jnp.ones(S, bool) if active is None else active
@@ -184,9 +191,12 @@ def pp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
             x_res, x_final, kv, blk = carry
             work = act & (s == p)
             pos_p = jnp.where(work[:, None], positions, -1)
+            cpos_p = (None if cache_positions is None
+                      else jnp.where(work[:, None], cache_positions, -1))
             if window:
                 _, kv, blk_new, x_out = forward(
                     params, llm, kv, tokens, pos_p, active=work,
+                    cache_positions=cpos_p, intra_mask=intra_mask,
                     embeds=x_res, backend=backend, logits_mode="none",
                     return_final_hidden=True, kv_update="window",
                     inflight=inflight)
@@ -196,6 +206,7 @@ def pp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
             else:
                 _, kv, x_out = forward(
                     params, llm, kv, tokens, pos_p, active=work,
+                    cache_positions=cpos_p, intra_mask=intra_mask,
                     embeds=x_res, backend=backend, logits_mode="none",
                     return_final_hidden=True)
             mine = jnp.logical_and(p == pp - 1, s == pp - 1)
@@ -236,14 +247,18 @@ def pp_forward(params: LlamaParams, llm: LLMConfig, kv: KVCache,
         out_specs = out_specs + (pp_window_specs(),)
     if return_final_hidden:
         out_specs = out_specs + (P(),)
+    if intra_mask is not None:
+        intra_mask = jnp.asarray(intra_mask, bool)
     f = jax.shard_map(
         body, mesh=mesh,
         in_specs=(pspecs, kspecs, P(), P(), act_spec, emb_spec, emb_spec,
-                  win_specs if window else None),
+                  win_specs if window else None,
+                  None if cache_positions is None else P(),
+                  None if intra_mask is None else P()),
         out_specs=out_specs,
         check_vma=False)
     return f(params, kv, tokens, positions, active, embeds, use_embeds,
-             inflight)
+             inflight, cache_positions, intra_mask)
 
 
 @functools.partial(jax.jit,

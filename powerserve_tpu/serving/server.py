@@ -338,10 +338,6 @@ class ServerContext:
                     d_llm = self_draft_config(t_cfg.llm,
                                               int(draft_name[5:]))
                 elif is_eagle:
-                    if self.pp and getattr(self.hp, "spec_tree", ""):
-                        raise web.HTTPBadRequest(
-                            text="eagle x --pp supports chains only "
-                                 "(drop --spec-tree)")
                     # EAGLE feature-level draft head: every tick drafts
                     # a spec_k chain per slot with the head and one
                     # batched target verify covers all slots (EAGLE x

@@ -754,7 +754,7 @@ def eagle_spec_scan(tparams: LlamaParams, eparams: EagleParams,
 @functools.partial(
     jax.jit,
     static_argnames=("t_llm", "e_llm", "n_steps", "tree_key", "backend",
-                     "sample", "tp_axis"),
+                     "sample", "tp_axis", "fwd_t"),
     donate_argnums=(2, 3),
 )
 def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
@@ -768,7 +768,8 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                          top_k: jax.Array | None = None,
                          top_p: jax.Array | None = None,
                          sample: bool = False,
-                         tp_axis: str | None = None):
+                         tp_axis: str | None = None,
+                         fwd_t=None):
     """Batched EAGLE speculation over a static TREE topology (EAGLE-2
     style): the head drafts every tree level in one batched forward
     (siblings take the head's rank-r tokens), ONE target forward
@@ -794,9 +795,15 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
         _wor_emit,
     )
 
-    # tp_axis: see eagle_spec_scan — scan runs inside a shard_map
+    # tp_axis: see eagle_spec_scan — scan runs inside a shard_map.
+    # fwd_t: injectable target forward (eagle x pp TREES — pp_forward
+    # partial; the verify threads cache_positions + the ancestor
+    # intra_mask through the staged pipeline, the head stays
+    # replicated with vis_override level drafts)
+    injected = fwd_t is not None
     efwd = functools.partial(eagle_forward, tp_axis=tp_axis)
-    tfwd = functools.partial(forward, tp_axis=tp_axis)
+    tfwd = fwd_t if injected else functools.partial(forward,
+                                                    tp_axis=tp_axis)
 
     tpl = TreeTemplate(*tree_key)
     N, Dp = tpl.n_nodes, tpl.max_depth
@@ -827,7 +834,8 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
     # commit_tokens gather-compaction. One post-scan scatter commits.
     from ..engine import loops as _loops
 
-    use_window = (_loops._DECODE_LOOP_DEFAULT == "window"
+    use_window = (not injected
+                  and _loops._DECODE_LOOP_DEFAULT == "window"
                   and _loops.window_eligible(t_kv, tparams)
                   and n_steps * N <= 1024)
     W_win = n_steps * N
@@ -980,7 +988,7 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
                 feats_in = feats_in.at[:, child].set(feat_out[:, row])
 
         # -- one target verify over the whole tree ---------------------
-        vmode = "argmax_all" if not sample else "all"
+        vmode = "all" if (sample or injected) else "argmax_all"
         rope_v = jnp.where(active[:, None], c[:, None] + depths[None, :], -1)
         cpos_v = jnp.where(active[:, None], c[:, None] + idx_arr[None, :], -1)
         if use_window:
@@ -1079,7 +1087,11 @@ def eagle_tree_spec_scan(tparams: LlamaParams, eparams: EagleParams,
             ).astype(jnp.int32).reshape(S, N)
         else:
             new_rngs = rngs
-            sampled = logits  # argmax_all: [S, N] greedy tokens
+            # argmax_all: [S, N] greedy tokens (injected pp forwards
+            # return full logits instead — argmax here)
+            sampled = (jnp.argmax(logits[..., :V],
+                                  axis=-1).astype(jnp.int32)
+                       if injected else logits)
 
         # -- acceptance walk over the static child table ----------------
         cur = jnp.zeros(S, jnp.int32)

@@ -362,3 +362,15 @@ def test_pp_eagle_scheduler_matches_plain():
                            eagle_params=ep, eagle_llm=e_llm)
     got = run_req(sched, [3, 17, 5, 9])
     assert got == want, (got, want)
+
+    # EAGLE-2-style TREE template under pp: the verify threads
+    # cache_positions + the ancestor intra_mask through the staged
+    # pipeline (r5 pp_forward extension)
+    hp3 = HyperParams(max_slots=2, batch_size=8, max_seq_len=128)
+    hp3.spec_tree = "2,1"
+    p3 = shard_params_pp(params, mesh, cfg.llm)
+    sched3 = BatchScheduler(p3, cfg, hp3, backend="xla", pp_mesh=mesh,
+                            eagle_params=ep, eagle_llm=e_llm)
+    assert sched3.spec_template is not None
+    got3 = run_req(sched3, [3, 17, 5, 9])
+    assert got3 == want, (got3, want)
